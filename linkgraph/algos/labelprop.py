@@ -1,0 +1,111 @@
+"""Label propagation clustering — synchronous, deterministic tie-breaking.
+
+Each superstep every vertex adopts the most frequent label among its
+neighbors (undirected view); ties broken by the smallest label; vertices
+with no neighbors keep their label.  Runs a fixed cap of supersteps (default
+20) with early stop when a round changes nothing — fully deterministic so
+the pytest oracle check is exact (north rule: label assignments exact).
+
+Per superstep: one src-partitioned join, one (id, label) grouped count
+(partial agg), one per-id argmax via max(struct(cnt, -label)) — no window
+shuffle beyond the grouped agg, no Python in the loop.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..ckpt import CheckpointManager
+
+
+def label_propagation(
+    edges: DataFrame,
+    vertices: DataFrame | None = None,
+    max_iter: int = 20,
+    partitions: int | None = None,
+    checkpoint_dir: str | None = None,
+) -> tuple[DataFrame, list[dict]]:
+    """Returns (labels(id, label), per-iteration metrics)."""
+    spark = edges.sparkSession
+    P = int(partitions or spark.conf.get("spark.sql.shuffle.partitions"))
+
+    if vertices is None:
+        vertices = (
+            edges.select(F.col("src").alias("id"))
+            .union(edges.select(F.col("dst").alias("id"))).distinct()
+        )
+    v = vertices.select("id").repartition(P, "id").persist()
+
+    sym = (
+        edges.select("src", "dst")
+        .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .filter(F.col("src") != F.col("dst"))
+        .dropDuplicates(["src", "dst"])
+        .repartition(P, "dst")
+        .persist()
+    )
+    E = sym.count()
+
+    ckpt = CheckpointManager(checkpoint_dir) if checkpoint_dir else None
+    metrics: list[dict] = []
+    start_iter = 0
+    if ckpt is not None and (last := ckpt.latest()) is not None:
+        labels, _ = ckpt.load(spark, last)
+        labels = labels.repartition(P, "id").localCheckpoint(eager=True)
+        metrics = ckpt.history()
+        start_iter = last + 1
+    else:
+        labels = v.select("id", F.col("id").alias("label")).localCheckpoint(eager=True)
+
+    for it in range(start_iter, max_iter):
+        t0 = time.time()
+        # label of each neighbor (dst side carries the label; edge points at id=src)
+        nb = sym.join(labels.withColumnRenamed("id", "dst"), "dst").select(
+            F.col("src").alias("id"), "label"
+        )
+        # mode with min-label tie-break: argmax of (count, -label)
+        best = (
+            nb.groupBy("id", "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .groupBy("id")
+            .agg(F.max(F.struct(F.col("cnt"), (-F.col("label")).alias("neg"))).alias("m"))
+            .select("id", (-F.col("m.neg")).alias("nb_label"))
+        )
+        updated = (
+            labels.join(best, "id", "left")
+            .select(
+                "id",
+                F.coalesce("nb_label", F.col("label")).alias("new_label"),
+                (F.coalesce("nb_label", F.col("label")) != F.col("label")).alias("_chg"),
+            )
+            .repartition(P, "id")
+            .localCheckpoint(eager=True)
+        )
+        changes = int(
+            updated.agg(
+                F.coalesce(F.sum(F.col("_chg").cast("long")), F.lit(0)).alias("c")
+            ).collect()[0]["c"]
+        )
+        new_labels = updated.select("id", F.col("new_label").alias("label"))
+        secs = time.time() - t0
+        m = {
+            "iteration": it,
+            "labels_changed": changes,
+            "seconds": secs,
+            "edges_processed": E,
+            "edges_per_sec": E / secs if secs > 0 else None,
+            "num_partitions": P,
+        }
+        metrics.append(m)
+        if ckpt is not None:
+            ckpt.save(it, new_labels, m)
+        labels = new_labels
+        if changes == 0:
+            break
+
+    v.unpersist()
+    sym.unpersist()
+    return labels, metrics

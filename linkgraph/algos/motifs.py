@@ -1,0 +1,137 @@
+"""Exact small-pattern counters: chains, stars, motifs, cliques.
+
+Spark forms of the reference's exact counters
+(/root/reference/sampling/Graph.cpp:169-291 and
+/root/reference/naive_implementation/): grouped aggregations over degrees
+where a closed form exists (chains/stars), self-joins otherwise.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .triangles import triangle_count, _oriented
+
+
+def _und_degrees(edges: DataFrame) -> DataFrame:
+    o = _oriented(edges)
+    return (
+        o.select(F.col("a").alias("id"))
+        .union(o.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+
+
+def three_chain_count(edges: DataFrame) -> int:
+    """Unordered paths on 3 distinct vertices = sum_v C(deg_v, 2).
+
+    (/root/reference/sampling/Graph.cpp:212-239 counts the same quantity by
+    enumeration; the closed form is one grouped agg + one scalar agg.)
+    """
+    row = (
+        _und_degrees(edges)
+        .agg(F.sum(F.col("degree") * (F.col("degree") - 1) / 2).alias("n"))
+        .collect()[0]
+    )
+    return int(row["n"] or 0)
+
+
+def k_star_count(edges: DataFrame, k: int = 5) -> int:
+    """k-stars = sum_v C(deg_v, k) (5-star: /root/reference/sampling/Graph.cpp:281-291)."""
+    deg = _und_degrees(edges)
+    # C(d, k) computed in-column to stay JVM-side
+    num = F.lit(1.0)
+    for i in range(k):
+        num = num * (F.col("degree") - i)
+    import math
+
+    expr = F.when(F.col("degree") >= k, num / math.factorial(k)).otherwise(F.lit(0.0))
+    row = deg.agg(F.sum(expr).alias("n")).collect()[0]
+    return int(round(row["n"] or 0))
+
+
+def three_motif_counts(edges: DataFrame) -> dict[str, int]:
+    """Counts of both connected 3-vertex motifs (triangle + 3-chain).
+
+    The reference computes these together sharing the 2-edge partial sample
+    (/root/reference/applications/ThreeMotif.cpp:42-122); exactly we share
+    the oriented edge list via caching.
+    """
+    o = _oriented(edges).persist()
+    try:
+        tri = triangle_count(o.select(F.col("a").alias("src"), F.col("b").alias("dst")))
+        chains = three_chain_count(
+            o.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        )
+        # a 3-chain that closes is a triangle; open chains = chains - 3*tri
+        return {"triangle": tri, "three_chain_open": chains - 3 * tri,
+                "three_chain_total": chains}
+    finally:
+        o.unpersist()
+
+
+def four_chain_count(edges: DataFrame) -> int:
+    """Unordered simple paths on 4 distinct vertices (3 edges).
+
+    Chained equi-joins with distinctness theta-filters — the Spark form of
+    /root/reference/sampling/Graph.cpp:241-270 (ordered enumeration / 2).
+    """
+    o = _oriented(edges)
+    sym = o.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
+        o.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    e1 = sym.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = sym.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    e3 = sym.select(F.col("u").alias("c"), F.col("v").alias("d"))
+    paths = (
+        e1.join(e2, "b")
+        .filter(F.col("a") != F.col("c"))
+        .join(e3, "c")
+        .filter((F.col("d") != F.col("b")) & (F.col("d") != F.col("a")))
+    )
+    return int(paths.count() // 2)
+
+
+def four_clique_count(edges: DataFrame) -> int:
+    """Exact 4-cliques: extend each triangle (a<b<c) by d>c adjacent to all.
+
+    Join-shape analogue of /root/reference/applications/FourClique.cpp:17-77
+    (sample 3 edges, close the other 3) — exactly, via three closure joins.
+    """
+    from .triangles import triangles
+
+    o = _oriented(edges)
+    tri = triangles(o.select(F.col("a").alias("src"), F.col("b").alias("dst")))
+    ext = o.select(F.col("a").alias("c"), F.col("b").alias("d"))  # d > c adjacency
+    cand = tri.join(ext, "c")
+    close_ab = o.select(F.col("a"), F.col("b").alias("d"))
+    close_bc = o.select(F.col("a").alias("b"), F.col("b").alias("d"))
+    quads = cand.join(close_ab, ["a", "d"], "left_semi").join(
+        close_bc, ["b", "d"], "left_semi"
+    )
+    return int(quads.count())
+
+
+def k_chain_count(edges: DataFrame, k: int) -> int:
+    """Unordered simple paths on k distinct vertices (k-1 edges), k in 3..6.
+
+    Runtime-parameterized like the reference's ChainMining
+    (/root/reference/applications/ChainMining.cpp:18-106).
+    """
+    if k < 2:
+        raise ValueError("k >= 2")
+    o = _oriented(edges)
+    sym = o.select(F.col("a").alias("u"), F.col("b").alias("v"))
+    sym = sym.union(sym.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    cols = [f"v{i}" for i in range(k)]
+    cur = sym.select(F.col("u").alias(cols[0]), F.col("v").alias(cols[1]))
+    for i in range(2, k):
+        step = sym.select(F.col("u").alias(cols[i - 1]), F.col("v").alias(cols[i]))
+        cur = cur.join(step, cols[i - 1])
+        for j in range(i - 1):
+            cur = cur.filter(F.col(cols[i]) != F.col(cols[j]))
+    if k == 2:
+        return int(cur.count() // 2)
+    return int(cur.count() // 2)

@@ -1,0 +1,157 @@
+"""Triangle counting: exact (self-joins) and sampled (ASAP neighborhood sampling).
+
+Exact: canonical-oriented edge list (src < dst, each undirected edge once),
+two-way self-join on the middle vertex + closure semi-join — the Spark form
+of /root/reference/naive_implementation/TriangleCounting.cpp:44-70 and
+/root/reference/sampling/Graph.cpp:185-210.  Catalyst/AQE pick the join
+strategy; the join keys are the natural hash-partitioning.
+
+Sampled: the reference's core capability (ASAP estimators,
+/root/reference/applications/Triangle.cpp:42-74).  Estimator semantics:
+  1. e1 = uniform random edge (prob 1/m)              -> weight m
+  2. e2 = uniform among adjacency entries of e1's endpoints with
+     edge_id > id(e1), c candidates (prob 1/c)        -> weight m*c
+     (core_conditional_sample_edge, /root/reference/src/ZGraphInstance.cpp:127-222)
+  3. success iff the closing third edge exists with edge_id > id(e2)
+     (conditional_close, /root/reference/src/ZGraphInstance.cpp:371-441)
+Each triangle is counted exactly once (its edges in random-order sequence),
+so E[estimate] = triangle count.  edge_id is a uniform random total order —
+here a seeded xxhash64 of the canonical edge, replacing the reference's
+shuffled-array position (/root/reference/src/Graph.cpp:218-231).
+
+The whole estimator population is ONE DataFrame flowing through joins and
+grouped aggregations — no per-row Python, no driver loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _oriented(edges: DataFrame) -> DataFrame:
+    return (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .dropDuplicates(["a", "b"])
+    )
+
+
+def triangle_count(edges: DataFrame) -> int:
+    """Exact number of undirected triangles (each once, a<b<c)."""
+    return int(triangles(edges).count())
+
+
+def triangles(edges: DataFrame) -> DataFrame:
+    """DataFrame of (a, b, c) triangle vertex triples with a < b < c."""
+    o = _oriented(edges)
+    e1 = o.select(F.col("a"), F.col("b"))
+    e2 = o.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    wedges = e1.join(e2, "b").select("a", "b", "c")  # a<b<c by construction
+    closing = o.select(F.col("a"), F.col("b").alias("c"))
+    return wedges.join(closing, ["a", "c"], "left_semi").select("a", "b", "c")
+
+
+def per_vertex_triangle_counts(edges: DataFrame) -> DataFrame:
+    """(id, triangles) — number of triangles each vertex participates in."""
+    t = triangles(edges)
+    return (
+        t.select(F.explode(F.array("a", "b", "c")).alias("id"))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+
+
+def triangle_count_sampled(
+    edges: DataFrame,
+    num_estimators: int,
+    seed: int = 42,
+    partitions: int | None = None,
+) -> float:
+    """ASAP-style sampled triangle estimate (unbiased; accuracy ~ 1/sqrt(N)).
+
+    Scale path: estimator population sized independently of graph size; the
+    dominant cost is one join of the estimator table against the adjacency
+    table (skew-salted by Spark AQE), exactly the reference's
+    estimator ⋈ adjacency step (/root/reference/src/ZGraphInstance.cpp:142-207).
+    """
+    spark = edges.sparkSession
+    P = int(partitions or spark.conf.get("spark.sql.shuffle.partitions"))
+
+    o = _oriented(edges).withColumn(
+        "eid", F.xxhash64(F.col("a"), F.col("b"), F.lit(seed))
+    )
+    # dense index for uniform edge sampling
+    from ..ingest import dense_ids
+
+    o = o.withColumn("_key", F.concat_ws("_", "a", "b"))
+    idx = dense_ids(o.select("_key"), "_key", P)
+    o = o.join(idx, "_key").drop("_key").persist()
+    m = o.count()
+
+    est = spark.range(num_estimators).select(
+        F.col("id").alias("est_id"),
+        F.floor(F.rand(seed) * m).cast("long").alias("id"),
+    )
+    e1 = est.join(o, "id").select(
+        "est_id", F.col("a").alias("u"), F.col("b").alias("v"), F.col("eid").alias("eid1")
+    )
+
+    # symmetric adjacency with canonical edge ids
+    sym = o.select(F.col("a").alias("x"), F.col("b").alias("w"), "eid").union(
+        o.select(F.col("b").alias("x"), F.col("a").alias("w"), "eid")
+    )
+
+    cand = (
+        e1.select("est_id", "eid1", "u", "v", F.explode(F.array("u", "v")).alias("x"))
+        .join(sym, "x")
+        .filter(F.col("eid") > F.col("eid1"))
+        .withColumn("_r", F.rand(seed + 1))
+    )
+    # uniform pick per estimator via max over a random key (one grouped agg,
+    # map-side partial) — replaces the reference's per-thread RNG choice
+    picked = (
+        cand.groupBy("est_id")
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.max(
+                F.struct(
+                    F.col("_r").alias("r"),
+                    F.col("x"),
+                    F.col("w"),
+                    F.col("eid").alias("eid2"),
+                    F.col("u"),
+                    F.col("v"),
+                )
+            ).alias("pick"),
+        )
+        .select(
+            "est_id",
+            "c",
+            F.col("pick.x").alias("x"),
+            F.col("pick.w").alias("w"),
+            F.col("pick.eid2").alias("eid2"),
+            F.col("pick.u").alias("u"),
+            F.col("pick.v").alias("v"),
+        )
+    )
+    # closing edge: (w, other endpoint), canonical orientation
+    other = F.when(F.col("x") == F.col("u"), F.col("v")).otherwise(F.col("u"))
+    need = picked.select(
+        "est_id",
+        "c",
+        "eid2",
+        F.least(F.col("w"), other).alias("a"),
+        F.greatest(F.col("w"), other).alias("b"),
+    )
+    closed = need.join(o.select("a", "b", F.col("eid").alias("eid3")), ["a", "b"]).filter(
+        F.col("eid3") > F.col("eid2")
+    )
+    total_success = closed.agg(
+        F.coalesce(F.sum(F.col("c").cast("double")), F.lit(0.0)).alias("s")
+    ).collect()[0]["s"]
+    o.unpersist()
+    # mean over ALL estimators (failures contribute 0), scaled by m
+    return float(m) * float(total_success) / float(num_estimators)

@@ -1,0 +1,169 @@
+"""LinkGraph: the engine's graph abstraction over an edge DataFrame.
+
+The reference's ``Graph<EdgeData>`` (/root/reference/include/Graph.hpp:148-166)
+is a partitioned edge array + bitmap-assisted CSR.  Here the edge table IS
+the graph: a ``(src: long, dst: long [, weight: double])`` DataFrame
+hash-partitioned on ``src``; the CSR overlay becomes an on-demand
+"adjacency block" DataFrame (``groupBy(src).collect_list``), and degrees /
+max-degree are grouped aggregations (reference: atomic-add degree pass,
+/root/reference/src/Graph.cpp:450-474).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+class LinkGraph:
+    """Directed edge table + cached derived structures.
+
+    ``partitions`` pins the shuffle partitioning reused by every superstep
+    join (the Spark analogue of the reference's fixed 1-D vertex-range
+    partitioning, /root/reference/src/Graph.cpp:26-111).
+    """
+
+    def __init__(self, edges: DataFrame, vertices: DataFrame | None = None,
+                 partitions: int = 32, weighted: bool = False):
+        self.partitions = partitions
+        self.weighted = weighted
+        self.edges = edges.repartition(partitions, "src")
+        self._vertices = vertices  # (id [, url]) or None -> derive from edges
+        self._cache: dict[str, DataFrame] = {}
+
+    # -- construction -----------------------------------------------------
+
+    @classmethod
+    def from_pages(cls, pages: DataFrame, partitions: int = 32) -> "LinkGraph":
+        from . import ingest
+
+        vmap, edges = ingest.ingest_pages(pages, partitions)
+        return cls(edges, vertices=vmap, partitions=partitions)
+
+    @classmethod
+    def from_parquet(cls, spark, path: str, partitions: int = 32) -> "LinkGraph":
+        return cls(spark.read.parquet(path), partitions=partitions)
+
+    # -- derived structures ----------------------------------------------
+
+    def vertices(self) -> DataFrame:
+        """(id) — all vertex ids (explicit dictionary, else src ∪ dst)."""
+        if "vertices" not in self._cache:
+            if self._vertices is not None:
+                v = self._vertices.select("id")
+            else:
+                v = (
+                    self.edges.select(F.col("src").alias("id"))
+                    .union(self.edges.select(F.col("dst").alias("id")))
+                    .distinct()
+                )
+            self._cache["vertices"] = v.persist()
+        return self._cache["vertices"]
+
+    def num_vertices(self) -> int:
+        return self.vertices().count()
+
+    def num_edges(self) -> int:
+        return self.edges.count()
+
+    def undirected_edges(self) -> DataFrame:
+        """Symmetric closure (both directions), self-loops dropped, deduped.
+
+        Mirrors the reference's both-directions CSR materialization
+        (/root/reference/src/Graph.cpp:295-310).
+        """
+        if "und" not in self._cache:
+            sym = self.edges.select("src", "dst").union(
+                self.edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+            )
+            self._cache["und"] = (
+                sym.filter(F.col("src") != F.col("dst"))
+                .dropDuplicates(["src", "dst"])
+                .repartition(self.partitions, "src")
+                .persist()
+            )
+        return self._cache["und"]
+
+    def oriented_edges(self) -> DataFrame:
+        """Canonical undirected edge list with src < dst (each edge once)."""
+        return (
+            self.edges.select(
+                F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst")
+            )
+            .filter(F.col("src") != F.col("dst"))
+            .dropDuplicates(["src", "dst"])
+        )
+
+    def out_degrees(self) -> DataFrame:
+        """(id, out_degree) over directed edges — groupBy partial-agg."""
+        return self.edges.groupBy(F.col("src").alias("id")).agg(
+            F.count(F.lit(1)).alias("out_degree")
+        )
+
+    def in_degrees(self) -> DataFrame:
+        return self.edges.groupBy(F.col("dst").alias("id")).agg(
+            F.count(F.lit(1)).alias("in_degree")
+        )
+
+    def degrees(self) -> DataFrame:
+        """(id, out_degree, in_degree, degree) for every vertex (0-filled)."""
+        v = self.vertices()
+        und_deg = self.undirected_edges().groupBy(F.col("src").alias("id")).agg(
+            F.count(F.lit(1)).alias("degree")
+        )
+        return (
+            v.join(self.out_degrees(), "id", "left")
+            .join(self.in_degrees(), "id", "left")
+            .join(und_deg, "id", "left")
+            .select(
+                "id",
+                F.coalesce("out_degree", F.lit(0)).alias("out_degree"),
+                F.coalesce("in_degree", F.lit(0)).alias("in_degree"),
+                F.coalesce("degree", F.lit(0)).alias("degree"),
+            )
+        )
+
+    def max_degree(self) -> int:
+        row = self.degrees().agg(F.max("degree").alias("m")).collect()[0]
+        return int(row["m"] or 0)
+
+    def adjacency_blocks(self, undirected: bool = True) -> DataFrame:
+        """CSR-style blocks: (src, adj: array<long>, degree) hash-partitioned.
+
+        The Spark form of the reference's per-socket bitmap-assisted CSR
+        (/root/reference/src/Graph.cpp:235-377): one row per vertex that has
+        neighbors (the bitmap is the row's existence), adjacency sorted.
+        """
+        e = self.undirected_edges() if undirected else self.edges
+        return e.groupBy("src").agg(
+            F.sort_array(F.collect_list("dst")).alias("adj"),
+            F.count(F.lit(1)).alias("degree"),
+        )
+
+    # -- reference "table operators" --------------------------------------
+
+    def sample_edges(self, fraction: float, seed: int = 1234) -> "LinkGraph":
+        """Bernoulli edge sample — GraphSampler equivalent
+        (/root/reference/src/Graph.cpp:624-780, default rate 0.05)."""
+        return LinkGraph(
+            self.edges.sample(fraction=fraction, seed=seed),
+            vertices=self._vertices,
+            partitions=self.partitions,
+            weighted=self.weighted,
+        )
+
+    def filter_edges(self, predicate) -> "LinkGraph":
+        """Predicate-filtered graph — GraphFilter equivalent
+        (/root/reference/src/GraphFilters.cpp:17-177); Catalyst pushes the
+        predicate into the scan."""
+        return LinkGraph(
+            self.edges.filter(predicate),
+            vertices=self._vertices,
+            partitions=self.partitions,
+            weighted=self.weighted,
+        )
+
+    def unpersist(self) -> None:
+        for df in self._cache.values():
+            df.unpersist()
+        self._cache.clear()

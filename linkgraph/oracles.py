@@ -1,0 +1,179 @@
+"""Pure numpy/python ground-truth oracles (tests only — never distributed).
+
+Mirrors the reference's oracle pattern: exact single-threaded counters in
+/root/reference/naive_implementation/ (e.g. TriangleCounting.cpp:44-70) and
+the exact counters on induced subgraphs in /root/reference/sampling/Graph.cpp:169-291.
+"""
+
+from __future__ import annotations
+
+from collections import Counter, defaultdict, deque
+from math import comb
+
+import numpy as np
+
+
+def pagerank_oracle(
+    num_vertices: int,
+    edges: list[tuple[int, int]],
+    damping: float = 0.85,
+    tol: float = 1e-6,
+    max_iter: int = 200,
+    num_iters: int | None = None,
+) -> np.ndarray:
+    """Power iteration with uniform dangling-mass redistribution.
+
+    Converges when the L1 delta < tol, or runs exactly ``num_iters`` if given
+    (for fixed-iteration comparisons).  Ranks sum to 1.
+    """
+    V = num_vertices
+    out_deg = np.zeros(V, dtype=np.int64)
+    for s, _ in edges:
+        out_deg[s] += 1
+    by_dst: dict[int, list[int]] = defaultdict(list)
+    for s, d in edges:
+        by_dst[d].append(s)
+    r = np.full(V, 1.0 / V)
+    iters = num_iters if num_iters is not None else max_iter
+    for _ in range(iters):
+        dangling = r[out_deg == 0].sum()
+        new = np.full(V, (1.0 - damping) / V + damping * dangling / V)
+        contrib = r / np.maximum(out_deg, 1)
+        for d, srcs in by_dst.items():
+            new[d] += damping * sum(contrib[s] for s in srcs)
+        delta = np.abs(new - r).sum()
+        r = new
+        if num_iters is None and delta < tol:
+            break
+    return r
+
+
+def components_oracle(num_vertices: int, edges: list[tuple[int, int]]) -> np.ndarray:
+    """BFS connected components over the undirected view; label = min id."""
+    adj: dict[int, list[int]] = defaultdict(list)
+    for s, d in edges:
+        adj[s].append(d)
+        adj[d].append(s)
+    comp = np.full(num_vertices, -1, dtype=np.int64)
+    for v in range(num_vertices):
+        if comp[v] != -1:
+            continue
+        q = deque([v])
+        comp[v] = v
+        while q:
+            u = q.popleft()
+            for w in adj[u]:
+                if comp[w] == -1:
+                    comp[w] = v
+                    q.append(w)
+    return comp
+
+
+def labelprop_oracle(
+    num_vertices: int,
+    edges: list[tuple[int, int]],
+    max_iter: int = 20,
+) -> np.ndarray:
+    """Synchronous label propagation over the undirected view.
+
+    New label = most frequent neighbor label, ties broken by min label;
+    vertices with no neighbors keep their label.  Runs exactly ``max_iter``
+    synchronous rounds (or stops early if a round changes nothing).
+    """
+    adj: dict[int, set[int]] = defaultdict(set)
+    for s, d in edges:
+        if s != d:
+            adj[s].add(d)
+            adj[d].add(s)
+    labels = np.arange(num_vertices, dtype=np.int64)
+    for _ in range(max_iter):
+        new = labels.copy()
+        for v in range(num_vertices):
+            if not adj[v]:
+                continue
+            cnt = Counter(int(labels[u]) for u in adj[v])
+            best = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+            new[v] = best
+        if np.array_equal(new, labels):
+            break
+        labels = new
+    return labels
+
+
+def _undirected_unique(edges: list[tuple[int, int]]) -> set[tuple[int, int]]:
+    return {(min(s, d), max(s, d)) for s, d in edges if s != d}
+
+
+def triangle_count_oracle(edges: list[tuple[int, int]]) -> int:
+    """Exact undirected triangle count, each counted once (a<b<c).
+
+    Same semantics as /root/reference/naive_implementation/TriangleCounting.cpp:44-70.
+    """
+    und = _undirected_unique(edges)
+    adj: dict[int, set[int]] = defaultdict(set)
+    for a, b in und:
+        adj[a].add(b)
+        adj[b].add(a)
+    count = 0
+    for a, b in und:  # a < b by construction
+        count += sum(1 for c in adj[a] if c > b and c in adj[b])
+    return count
+
+
+def degree_oracle(num_vertices: int, edges: list[tuple[int, int]]):
+    out_deg = np.zeros(num_vertices, dtype=np.int64)
+    in_deg = np.zeros(num_vertices, dtype=np.int64)
+    for s, d in edges:
+        out_deg[s] += 1
+        in_deg[d] += 1
+    return out_deg, in_deg
+
+
+def three_chain_count_oracle(num_vertices: int, edges: list[tuple[int, int]]) -> int:
+    """Unordered 3-chains (paths on 3 distinct vertices) = sum_v C(deg_v, 2).
+
+    Matches /root/reference/sampling/Graph.cpp:212-239 semantics (undirected,
+    simple graph).
+    """
+    und = _undirected_unique(edges)
+    deg = Counter()
+    for a, b in und:
+        deg[a] += 1
+        deg[b] += 1
+    return sum(comb(d, 2) for d in deg.values())
+
+
+def k_star_count_oracle(num_vertices: int, edges: list[tuple[int, int]], k: int = 5) -> int:
+    """k-stars (one center, k distinct leaves) = sum_v C(deg_v, k).
+
+    Matches the 5-star exact counter /root/reference/sampling/Graph.cpp:281-291.
+    """
+    und = _undirected_unique(edges)
+    deg = Counter()
+    for a, b in und:
+        deg[a] += 1
+        deg[b] += 1
+    return sum(comb(d, k) for d in deg.values())
+
+
+def four_chain_count_oracle(edges: list[tuple[int, int]]) -> int:
+    """Unordered simple paths on 4 distinct vertices (3 edges).
+
+    Matches /root/reference/sampling/Graph.cpp:241-270: enumerate ordered
+    paths a-b-c-d with all-distinct vertices, divide by 2.
+    """
+    und = _undirected_unique(edges)
+    adj: dict[int, set[int]] = defaultdict(set)
+    for a, b in und:
+        adj[a].add(b)
+        adj[b].add(a)
+    ordered = 0
+    for b in adj:
+        for c in adj[b]:
+            for a in adj[b]:
+                if a == c:
+                    continue
+                for d in adj[c]:
+                    if d != b and d != a:
+                        ordered += 1
+    return ordered // 2

@@ -1,0 +1,667 @@
+"""Driver-facing query suite: paired (Spark DataFrame fn, DuckDB oracle SQL).
+
+Each entry computes the same result two ways: the engine's Spark pipeline
+and an independent ANSI-SQL oracle that DuckDB runs on the same parquet
+tables (the driver's correctness gate).  The graph queries run over edge
+tables derived *deterministically* (pure integer arithmetic — identical in
+both engines) from the lineitem/orders tables, mirroring the reference's
+oracle pattern of exact counters vs. engine output
+(/root/reference/naive_implementation/, /root/reference/sampling/Graph.cpp:169-291).
+
+Float outputs are emitted as scaled BIGINTs (e.g. round(rank*1e8)) so the
+value-hash comparison is immune to formatting / last-ulp differences.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+V_A = 2000  # larger derived graph (lineitem): degrees/pagerank/triangles/stars
+V_B = 300   # smaller derived graph (orders): components/labelprop/4-chain/4-clique
+
+STOPWORDS = ("the", "a", "and", "of", "to", "in")
+
+# ---------------------------------------------------------------------------
+# derived graph inputs (Spark side)
+# ---------------------------------------------------------------------------
+
+
+def edges_a(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    s = (F.col("l_orderkey").cast("long") * 7 + F.col("l_linenumber").cast("long")) % V_A
+    d = (F.col("l_partkey").cast("long") * 11 + 3) % V_A
+    return (
+        li.select(s.alias("src"), d.alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def edges_b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    s = (F.col("o_orderkey").cast("long") * 13 + 7) % V_B
+    d = (F.col("o_custkey").cast("long") * 17 + 5) % V_B
+    return (
+        o.filter(F.col("o_orderkey") % 10 < 2)
+        .select(s.alias("src"), d.alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def verts(spark: SparkSession, n: int) -> DataFrame:
+    return spark.range(n).select(F.col("id"))
+
+
+def _scalar_df(spark: SparkSession, name: str, value: int) -> DataFrame:
+    return spark.createDataFrame([(int(value),)], f"{name} long")
+
+
+# ---------------------------------------------------------------------------
+# derived graph inputs (SQL side)
+# ---------------------------------------------------------------------------
+
+EDGES_A_SQL = f"""
+edges_a AS (
+  SELECT DISTINCT
+    CAST((l_orderkey * 7 + l_linenumber) % {V_A} AS BIGINT) AS src,
+    CAST((l_partkey * 11 + 3) % {V_A} AS BIGINT) AS dst
+  FROM lineitem
+  WHERE (l_orderkey * 7 + l_linenumber) % {V_A} <> (l_partkey * 11 + 3) % {V_A}
+)"""
+
+EDGES_B_SQL = f"""
+edges_b AS (
+  SELECT DISTINCT
+    CAST((o_orderkey * 13 + 7) % {V_B} AS BIGINT) AS src,
+    CAST((o_custkey * 17 + 5) % {V_B} AS BIGINT) AS dst
+  FROM orders
+  WHERE o_orderkey % 10 < 2
+    AND (o_orderkey * 13 + 7) % {V_B} <> (o_custkey * 17 + 5) % {V_B}
+)"""
+
+VERTS_A_SQL = f"verts_a AS (SELECT CAST(range AS BIGINT) AS id FROM range({V_A}))"
+VERTS_B_SQL = f"verts_b AS (SELECT CAST(range AS BIGINT) AS id FROM range({V_B}))"
+UND_A_SQL = """
+und_a AS (
+  SELECT src, dst FROM edges_a
+  UNION
+  SELECT dst AS src, src AS dst FROM edges_a
+)"""
+UND_B_SQL = """
+und_b AS (
+  SELECT src, dst FROM edges_b
+  UNION
+  SELECT dst AS src, src AS dst FROM edges_b
+)"""
+OE_A_SQL = "oe_a AS (SELECT DISTINCT least(src,dst) AS a, greatest(src,dst) AS b FROM edges_a)"
+OE_B_SQL = "oe_b AS (SELECT DISTINCT least(src,dst) AS a, greatest(src,dst) AS b FROM edges_b)"
+
+
+# ---------------------------------------------------------------------------
+# graph queries
+# ---------------------------------------------------------------------------
+
+
+def q_degrees(spark, sf_dir):
+    from .graph import LinkGraph
+
+    g = LinkGraph(edges_a(spark, sf_dir), vertices=verts(spark, V_A), partitions=16)
+    return g.degrees().select(
+        "id",
+        F.col("out_degree").cast("long").alias("out_degree"),
+        F.col("in_degree").cast("long").alias("in_degree"),
+        F.col("degree").cast("long").alias("degree"),
+    )
+
+
+DEGREES_SQL = f"""
+WITH {EDGES_A_SQL}, {VERTS_A_SQL}, {UND_A_SQL}
+SELECT v.id,
+       CAST(coalesce(o.c, 0) AS BIGINT) AS out_degree,
+       CAST(coalesce(i.c, 0) AS BIGINT) AS in_degree,
+       CAST(coalesce(u.c, 0) AS BIGINT) AS degree
+FROM verts_a v
+LEFT JOIN (SELECT src, count(*) AS c FROM edges_a GROUP BY src) o ON v.id = o.src
+LEFT JOIN (SELECT dst, count(*) AS c FROM edges_a GROUP BY dst) i ON v.id = i.dst
+LEFT JOIN (SELECT src, count(*) AS c FROM und_a GROUP BY src) u ON v.id = u.src
+"""
+
+
+def q_triangle_count(spark, sf_dir):
+    from .algos import triangle_count
+
+    return _scalar_df(spark, "triangles", triangle_count(edges_a(spark, sf_dir)))
+
+
+TRIANGLE_SQL = f"""
+WITH {EDGES_A_SQL}, {OE_A_SQL}
+SELECT CAST(count(*) AS BIGINT) AS triangles
+FROM oe_a e1
+JOIN oe_a e2 ON e1.b = e2.a
+JOIN oe_a e3 ON e3.a = e1.a AND e3.b = e2.b
+"""
+
+
+def q_pagerank5(spark, sf_dir):
+    from .algos import pagerank
+
+    ranks, _ = pagerank(
+        edges_a(spark, sf_dir), vertices=verts(spark, V_A), num_iters=5, partitions=16
+    )
+    return ranks.select(
+        "id", F.round(F.col("rank") * 1e8).cast("long").alias("rank_e8")
+    )
+
+
+def _pagerank_sql(num_iters: int, v: int, edges_sql: str, verts_sql: str,
+                  verts_name: str, edges_name: str) -> str:
+    d = 0.85
+    parts = [
+        edges_sql,
+        verts_sql,
+        f"outd AS (SELECT src AS id, CAST(count(*) AS DOUBLE) AS od FROM {edges_name} GROUP BY src)",
+        f"r0 AS (SELECT id, 1.0/{v} AS rank FROM {verts_name})",
+    ]
+    for i in range(1, num_iters + 1):
+        p = f"r{i - 1}"
+        parts.append(
+            f"""d{i} AS (SELECT coalesce(sum(r.rank), 0) AS dm FROM {p} r
+                 LEFT JOIN outd o ON r.id = o.id WHERE o.id IS NULL)"""
+        )
+        parts.append(
+            f"""c{i} AS (SELECT e.dst AS id, sum(r.rank / o.od) AS contrib
+                 FROM {edges_name} e JOIN {p} r ON e.src = r.id
+                 JOIN outd o ON e.src = o.id GROUP BY e.dst)"""
+        )
+        parts.append(
+            f"""r{i} AS (SELECT v.id,
+                 {(1.0 - d) / v!r} + {d} * (coalesce(c.contrib, 0) + (SELECT dm FROM d{i})/{v}) AS rank
+                 FROM {verts_name} v LEFT JOIN c{i} c ON v.id = c.id)"""
+        )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT id, CAST(round(rank * 100000000) AS BIGINT) AS rank_e8 FROM r{num_iters}"
+    )
+
+
+PAGERANK5_SQL = _pagerank_sql(5, V_A, EDGES_A_SQL, VERTS_A_SQL, "verts_a", "edges_a")
+
+
+def q_components(spark, sf_dir):
+    from .algos import connected_components
+
+    labels, _ = connected_components(
+        edges_b(spark, sf_dir), vertices=verts(spark, V_B), partitions=8
+    )
+    return labels.select("id", F.col("component").cast("long").alias("component"))
+
+
+COMPONENTS_SQL = f"""
+WITH RECURSIVE {EDGES_B_SQL}, {VERTS_B_SQL}, {UND_B_SQL},
+reach(id, comp) AS (
+  SELECT id, id FROM verts_b
+  UNION
+  SELECT e.dst, r.comp FROM reach r JOIN und_b e ON e.src = r.id
+)
+SELECT id, CAST(min(comp) AS BIGINT) AS component FROM reach GROUP BY id
+"""
+
+
+def q_labelprop3(spark, sf_dir):
+    from .algos import label_propagation
+
+    labels, _ = label_propagation(
+        edges_b(spark, sf_dir), vertices=verts(spark, V_B), max_iter=3, partitions=8
+    )
+    return labels.select("id", F.col("label").cast("long").alias("label"))
+
+
+def _labelprop_sql(num_iters: int) -> str:
+    parts = [EDGES_B_SQL, VERTS_B_SQL, UND_B_SQL,
+             "l0 AS (SELECT id, id AS label FROM verts_b)"]
+    for i in range(1, num_iters + 1):
+        p = f"l{i - 1}"
+        parts.append(
+            f"""n{i} AS (SELECT e.src AS id, l.label, count(*) AS cnt
+                 FROM und_b e JOIN {p} l ON l.id = e.dst GROUP BY e.src, l.label)"""
+        )
+        parts.append(
+            f"""b{i} AS (SELECT id, label FROM (
+                 SELECT id, label,
+                        row_number() OVER (PARTITION BY id ORDER BY cnt DESC, label ASC) AS rn
+                 FROM n{i}) t WHERE rn = 1)"""
+        )
+        parts.append(
+            f"""l{i} AS (SELECT l.id, CAST(coalesce(b.label, l.label) AS BIGINT) AS label
+                 FROM {p} l LEFT JOIN b{i} b ON l.id = b.id)"""
+        )
+    return "WITH " + ",\n".join(parts) + f"\nSELECT id, label FROM l{num_iters}"
+
+
+LABELPROP3_SQL = _labelprop_sql(3)
+
+
+def q_three_chain(spark, sf_dir):
+    from .algos import motifs
+
+    return _scalar_df(
+        spark, "three_chains", motifs.three_chain_count(edges_a(spark, sf_dir))
+    )
+
+
+THREE_CHAIN_SQL = f"""
+WITH {EDGES_A_SQL}, {UND_A_SQL}
+SELECT CAST(coalesce(sum(d * (d - 1) / 2), 0) AS BIGINT) AS three_chains
+FROM (SELECT count(*) AS d FROM und_a GROUP BY src) t
+"""
+
+
+def q_five_star(spark, sf_dir):
+    from .algos import motifs
+
+    return _scalar_df(spark, "five_stars", motifs.k_star_count(edges_a(spark, sf_dir), 5))
+
+
+FIVE_STAR_SQL = f"""
+WITH {EDGES_A_SQL}, {UND_A_SQL}
+SELECT CAST(coalesce(sum(CASE WHEN d >= 5
+        THEN d*(d-1)*(d-2)*(d-3)*(d-4)/120 ELSE 0 END), 0) AS BIGINT) AS five_stars
+FROM (SELECT count(*) AS d FROM und_a GROUP BY src) t
+"""
+
+
+def q_four_chain(spark, sf_dir):
+    from .algos import motifs
+
+    return _scalar_df(spark, "four_chains", motifs.four_chain_count(edges_b(spark, sf_dir)))
+
+
+FOUR_CHAIN_SQL = f"""
+WITH {EDGES_B_SQL}, {UND_B_SQL}
+SELECT CAST(count(*) / 2 AS BIGINT) AS four_chains
+FROM und_b e1
+JOIN und_b e2 ON e1.dst = e2.src AND e2.dst <> e1.src
+JOIN und_b e3 ON e2.dst = e3.src AND e3.dst <> e2.src AND e3.dst <> e1.src
+"""
+
+
+def q_four_clique(spark, sf_dir):
+    from .algos import motifs
+
+    return _scalar_df(spark, "four_cliques", motifs.four_clique_count(edges_b(spark, sf_dir)))
+
+
+FOUR_CLIQUE_SQL = f"""
+WITH {EDGES_B_SQL}, {OE_B_SQL}
+SELECT CAST(count(*) AS BIGINT) AS four_cliques
+FROM oe_b e1
+JOIN oe_b e2 ON e1.b = e2.a
+JOIN oe_b e3 ON e3.a = e1.a AND e3.b = e2.b
+JOIN oe_b e4 ON e4.a = e2.b
+JOIN oe_b e5 ON e5.a = e1.a AND e5.b = e4.b
+JOIN oe_b e6 ON e6.a = e1.b AND e6.b = e4.b
+"""
+
+
+def q_graph_filter_weighted(spark, sf_dir):
+    """GraphFilter parity (/root/reference/src/GraphFilters.cpp + the
+    weight >= 50 predicate of /root/reference/tests/TestGraphFilter.cpp:35-37);
+    weights derived arithmetically like the reference's rand()%79 weighting
+    (/root/reference/datasets/toolkits/get_weighted_datasets.cpp:39-46)."""
+    from .graph import LinkGraph
+
+    e = edges_a(spark, sf_dir).withColumn(
+        "weight", ((F.col("src") * 31 + F.col("dst") * 7) % 79).cast("long")
+    )
+    g = LinkGraph(e, partitions=16, weighted=True).filter_edges(F.col("weight") >= 50)
+    return g.edges.agg(
+        F.count(F.lit(1)).cast("long").alias("n_edges"),
+        F.sum("weight").cast("long").alias("total_weight"),
+    )
+
+
+GRAPH_FILTER_SQL = f"""
+WITH {EDGES_A_SQL},
+w AS (SELECT src, dst, (src * 31 + dst * 7) % 79 AS weight FROM edges_a)
+SELECT CAST(count(*) AS BIGINT) AS n_edges,
+       CAST(sum(weight) AS BIGINT) AS total_weight
+FROM w WHERE weight >= 50
+"""
+
+
+def q_edge_sample_deterministic(spark, sf_dir):
+    """GraphSampler-shaped deterministic sample (hash-mod Bernoulli at 5%,
+    the reference default rate — /root/reference/src/Graph.cpp:624-780)."""
+    e = edges_a(spark, sf_dir).filter((F.col("src") * 100003 + F.col("dst")) % 20 == 0)
+    return e.agg(
+        F.count(F.lit(1)).cast("long").alias("n_edges"),
+        F.sum(F.col("src") + F.col("dst")).cast("long").alias("endpoint_sum"),
+    )
+
+
+EDGE_SAMPLE_SQL = f"""
+WITH {EDGES_A_SQL}
+SELECT CAST(count(*) AS BIGINT) AS n_edges,
+       CAST(sum(src + dst) AS BIGINT) AS endpoint_sum
+FROM edges_a WHERE (src * 100003 + dst) % 20 = 0
+"""
+
+
+# ---------------------------------------------------------------------------
+# text / document queries
+# ---------------------------------------------------------------------------
+
+
+def q_doc_token_stats(spark, sf_dir):
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t = F.trim(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.when(F.length(t) == 0, F.lit(0))
+        .otherwise(F.size(F.split(t, r"\s+")))
+        .cast("long")
+        .alias("n_tokens"),
+        F.length(F.col("text")).cast("long").alias("n_chars_measured"),
+    )
+
+
+DOC_TOKEN_SQL = r"""
+SELECT doc_id,
+       CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+            ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars_measured
+FROM documents
+"""
+
+
+def q_doc_quality(spark, sf_dir):
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    words = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    n_words = F.size(words)
+    stops = F.size(F.filter(words, lambda w: w.isin(*STOPWORDS)))
+    nonspace = F.length(F.regexp_replace(F.col("text"), r"\s", ""))
+    return d.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        stops.cast("long").alias("n_stopwords"),
+        F.round(nonspace / n_words * 1e6).cast("long").alias("mean_word_len_e6"),
+        F.round(stops / n_words * 1e6).cast("long").alias("stop_ratio_e6"),
+    )
+
+
+DOC_QUALITY_SQL = rf"""
+WITH w AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(lower(text)), '\s+') AS words,
+         length(regexp_replace(text, '\s', '', 'g')) AS nonspace
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(words) AS BIGINT) AS n_words,
+       CAST(len(list_filter(words, x -> x IN {STOPWORDS!r})) AS BIGINT) AS n_stopwords,
+       CAST(round(nonspace * 1e6 / len(words)) AS BIGINT) AS mean_word_len_e6,
+       CAST(round(len(list_filter(words, x -> x IN {STOPWORDS!r})) * 1e6 / len(words)) AS BIGINT) AS stop_ratio_e6
+FROM w
+"""
+
+
+def q_exact_dedup(spark, sf_dir):
+    """Exact + bag-of-words-normalized dedup over documents (hash-groupBy)."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    norm = F.array_join(F.array_sort(F.split(F.trim(F.lower(F.col("text"))), r"\s+")), " ")
+    h = d.select("doc_id", F.md5(norm).alias("norm_hash"))
+    keep = h.groupBy("norm_hash").agg(F.min("doc_id").alias("keep_id"))
+    return h.join(keep, "norm_hash").select(
+        "doc_id",
+        "norm_hash",
+        F.col("keep_id").cast("long").alias("keep_id"),
+        (F.col("doc_id") != F.col("keep_id")).alias("is_dup"),
+    )
+
+
+EXACT_DEDUP_SQL = r"""
+WITH h AS (
+  SELECT doc_id,
+         md5(array_to_string(list_sort(regexp_split_to_array(trim(lower(text)), '\s+')), ' ')) AS norm_hash
+  FROM documents
+),
+keep AS (SELECT norm_hash, min(doc_id) AS keep_id FROM h GROUP BY norm_hash)
+SELECT h.doc_id, h.norm_hash, CAST(k.keep_id AS BIGINT) AS keep_id,
+       h.doc_id <> k.keep_id AS is_dup
+FROM h JOIN keep k ON h.norm_hash = k.norm_hash
+"""
+
+
+def q_lang_guess(spark, sf_dir):
+    """Deterministic marker-based language heuristic (n-gram/stopword style)."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    low = F.concat(F.lit(" "), F.lower(F.col("text")), F.lit(" "))
+
+    def occur(tok):
+        return (F.length(low) - F.length(F.regexp_replace(low, tok, ""))) / len(tok)
+
+    en = occur(" the ") + occur(" and ")
+    es = occur(" el ") + occur(" la ") + occur(" los ")
+    zh = occur(" de ") + occur(" shi ")
+    return d.select(
+        "doc_id",
+        "lang",
+        F.when(en >= F.greatest(es, zh), F.lit("en"))
+        .when(es >= zh, F.lit("es"))
+        .otherwise(F.lit("zh"))
+        .alias("lang_pred"),
+    )
+
+
+LANG_GUESS_SQL = """
+WITH t AS (
+  SELECT doc_id, lang, ' ' || lower(text) || ' ' AS low FROM documents
+),
+s AS (
+  SELECT doc_id, lang,
+    (length(low) - length(replace(low, ' the ', ''))) / 5.0
+      + (length(low) - length(replace(low, ' and ', ''))) / 5.0 AS en,
+    (length(low) - length(replace(low, ' el ', ''))) / 4.0
+      + (length(low) - length(replace(low, ' la ', ''))) / 4.0
+      + (length(low) - length(replace(low, ' los ', ''))) / 5.0 AS es,
+    (length(low) - length(replace(low, ' de ', ''))) / 4.0
+      + (length(low) - length(replace(low, ' shi ', ''))) / 5.0 AS zh
+  FROM t
+)
+SELECT doc_id, lang,
+       CASE WHEN en >= greatest(es, zh) THEN 'en'
+            WHEN es >= zh THEN 'es' ELSE 'zh' END AS lang_pred
+FROM s
+"""
+
+
+# ---------------------------------------------------------------------------
+# embeddings: brute-force cosine top-k
+# ---------------------------------------------------------------------------
+
+
+def q_embedding_topk(spark, sf_dir):
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("qemb"), F.col("emb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    sim = dot / (norm(F.col("qemb")) * norm(F.col("emb")))
+    pairs = (
+        q.crossJoin(e)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), sim.alias("sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.col("sim") * 1e6).cast("long").alias("sim_e6"),
+        )
+    )
+
+
+EMBEDDING_TOPK_SQL = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_dot_product(q.emb, c.emb)
+           / (sqrt(list_dot_product(q.emb, q.emb)) * sqrt(list_dot_product(c.emb, c.emb))) AS sim
+  FROM e q JOIN e c ON q.vec_id < 10 AND c.vec_id <> q.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rn
+  FROM pairs
+)
+SELECT query_id, neighbor_id, CAST(round(sim * 1e6) AS BIGINT) AS sim_e6
+FROM ranked WHERE rn <= 5
+"""
+
+
+# ---------------------------------------------------------------------------
+# events: sessionization + windowed aggregation
+# ---------------------------------------------------------------------------
+
+
+def q_event_sessions(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    flagged = ev.withColumn(
+        "new_s", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    )
+    return flagged.groupBy("user_id").agg(
+        F.sum("new_s").cast("long").alias("n_sessions"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+
+
+EVENT_SESSIONS_SQL = """
+WITH f AS (
+  SELECT user_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts - lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM f GROUP BY user_id
+"""
+
+
+def q_event_hourly(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.sum("value") * 1e4).cast("long").alias("sum_value_e4"),
+    )
+
+
+EVENT_HOURLY_SQL = """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(round(sum(value) * 1e4) AS BIGINT) AS sum_value_e4
+FROM events GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# relational layer sanity (TPC-H-style)
+# ---------------------------------------------------------------------------
+
+
+def q_pricing_summary(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity") * 100).cast("long").alias("sum_qty_e2"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 100)
+        .cast("long")
+        .alias("revenue_e2"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+    )
+
+
+PRICING_SUMMARY_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(round(sum(l_quantity) * 100) AS BIGINT) AS sum_qty_e2,
+       CAST(round(sum(l_extendedprice * (1 - l_discount)) * 100) AS BIGINT) AS revenue_e2,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_top_customer_per_nation(spark, sf_dir):
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    w = Window.partitionBy("n_name").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "n_name",
+            F.col("c_custkey").cast("long").alias("c_custkey"),
+            F.round(F.col("c_acctbal") * 100).cast("long").alias("acctbal_e2"),
+            F.col("rn").cast("long").alias("rank"),
+        )
+    )
+
+
+TOP_CUSTOMER_SQL = """
+SELECT n_name, CAST(c_custkey AS BIGINT) AS c_custkey,
+       CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_e2,
+       CAST(rn AS BIGINT) AS rank
+FROM (
+  SELECT n.n_name, c.c_custkey, c.c_acctbal,
+         row_number() OVER (PARTITION BY n.n_name
+                            ORDER BY c.c_acctbal DESC, c.c_custkey ASC) AS rn
+  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+) t WHERE rn <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+# name -> (spark_fn, oracle_sql | None)
+REGISTRY: dict = {
+    "degrees": (q_degrees, DEGREES_SQL),
+    "triangle_count": (q_triangle_count, TRIANGLE_SQL),
+    "pagerank_5iter": (q_pagerank5, PAGERANK5_SQL),
+    "connected_components": (q_components, COMPONENTS_SQL),
+    "label_propagation_3iter": (q_labelprop3, LABELPROP3_SQL),
+    "three_chain_count": (q_three_chain, THREE_CHAIN_SQL),
+    "five_star_count": (q_five_star, FIVE_STAR_SQL),
+    "four_chain_count": (q_four_chain, FOUR_CHAIN_SQL),
+    "four_clique_count": (q_four_clique, FOUR_CLIQUE_SQL),
+    "graph_filter_weighted": (q_graph_filter_weighted, GRAPH_FILTER_SQL),
+    "edge_sample_deterministic": (q_edge_sample_deterministic, EDGE_SAMPLE_SQL),
+    "doc_token_stats": (q_doc_token_stats, DOC_TOKEN_SQL),
+    "doc_quality": (q_doc_quality, DOC_QUALITY_SQL),
+    "exact_dedup": (q_exact_dedup, EXACT_DEDUP_SQL),
+    "lang_guess": (q_lang_guess, LANG_GUESS_SQL),
+    "embedding_topk": (q_embedding_topk, EMBEDDING_TOPK_SQL),
+    "event_sessions": (q_event_sessions, EVENT_SESSIONS_SQL),
+    "event_hourly": (q_event_hourly, EVENT_HOURLY_SQL),
+    "pricing_summary": (q_pricing_summary, PRICING_SUMMARY_SQL),
+    "top_customer_per_nation": (q_top_customer_per_nation, TOP_CUSTOMER_SQL),
+}

@@ -1,0 +1,106 @@
+"""Algorithm correctness vs pure numpy/python oracles (north-rule gates:
+PageRank allclose 1e-6, components/labels exact, triangle counts exact)."""
+
+import numpy as np
+import pytest
+
+from linkgraph import datagen, oracles
+from linkgraph.algos import (
+    connected_components,
+    label_propagation,
+    pagerank,
+    triangle_count,
+    triangle_count_sampled,
+)
+from linkgraph.algos import motifs
+
+V = 30
+EDGES = datagen.expected_edges(V)
+
+
+def _vec(df, value_col, n=V, default=None):
+    out = np.full(n, np.nan if default is None else default, dtype=float)
+    for r in df.collect():
+        out[int(r["id"])] = float(r[value_col])
+    return out
+
+
+@pytest.fixture(scope="module")
+def vertices30(spark):
+    return spark.createDataFrame([(i,) for i in range(V)], "id long")
+
+
+def test_pagerank_allclose_1e6(spark, edges30, vertices30):
+    ranks, metrics = pagerank(edges30, vertices=vertices30, tol=1e-6, partitions=8)
+    got = _vec(ranks, "rank")
+    exp = oracles.pagerank_oracle(V, EDGES, tol=1e-6)
+    assert np.allclose(got, exp, atol=1e-6)
+    assert abs(got.sum() - 1.0) < 1e-9
+    assert metrics[-1]["l1_delta"] < 1e-6
+    assert all(m["edges_per_sec"] is not None for m in metrics)
+
+
+def test_pagerank_fixed_iters_matches_oracle(spark, edges30, vertices30):
+    ranks, _ = pagerank(edges30, vertices=vertices30, num_iters=5, partitions=8)
+    got = _vec(ranks, "rank")
+    exp = oracles.pagerank_oracle(V, EDGES, num_iters=5)
+    assert np.allclose(got, exp, atol=1e-12)
+
+
+def test_pagerank_salted_equals_unsalted(spark, edges30, vertices30):
+    base, _ = pagerank(edges30, vertices=vertices30, num_iters=8, partitions=8)
+    salted, _ = pagerank(
+        edges30, vertices=vertices30, num_iters=8, partitions=8,
+        hub_degree_threshold=3, num_salts=4,
+    )
+    assert np.allclose(_vec(base, "rank"), _vec(salted, "rank"), atol=1e-12)
+
+
+def test_connected_components_exact(spark, edges30, vertices30):
+    labels, metrics = connected_components(edges30, vertices=vertices30, partitions=8)
+    got = _vec(labels, "component").astype(int)
+    exp = oracles.components_oracle(V, EDGES)
+    assert (got == exp).all()
+    assert metrics[-1]["labels_changed"] == 0
+
+
+def test_label_propagation_exact(spark, edges30, vertices30):
+    labels, _ = label_propagation(edges30, vertices=vertices30, max_iter=20, partitions=8)
+    got = _vec(labels, "label").astype(int)
+    exp = oracles.labelprop_oracle(V, EDGES, max_iter=20)
+    assert (got == exp).all()
+
+
+def test_triangle_count_exact(spark, edges30):
+    assert triangle_count(edges30) == oracles.triangle_count_oracle(EDGES)
+
+
+def test_triangle_count_sampled_within_eps(spark, edges30):
+    exact = oracles.triangle_count_oracle(EDGES)
+    est = triangle_count_sampled(edges30, num_estimators=20000, seed=7, partitions=8)
+    # reference accuracy contract: eps=5% at 95% conf (applications/Triangle.cpp:117-118);
+    # allow 15% on this tiny fixture
+    assert abs(est - exact) / exact < 0.15
+
+
+def test_chain_star_motif_counts(spark, edges30):
+    assert motifs.three_chain_count(edges30) == oracles.three_chain_count_oracle(V, EDGES)
+    assert motifs.k_star_count(edges30, 5) == oracles.k_star_count_oracle(V, EDGES, 5)
+    assert motifs.four_chain_count(edges30) == oracles.four_chain_count_oracle(EDGES)
+    m = motifs.three_motif_counts(edges30)
+    assert m["triangle"] == oracles.triangle_count_oracle(EDGES)
+    assert m["three_chain_total"] == oracles.three_chain_count_oracle(V, EDGES)
+
+
+def test_end_to_end_pages_to_pagerank(spark, graph30):
+    """Full pipeline: pages -> ingest -> PageRank, compared via url join."""
+    ranks, _ = pagerank(graph30.edges, vertices=graph30.vertices(),
+                        tol=1e-6, partitions=8)
+    vmap = graph30._vertices
+    byurl = {
+        r["url"]: r["rank"]
+        for r in ranks.join(vmap, "id").select("url", "rank").collect()
+    }
+    exp = oracles.pagerank_oracle(V, EDGES, tol=1e-6)
+    got = np.array([byurl[datagen.url_of(i)] for i in range(V)])
+    assert np.allclose(got, exp, atol=1e-6)

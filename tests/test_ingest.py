@@ -1,0 +1,64 @@
+"""Ingest-stage invariants (mirrors the reference's preprocessing checks,
+/root/reference/datasets/wiki-vote/scripts/process.cpp: dedup, self-loop
+drop, dense ids) plus the north-rule byte-identical text invariant."""
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from linkgraph import datagen, ingest
+
+
+def test_extract_text_byte_identical(spark, pages30):
+    got = pages30.select("url", ingest.extract_text(F.col("html")).alias("extracted"),
+                         "text").toPandas()
+    for _, r in got.iterrows():
+        assert r["extracted"] == r["text"], r["url"]
+    # byte-level: utf-8 encodings equal too
+    assert all(
+        r["extracted"].encode("utf-8") == r["text"].encode("utf-8")
+        for _, r in got.iterrows()
+    )
+
+
+def test_outlinks_match_generator(spark, pages30):
+    adj = datagen.outlinks_of(30)
+    got = (
+        pages30.select("url", ingest.extract_outlinks(F.col("html")).alias("links"))
+        .toPandas()
+        .set_index("url")["links"]
+    )
+    for i in range(30):
+        expected = [datagen.url_of(t) for t in adj[i]]
+        assert sorted(got[datagen.url_of(i)]) == sorted(expected)
+
+
+def test_edge_table_matches_ground_truth(spark, pages30):
+    vmap, edges = ingest.ingest_pages(pages30, partitions=8)
+    vm = vmap.toPandas().set_index("url")["id"].to_dict()
+    # dense ids 0..V-1
+    assert sorted(vm.values()) == list(range(30))
+    got = {(r["src"], r["dst"]) for r in edges.collect()}
+    expected = {
+        (vm[datagen.url_of(s)], vm[datagen.url_of(d)])
+        for s, d in datagen.expected_edges(30)
+    }
+    assert got == expected
+
+
+def test_no_self_loops_or_dups(spark, pages30):
+    _, edges = ingest.ingest_pages(pages30, partitions=8)
+    pdf = edges.toPandas()
+    assert (pdf["src"] != pdf["dst"]).all()
+    assert not pdf.duplicated(["src", "dst"]).any()
+
+
+def test_normalize_url():
+    assert ingest.normalize_url("HTTPS://Example.COM/Page#frag") == "https://example.com/Page"
+    assert ingest.normalize_url("  https://a.example/x  ") == "https://a.example/x"
+
+
+def test_dense_ids_are_dense_and_sorted(spark):
+    df = spark.createDataFrame([(w,) for w in ["d", "b", "a", "c", "b"]], ["k"])
+    out = ingest.dense_ids(df, "k", partitions=3).toPandas().sort_values("id")
+    assert list(out["k"]) == ["a", "b", "c", "d"]
+    assert list(out["id"]) == [0, 1, 2, 3]
