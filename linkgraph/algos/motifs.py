@@ -114,6 +114,59 @@ def four_clique_count(edges: DataFrame) -> int:
     return int(quads.count())
 
 
+def five_house_count(edges: DataFrame) -> int:
+    """Exact 5-house count (triangle roof sharing an edge with a 4-cycle).
+
+    Pattern per /root/reference/applications/FiveHouse.cpp:18-27: edges
+    (0,1),(0,2),(1,2),(1,3),(2,4),(3,4); |Aut| = 2 (mirror 1<->2, 3<->4).
+    Counted as injective homomorphisms over a spanning join tree with the
+    two remaining edges checked via semi-joins, divided by |Aut|.
+    """
+    o = _oriented(edges)
+    sym = o.select(F.col("a").alias("u"), F.col("b").alias("v"))
+    sym = sym.union(sym.select(F.col("v").alias("u"), F.col("u").alias("v")))
+
+    e01 = sym.select(F.col("u").alias("v0"), F.col("v").alias("v1"))
+    e02 = sym.select(F.col("u").alias("v0"), F.col("v").alias("v2"))
+    e12 = sym.select(F.col("u").alias("v1"), F.col("v").alias("v2"))
+    e13 = sym.select(F.col("u").alias("v1"), F.col("v").alias("v3"))
+    e24 = sym.select(F.col("u").alias("v2"), F.col("v").alias("v4"))
+    e34 = sym.select(F.col("u").alias("v3"), F.col("v").alias("v4"))
+    # close the roof triangle FIRST (semi-join) so the walls only extend
+    # triangle-anchored tuples — the intermediate is O(#triangles), not
+    # O(sum deg^2): the selective predicate runs earliest (scale-critical)
+    roof = (
+        e01.join(e02, "v0")
+        .filter(F.col("v1") != F.col("v2"))
+        .join(e12, ["v1", "v2"], "left_semi")
+    )
+    t = (
+        roof.join(e13, "v1")
+        .filter((F.col("v3") != F.col("v0")) & (F.col("v3") != F.col("v2")))
+        .join(e24, "v2")
+        .filter(
+            (F.col("v4") != F.col("v0"))
+            & (F.col("v4") != F.col("v1"))
+            & (F.col("v4") != F.col("v3"))
+        )
+    )
+    houses = t.join(e34, ["v3", "v4"], "left_semi")
+    return int(houses.count() // 2)
+
+
+def at_least_one_predicate_triangle_count(edges: DataFrame, pred) -> int:
+    """Triangles with >= 1 edge satisfying ``pred`` (a Column predicate on
+    the edge rows), by inclusion-exclusion: count(all) - count(none match).
+
+    The reference's AtLeastOnePredicateWeightedTriangle
+    (/root/reference/applications/AtLeastOnePredicateWeightedTriangle.cpp:135-153)
+    runs the same two-job subtraction with pred = weight >= 50.
+    """
+    total = triangle_count(edges)
+    none_match = triangle_count(edges.filter(~pred))
+    return total - none_match
+
+
 def k_chain_count(edges: DataFrame, k: int) -> int:
     """Unordered simple paths on k distinct vertices (k-1 edges), k in 3..6.
 

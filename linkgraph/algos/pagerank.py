@@ -16,11 +16,16 @@ Scale design:
   * Out-degree hub skew on the ranks⋈links join is handled with explicit
     salting (skew.salted_join) — edges of hub vertices are split across
     ``num_salts`` shards and the hub's rank row is replicated (north rule).
-  * Dangling mass is a 1-row aggregate cross-joined into the update — no
-    ``collect()`` in the hot loop; the only action per iteration is the
-    eager ``localCheckpoint`` that truncates lineage.
-  * Per-iteration checkpoint (parquet + metrics.json) enables mid-algorithm
-    resume (ckpt.CheckpointManager).
+  * **Dangling mass needs no join**: with ranks summing to 1, the uniform
+    dangling redistribution is a per-vertex constant recoverable from the
+    raw update's total mass — S = sum(raw') = 1 - d*dm, so the correction
+    is corr = (1 - S)/V, folded lazily into the next superstep.  This
+    removes the reference-style dangling semi-join + broadcast job; each
+    superstep is ONE heavy job (contrib shuffle + checkpoint) plus a
+    V-row scalar aggregate.
+  * Per-iteration ``localCheckpoint`` truncates lineage; optional durable
+    checkpoint (parquet + metrics.json) enables mid-algorithm resume
+    (ckpt.CheckpointManager).
 
 Reference parity: the superstep loop replaces ZGraph's
 OpenMP-reduction + MPI_Allreduce execution (/root/reference/src/ZGraphInstance.cpp:257-297);
@@ -29,6 +34,7 @@ partitioning replaces its 1-D vertex-range scheme (/root/reference/src/Graph.cpp
 
 from __future__ import annotations
 
+import gc
 import time
 
 from pyspark.sql import DataFrame
@@ -82,8 +88,6 @@ def pagerank(
     links.count()  # materialize once; reused every superstep
     E = edges.count()
 
-    dangling = v.join(out_deg, "id", "left_anti").persist()
-
     hubs = None
     if hub_degree_threshold is not None:
         hubs = _skew.hub_ids(
@@ -97,58 +101,80 @@ def pagerank(
     ckpt = CheckpointManager(checkpoint_dir) if checkpoint_dir else None
     metrics: list[dict] = []
     start_iter = 0
+    corr = 0.0  # lazy per-vertex additive correction (dangling mass)
     if ckpt is not None and (last := ckpt.latest()) is not None:
-        ranks, _ = ckpt.load(spark, last)
-        ranks = ranks.repartition(P, "id").localCheckpoint(eager=True)
+        ranks_raw, _ = ckpt.load(spark, last)
+        ranks_raw = ranks_raw.repartition(P, "id").localCheckpoint(eager=True)
         metrics = ckpt.history()
         start_iter = last + 1
     else:
-        ranks = v.select("id", (F.lit(1.0) / V).alias("rank")).localCheckpoint(eager=True)
+        ranks_raw = v.select("id", (F.lit(1.0) / V).alias("rank")).localCheckpoint(
+            eager=True
+        )
 
     total_iters = num_iters if num_iters is not None else max_iter
     it = start_iter
     while it < total_iters:
         t0 = time.time()
-        # dangling mass as a lazy 1-row aggregate (no driver round-trip)
-        dm = (
-            ranks.join(dangling, "id", "left_semi")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm"))
+        # the correction enters through a broadcast 1-row LocalRelation, NOT
+        # a literal: the generated code is byte-identical across supersteps,
+        # so whole-stage-codegen compiles once and is cache-hit thereafter
+        corr_df = spark.createDataFrame([(float(corr),)], "corr double")
+        src_ranks = ranks_raw.crossJoin(F.broadcast(corr_df)).select(
+            F.col("id").alias("src"), (F.col("rank") + F.col("corr")).alias("rank")
         )
-        src_ranks = ranks.select(F.col("id").alias("src"), "rank")
+        # SHUFFLE_HASH hint on the per-vertex state side: the persisted edge
+        # side keeps its pinned src-partitioning (no exchange, and — unlike
+        # sort-merge — no per-superstep sort of E rows); only the V-row state
+        # shuffles.  State comes from a checkpoint RDD whose stats are
+        # unknown, so without the hint Spark would fall back to SMJ.
         if hubs is not None:
-            joined = _skew.salt_state(src_ranks, hubs, "src", num_salts).join(
-                links_salted, ["src", "_salt"]
+            joined = links_salted.join(
+                _skew.salt_state(src_ranks, hubs, "src", num_salts)
+                .hint("shuffle_hash"),
+                ["src", "_salt"],
             )
         else:
-            joined = links.join(src_ranks, "src")
+            joined = links.join(src_ranks.hint("shuffle_hash"), "src")
         contribs = (
             joined.select("dst", (F.col("rank") / F.col("out_degree")).alias("contrib"))
             .groupBy(F.col("dst").alias("id"))
             .agg(F.sum("contrib").alias("contrib"))
         )
-        new_ranks = (
-            v.join(contribs, "id", "left")
-            .crossJoin(F.broadcast(dm))
+        raw_new = (
+            v.join(contribs.hint("shuffle_hash"), "id", "left")
             .select(
                 "id",
                 (
                     F.lit((1.0 - damping) / V)
-                    + F.lit(damping)
-                    * (F.coalesce(F.col("contrib"), F.lit(0.0)) + F.col("_dm") / V)
+                    + F.lit(damping) * F.coalesce(F.col("contrib"), F.lit(0.0))
                 ).alias("rank"),
             )
             .repartition(P, "id")
         )
         truncate = (it + 1) % lineage_truncate_every == 0
         if truncate:
-            new_ranks = new_ranks.localCheckpoint(eager=True)
+            raw_new = raw_new.localCheckpoint(eager=True)
+
+        # dangling correction from total mass: S = 1 - damping * dm
+        S = float(
+            raw_new.agg(F.sum("rank").alias("s")).collect()[0]["s"]
+        )
+        corr_new = (1.0 - S) / V
 
         delta = None
         if num_iters is None:
             delta_row = (
-                new_ranks.withColumnRenamed("rank", "new_rank")
-                .join(ranks, "id")
-                .agg(F.sum(F.abs(F.col("new_rank") - F.col("rank"))).alias("d"))
+                raw_new.withColumnRenamed("rank", "new_rank")
+                .join(ranks_raw, "id")
+                .agg(
+                    F.sum(
+                        F.abs(
+                            F.col("new_rank") + F.lit(corr_new)
+                            - F.col("rank") - F.lit(corr)
+                        )
+                    ).alias("d")
+                )
                 .collect()[0]
             )
             delta = float(delta_row["d"])
@@ -160,16 +186,29 @@ def pagerank(
             "edges_processed": E,
             "edges_per_sec": E / secs if secs > 0 else None,
             "num_partitions": P,
+            "dangling_mass": (1.0 - S) / damping,
         }
         metrics.append(m)
         if ckpt is not None:
-            ckpt.save(it, new_ranks, m)
-        ranks = new_ranks
+            # durable state carries the correction folded in, so resume
+            # needs no side-channel
+            ckpt.save(
+                it,
+                raw_new.select("id", (F.col("rank") + F.lit(corr_new)).alias("rank")),
+                m,
+            )
+        ranks_raw = raw_new
+        corr = corr_new
         it += 1
+        # drop py4j refs to the previous superstep's checkpoint RDD so the
+        # ContextCleaner can free its memory and shuffle files — without
+        # this, executor memory grows linearly with iterations
+        gc.collect()
         if delta is not None and delta < tol:
             break
 
-    for df in (v, links, dangling):
+    ranks = ranks_raw.select("id", (F.col("rank") + F.lit(corr)).alias("rank"))
+    for df in (v, links):
         df.unpersist()
     if hubs is not None:
         hubs.unpersist()

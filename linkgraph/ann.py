@@ -1,0 +1,201 @@
+"""Approximate nearest-neighbor search over an embedding column.
+
+Two paths:
+  * ``cosine_topk`` — exact brute-force baseline (cross join + window top-k),
+    the verifier for everything else.
+  * ``lsh_topk`` — the scale path: random-hyperplane LSH. Each vector gets
+    ``bands`` signature bytes (sign bits of ``planes_per_band`` seeded fixed
+    hyperplanes); candidates are vectors sharing at least one band with the
+    query, exact cosine re-rank within candidates.  At 100 TB the bucket
+    join replaces the O(N*Q) cross join with an equi-join on (band, sig) —
+    hash-partitioned, broadcastable query side, no skew (signatures are
+    ~uniform under random hyperplanes).
+
+Hyperplane constants are generated from a fixed numpy seed and embedded as
+literals in BOTH the Spark plan and the DuckDB oracle SQL, so results are
+value-exact reproducible across engines.
+
+Reference parity: nearest-neighbor is new training-data-pipeline capability;
+the bucket-then-verify shape mirrors the reference's sample-then-close
+estimator structure (/root/reference/src/ZGraphInstance.cpp:127-222) —
+cheap candidate generation + exact verification.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+SEED = 1234
+
+
+def hyperplanes(dim: int, n_planes: int, seed: int = SEED) -> list[list[float]]:
+    """Deterministic unit-free hyperplanes, rounded so SQL literals are exact."""
+    rng = np.random.RandomState(seed)
+    return [[round(float(x), 6) for x in rng.randn(dim)] for _ in range(n_planes)]
+
+
+def _dot_lit(vec_col, plane: list[float]):
+    arr = F.array(*[F.lit(x) for x in plane])
+    return F.aggregate(
+        F.zip_with(vec_col, arr, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+
+
+def _cos(va, vb):
+    dot = F.aggregate(F.zip_with(va, vb, lambda x, y: x * y), F.lit(0.0),
+                      lambda a, x: a + x)
+    n = lambda c: F.sqrt(F.aggregate(c, F.lit(0.0), lambda a, x: a + x * x))  # noqa: E731
+    return dot / (n(va) * n(vb))
+
+
+def cosine_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k: (query_id, neighbor_id, sim_e6, rank). Brute force."""
+    e = emb.select(F.col(id_col).alias("neighbor_id"),
+                   F.col(vec_col).cast("array<double>").alias("v"))
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).cast("array<double>").alias("qv"))
+    pairs = (
+        F.broadcast(q).crossJoin(e)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id",
+                _cos(F.col("qv"), F.col("v")).alias("sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id",
+                F.round(F.col("sim") * 1e6).cast("long").alias("sim_e6"),
+                F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def signatures(
+    emb: DataFrame,
+    bands: int = 3,
+    planes_per_band: int = 4,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = SEED,
+) -> DataFrame:
+    """(id, v, band, sig) — one row per (vector, band); sig is the integer
+    formed by the band's hyperplane sign bits."""
+    planes = hyperplanes(dim, bands * planes_per_band, seed)
+    e = emb.select(F.col(id_col).alias("id"),
+                   F.col(vec_col).cast("array<double>").alias("v"))
+    rows = []
+    for b in range(bands):
+        sig = F.lit(0)
+        for j in range(planes_per_band):
+            p = planes[b * planes_per_band + j]
+            sig = sig + F.when(_dot_lit(F.col("v"), p) >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+        rows.append(F.struct(F.lit(b).alias("band"), sig.cast("long").alias("sig")))
+    return (
+        e.select("id", "v", F.explode(F.array(*rows)).alias("bs"))
+        .select("id", "v", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+    )
+
+
+def lsh_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    bands: int = 3,
+    planes_per_band: int = 4,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = SEED,
+) -> DataFrame:
+    """LSH-bucketed approximate top-k: candidates share >=1 signature band
+    with the query; exact cosine re-rank among candidates."""
+    s_all = signatures(emb, bands, planes_per_band, dim, vec_col, id_col, seed)
+    s_q = signatures(queries, bands, planes_per_band, dim, vec_col, id_col, seed)
+    cand = (
+        s_q.select(F.col("id").alias("query_id"), F.col("v").alias("qv"),
+                   "band", "sig")
+        .join(s_all.select(F.col("id").alias("neighbor_id"), F.col("v").alias("v"),
+                           "band", "sig"),
+              ["band", "sig"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cand.select(
+        "query_id", "neighbor_id", _cos(F.col("qv"), F.col("v")).alias("sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id",
+                F.round(F.col("sim") * 1e6).cast("long").alias("sim_e6"),
+                F.col("rank").cast("long").alias("rank"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle SQL
+# ---------------------------------------------------------------------------
+
+
+def _plane_lit_sql(plane: list[float]) -> str:
+    return "[" + ", ".join(repr(x) for x in plane) + "]"
+
+
+def lsh_topk_sql(
+    table: str = "embeddings",
+    query_where: str = "vec_id < 20",
+    k: int = 5,
+    bands: int = 3,
+    planes_per_band: int = 4,
+    dim: int = 64,
+    vec_expr: str = "embedding",
+    id_expr: str = "vec_id",
+    seed: int = SEED,
+) -> str:
+    planes = hyperplanes(dim, bands * planes_per_band, seed)
+    band_structs = []
+    for b in range(bands):
+        bits = " + ".join(
+            f"(CASE WHEN list_dot_product(v, {_plane_lit_sql(planes[b * planes_per_band + j])}) >= 0 "
+            f"THEN {1 << j} ELSE 0 END)"
+            for j in range(planes_per_band)
+        )
+        band_structs.append(f"{{'band': {b}, 'sig': CAST({bits} AS BIGINT)}}")
+    structs = ", ".join(band_structs)
+    return f"""
+WITH e AS (SELECT {id_expr} AS id, CAST({vec_expr} AS DOUBLE[]) AS v FROM {table}),
+sigs AS (
+  SELECT id, v, u.band AS band, u.sig AS sig
+  FROM e, unnest([{structs}]) AS t(u)
+),
+cand AS (
+  SELECT DISTINCT q.id AS query_id, q.v AS qv, s.id AS neighbor_id, s.v AS v
+  FROM sigs q JOIN sigs s ON q.band = s.band AND q.sig = s.sig
+  WHERE q.id IN (SELECT {id_expr} FROM {table} WHERE {query_where})
+    AND s.id <> q.id
+),
+scored AS (
+  SELECT query_id, neighbor_id,
+         list_dot_product(qv, v)
+           / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))) AS sim
+  FROM cand
+),
+ranked AS (
+  SELECT query_id, neighbor_id, sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(round(sim * 1e6) AS BIGINT) AS sim_e6,
+       CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {k}
+"""

@@ -1,0 +1,440 @@
+"""Document deduplication operators: exact, MinHash+LSH, SimHash, n-gram
+Jaccard, embedding-cosine near-dup.
+
+All operators are pure DataFrame pipelines over built-in functions (JVM-side,
+whole-stage codegen — no Python in the hot path).  Hashing uses a shared
+md5-prefix construction that DuckDB can reproduce exactly, so every operator
+has a value-exact SQL oracle (the driver's correctness gate).
+
+Scale design (100 TB corpus):
+  * MinHash signatures are per-row array expressions — no explode, no
+    shuffle; the only shuffles are the LSH band groupBy (keyed on a 60-bit
+    band hash: uniformly distributed, skew-free) and the candidate-pair
+    verify join (bounded by band collisions, not by |corpus|^2).
+  * SimHash reduces to one token-level explode + two grouped aggregations
+    with map-side partial combine.
+  * The brute-force pair verifiers (`ngram_jaccard_pairs`,
+    `embedding_near_dup`) are intentionally quadratic *within a candidate
+    scope* — at scale they are only ever applied after LSH/banding pruning.
+
+Reference parity: the reference dedups edges in dataset preprocessing
+(/root/reference/datasets/wiki-vote/scripts/process.cpp:83-86); document
+near-dedup is new capability required of the training-data pipeline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# shared deterministic 60-bit hash (identical in Spark and DuckDB)
+# Spark:  conv(substr(md5(s),1,15),16,10)::long
+# DuckDB: CAST('0x' || substr(md5(s),1,15) AS BIGINT)
+# ---------------------------------------------------------------------------
+
+
+def h60(col: Column) -> Column:
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def h60_sql(expr: str) -> str:
+    return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+# ---------------------------------------------------------------------------
+# shingling
+# ---------------------------------------------------------------------------
+
+
+def tokens(text: Column) -> Column:
+    return F.split(F.trim(F.lower(text)), r"\s+")
+
+
+def word_shingles(text: Column, k: int = 3) -> Column:
+    """Distinct word k-grams of ``text`` (empty array if < k words)."""
+    w = tokens(text)
+    gram = F.transform(
+        F.sequence(F.lit(0), F.size(w) - k),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(w, (i + j + 1).cast("int")) for j in range(k)]
+        ),
+    )
+    return F.when(F.size(w) >= k, F.array_distinct(gram)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def word_shingles_sql(text_expr: str, k: int = 3) -> str:
+    """DuckDB expression mirroring :func:`word_shingles` (1-indexed lists)."""
+    w = f"regexp_split_to_array(trim(lower({text_expr})), '\\s+')"
+    parts = " || ' ' || ".join(f"__w[i + {j}]" for j in range(k))
+    return (
+        f"CASE WHEN len({w}) >= {k} THEN "
+        f"list_distinct(list_transform(range(1, len({w}) - {k - 2}), i -> {parts})) "
+        f"ELSE [] END"
+    ).replace("__w", w)
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signature(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """(id, shingles, mh_0..mh_{n-1}) — per-row array expressions, no shuffle.
+
+    mh_i = min over shingles of H60(shingle || '#i'); docs with no shingles
+    get NULL signatures (they can never band-collide).
+    """
+    sh = word_shingles(F.col(text_col), shingle_k)
+    out = docs.select(F.col(id_col).alias("id"), sh.alias("shingles"))
+    for i in range(num_hashes):
+        out = out.withColumn(
+            f"mh_{i}",
+            F.array_min(
+                F.transform(
+                    F.col("shingles"),
+                    lambda s, i=i: h60(F.concat(s, F.lit(f"#{i}"))),
+                )
+            ),
+        )
+    return out
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 8,
+    shingle_k: int = 3,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash banding + exact-Jaccard verify.
+
+    Returns (id_a, id_b, jaccard_e6) with id_a < id_b and
+    jaccard >= threshold.  Candidate generation: docs sharing any LSH band
+    bucket (band hash of r = num_hashes/bands consecutive minhashes);
+    verification: exact Jaccard over the shingle sets — so the *output* is
+    deterministic given the hash family, independent of banding randomness.
+    """
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    sig = minhash_signature(docs, text_col, id_col, num_hashes, shingle_k)
+
+    band_rows = []
+    for b in range(bands):
+        cols = [F.col(f"mh_{b * r + j}") for j in range(r)]
+        band_rows.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws(",", *cols)).alias("bh"))
+        )
+    banded = (
+        sig.filter(F.size("shingles") > 0)
+        .select("id", "shingles", F.explode(F.array(*band_rows)).alias("bb"))
+        .select("id", "shingles", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    )
+    a = banded.select(
+        F.col("band"), F.col("bh"), F.col("id").alias("id_a"),
+        F.col("shingles").alias("sh_a"),
+    )
+    b_ = banded.select(
+        F.col("band"), F.col("bh"), F.col("id").alias("id_b"),
+        F.col("shingles").alias("sh_b"),
+    )
+    cand = (
+        a.join(b_, ["band", "bh"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_distinct(F.concat("sh_a", "sh_b")))
+    jac = inter.cast("double") / union
+    return (
+        cand.select("id_a", "id_b", F.round(jac * 1e6).cast("long").alias("jaccard_e6"))
+        .filter(F.col("jaccard_e6") >= int(jaccard_threshold * 1e6))
+    )
+
+
+def minhash_lsh_pairs_sql(
+    table: str = "documents",
+    text_expr: str = "text",
+    id_expr: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 8,
+    shingle_k: int = 3,
+    jaccard_threshold: float = 0.5,
+) -> str:
+    r = num_hashes // bands
+    mh_cols = ",\n    ".join(
+        "list_min(list_transform(shingles, s -> {h})) AS mh_{i}".format(
+            h=h60_sql("s || '#{}'".format(i)), i=i
+        )
+        for i in range(num_hashes)
+    )
+    band_structs = ", ".join(
+        "{'band': %d, 'bh': md5(%s)}"
+        % (b, " || ',' || ".join(f"CAST(mh_{b * r + j} AS VARCHAR)" for j in range(r)))
+        for b in range(bands)
+    )
+    return f"""
+WITH sh AS (
+  SELECT {id_expr} AS id, {word_shingles_sql(text_expr, shingle_k)} AS shingles
+  FROM {table}
+),
+sig AS (
+  SELECT id, shingles,
+    {mh_cols}
+  FROM sh WHERE len(shingles) > 0
+),
+banded AS (
+  SELECT id, shingles, u.band AS band, u.bh AS bh
+  FROM sig, unnest([{band_structs}]) AS t(u)
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bh = b.bh AND a.id < b.id
+),
+verified AS (
+  SELECT c.id_a, c.id_b,
+         CAST(round(len(list_intersect(sa.shingles, sb.shingles)) * 1e6
+              / len(list_distinct(list_concat(sa.shingles, sb.shingles)))) AS BIGINT)
+           AS jaccard_e6
+  FROM cand c
+  JOIN sh sa ON sa.id = c.id_a
+  JOIN sh sb ON sb.id = c.id_b
+)
+SELECT id_a, id_b, jaccard_e6 FROM verified
+WHERE jaccard_e6 >= {int(jaccard_threshold * 1e6)}
+"""
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+) -> DataFrame:
+    """(id, simhash) — ``bits``-bit SimHash over whitespace tokens.
+
+    bit_j(doc) = 1 iff sum over distinct tokens of
+    count(token) * (+1 if bit_j(H60(token)) else -1) > 0.
+    One explode + two grouped aggs (map-side combined) — linear, skew-free
+    (keys are (doc, bit)).
+    """
+    tok = docs.select(
+        F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("tok")
+    ).filter(F.col("tok") != "")
+    cnt = tok.groupBy("id", "tok").agg(F.count(F.lit(1)).alias("cnt"))
+    cnt = cnt.withColumn("th", h60(F.col("tok")))
+    bit = cnt.select(
+        "id", "cnt", "th", F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("j")
+    ).select(
+        "id",
+        "j",
+        # th < 2^60 (positive), so arithmetic shiftright == unsigned
+        (
+            F.when(
+                F.expr("shiftright(th, CAST(j AS INT)) & 1") == 1, F.col("cnt")
+            ).otherwise(-F.col("cnt"))
+        ).alias("signed"),
+    )
+    per_bit = bit.groupBy("id", "j").agg(F.sum("signed").alias("s"))
+    return per_bit.groupBy("id").agg(
+        F.sum(
+            F.when(
+                F.col("s") > 0,
+                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(j AS INT))"),
+            ).otherwise(F.lit(0).cast("long"))
+        ).alias("simhash")
+    )
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """(id_a, id_b, hamming) pairs with SimHash Hamming distance <= max_hamming.
+
+    Pair generation here is the exact all-pairs form (scoped inputs); the
+    scale path buckets on simhash prefix bytes first (same banding idea as
+    MinHash-LSH) before the xor-popcount filter.
+    """
+    s = simhash(docs, text_col, id_col, bits)
+    a = s.select(F.col("id").alias("id_a"), F.col("simhash").alias("h_a"))
+    b = s.select(F.col("id").alias("id_b"), F.col("simhash").alias("h_b"))
+    ham = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", ham.cast("long").alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def simhash_sql(
+    table: str = "documents",
+    text_expr: str = "text",
+    id_expr: str = "doc_id",
+    bits: int = 32,
+) -> str:
+    return f"""
+tok AS (
+  SELECT {id_expr} AS id, t.tok AS tok
+  FROM {table}, unnest(regexp_split_to_array(trim(lower({text_expr})), '\\s+')) AS t(tok)
+  WHERE t.tok <> ''
+),
+cnt AS (
+  SELECT id, tok, count(*) AS cnt, {h60_sql("tok")} AS th
+  FROM tok GROUP BY id, tok
+),
+bitsum AS (
+  SELECT id, j, sum(CASE WHEN (th >> j) & 1 = 1 THEN cnt ELSE -cnt END) AS s
+  FROM cnt, unnest(range(0, {bits})) AS r(j)
+  GROUP BY id, j
+),
+sim AS (
+  SELECT id, sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS simhash
+  FROM bitsum GROUP BY id
+)"""
+
+
+def simhash_pairs_sql(
+    table: str = "documents",
+    text_expr: str = "text",
+    id_expr: str = "doc_id",
+    bits: int = 32,
+    max_hamming: int = 3,
+) -> str:
+    return f"""
+WITH {simhash_sql(table, text_expr, id_expr, bits)}
+SELECT a.id AS id_a, b.id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM sim a JOIN sim b ON a.id < b.id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+"""
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact pairwise within a scope)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """(id_a, id_b, jaccard_e6) exact word-k-gram Jaccard >= threshold.
+
+    All-pairs verify — apply after candidate pruning at scale (this is the
+    verify stage of minhash_lsh_pairs, exposed standalone)."""
+    sh = docs.select(
+        F.col(id_col).alias("id"),
+        word_shingles(F.col(text_col), shingle_k).alias("sh"),
+    ).filter(F.size("sh") > 0)
+    a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_distinct(F.concat("sh_a", "sh_b")))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(inter.cast("double") / union * 1e6).cast("long").alias("jaccard_e6"),
+        )
+        .filter(F.col("jaccard_e6") >= int(threshold * 1e6))
+    )
+
+
+def ngram_jaccard_pairs_sql(
+    table: str = "documents",
+    text_expr: str = "text",
+    id_expr: str = "doc_id",
+    shingle_k: int = 3,
+    threshold: float = 0.3,
+    where: str = "TRUE",
+) -> str:
+    return f"""
+WITH sh AS (
+  SELECT {id_expr} AS id, {word_shingles_sql(text_expr, shingle_k)} AS sh
+  FROM {table} WHERE {where}
+),
+nz AS (SELECT * FROM sh WHERE len(sh) > 0)
+SELECT a.id AS id_a, b.id AS id_b,
+       CAST(round(len(list_intersect(a.sh, b.sh)) * 1e6
+            / len(list_distinct(list_concat(a.sh, b.sh)))) AS BIGINT) AS jaccard_e6
+FROM nz a JOIN nz b ON a.id < b.id
+WHERE len(list_intersect(a.sh, b.sh)) * 1e6
+      / len(list_distinct(list_concat(a.sh, b.sh))) >= {int(threshold * 1e6)}
+"""
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+
+def embedding_near_dup(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.45,
+) -> DataFrame:
+    """(id_a, id_b, cos_e6) pairs with cosine similarity >= threshold.
+
+    Vectorized JVM-side dot products (zip_with + aggregate).  The scale path
+    prunes candidates with hyperplane-LSH buckets first (ann.py); this is
+    the exact verifier."""
+    e = emb.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    a = e.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
+    b = e.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    nrm = lambda c: F.sqrt(F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x))  # noqa: E731
+    cos = dot / (nrm(F.col("va")) * nrm(F.col("vb")))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(cos * 1e6).cast("long").alias("cos_e6"))
+        .filter(F.col("cos_e6") >= int(threshold * 1e6))
+    )
+
+
+def embedding_near_dup_sql(
+    table: str = "embeddings",
+    vec_expr: str = "embedding",
+    id_expr: str = "vec_id",
+    threshold: float = 0.45,
+) -> str:
+    return f"""
+WITH e AS (SELECT {id_expr} AS id, CAST({vec_expr} AS DOUBLE[]) AS v FROM {table})
+SELECT a.id AS id_a, b.id AS id_b,
+       CAST(round(list_dot_product(a.v, b.v)
+            / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+            * 1e6) AS BIGINT) AS cos_e6
+FROM e a JOIN e b ON a.id < b.id
+WHERE list_dot_product(a.v, b.v)
+      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+      >= {threshold}
+"""

@@ -156,6 +156,89 @@ def k_star_count_oracle(num_vertices: int, edges: list[tuple[int, int]], k: int 
     return sum(comb(d, k) for d in deg.values())
 
 
+def five_house_count_oracle(edges: list[tuple[int, int]]) -> int:
+    """Exact 5-house count (pattern edges (0,1),(0,2),(1,2),(1,3),(2,4),(3,4)
+    per /root/reference/applications/FiveHouse.cpp:18-27; |Aut| = 2):
+    injective homomorphism enumeration / 2."""
+    und = _undirected_unique(edges)
+    adj: dict[int, set[int]] = defaultdict(set)
+    for a, b in und:
+        adj[a].add(b)
+        adj[b].add(a)
+    ordered = 0
+    for v0 in adj:
+        for v1 in adj[v0]:
+            for v2 in adj[v0]:
+                if v2 == v1 or v2 not in adj[v1]:
+                    continue
+                for v3 in adj[v1]:
+                    if v3 in (v0, v2):
+                        continue
+                    for v4 in adj[v2]:
+                        if v4 in (v0, v1, v3):
+                            continue
+                        if v4 in adj[v3]:
+                            ordered += 1
+    return ordered // 2
+
+
+def k_chain_count_oracle(edges: list[tuple[int, int]], k: int) -> int:
+    """Unordered simple paths on k distinct vertices ((k-1) edges):
+    ordered DFS enumeration / 2 (runtime-k like
+    /root/reference/applications/ChainMining.cpp:18-106)."""
+    und = _undirected_unique(edges)
+    adj: dict[int, set[int]] = defaultdict(set)
+    for a, b in und:
+        adj[a].add(b)
+        adj[b].add(a)
+
+    def extend(path: tuple[int, ...]) -> int:
+        if len(path) == k:
+            return 1
+        return sum(extend(path + (w,)) for w in adj[path[-1]] if w not in path)
+
+    ordered = sum(extend((v,)) for v in adj)
+    return ordered // 2
+
+
+def h60_oracle(s: str) -> int:
+    """Python twin of dedup.h60 (first 15 hex chars of md5, as int)."""
+    import hashlib
+
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+
+
+def word_shingles_oracle(text: str, k: int = 3) -> list[str]:
+    w = text.strip().lower().split()
+    if len(w) < k:
+        return []
+    seen: list[str] = []
+    for i in range(len(w) - k + 1):
+        g = " ".join(w[i:i + k])
+        if g not in seen:
+            seen.append(g)
+    return seen
+
+
+def simhash_oracle(text: str, bits: int = 32) -> int:
+    toks = [t for t in text.strip().lower().split() if t]
+    cnt = Counter(toks)
+    out = 0
+    for j in range(bits):
+        s = sum(c if (h60_oracle(t) >> j) & 1 else -c for t, c in cnt.items())
+        if s > 0:
+            out |= 1 << j
+    return out
+
+
+def fingerprint_oracle(text: str, base: int = 1_000_003,
+                       mod: int = (1 << 31) - 1) -> int:
+    acc = 0
+    for w in text.strip().lower().split():
+        acc = (acc * base + h60_oracle(w) % mod) % mod
+    return acc
+
+
 def four_chain_count_oracle(edges: list[tuple[int, int]]) -> int:
     """Unordered simple paths on 4 distinct vertices (3 edges).
 

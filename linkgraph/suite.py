@@ -639,6 +639,266 @@ FROM (
 
 
 # ---------------------------------------------------------------------------
+# near-dup dedup family (documents)
+# ---------------------------------------------------------------------------
+
+
+def q_minhash_lsh_dedup(spark, sf_dir):
+    """MinHash(16) + LSH(8 bands) near-dup pairs, exact-Jaccard verified."""
+    from . import dedup
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.minhash_lsh_pairs(d, num_hashes=16, bands=8, jaccard_threshold=0.5)
+
+
+def q_simhash_pairs(spark, sf_dir):
+    """32-bit SimHash pairs with Hamming distance <= 3."""
+    from . import dedup
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.simhash_pairs(d, bits=32, max_hamming=3)
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    """Exact word-3-gram Jaccard pairs >= 0.3 (the LSH verify stage, standalone)."""
+    from . import dedup
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.ngram_jaccard_pairs(d, shingle_k=3, threshold=0.3)
+
+
+def q_embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (cos >= 0.45)."""
+    from . import dedup
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return dedup.embedding_near_dup(e, threshold=0.45)
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    """Karp-Rabin rolling-hash document fingerprints + fingerprint dedup."""
+    from . import text
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return text.doc_fingerprints(d)
+
+
+def q_bpe_token_stats(spark, sf_dir):
+    """BPE-ish regex tokenizer statistics per document."""
+    from . import text
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return text.bpe_token_stats(d)
+
+
+# ---------------------------------------------------------------------------
+# ANN (LSH-bucketed scale path; brute force is q_embedding_topk)
+# ---------------------------------------------------------------------------
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    """Hyperplane-LSH bucketed cosine top-5 for queries vec_id < 20."""
+    from . import ann
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 20)
+    return ann.lsh_topk(e, q, k=5, bands=3, planes_per_band=4, dim=64)
+
+
+# ---------------------------------------------------------------------------
+# multimodal binary-column plumbing (Arrow mapInPandas; decode is a stub)
+# ---------------------------------------------------------------------------
+
+
+def q_multimodal_decode(spark, sf_dir):
+    from . import multimodal
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return multimodal.decode_features(multimodal.docs_as_blobs(d))
+
+
+def q_multimodal_frames(spark, sf_dir):
+    from . import multimodal
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return multimodal.frame_sample(multimodal.docs_as_blobs(d), stride=64)
+
+
+# ---------------------------------------------------------------------------
+# structured streaming (parity vs the batch oracles)
+# ---------------------------------------------------------------------------
+
+
+def q_stream_hourly(spark, sf_dir):
+    from . import streaming
+
+    return streaming.stream_hourly_counts(
+        spark, f"{sf_dir}/events.parquet", sink_table="q_stream_hourly"
+    )
+
+
+def q_stream_sessions(spark, sf_dir):
+    from . import streaming
+
+    return streaming.stream_sessionize(
+        spark, f"{sf_dir}/events.parquet", sink_table="q_stream_sessions"
+    )
+
+
+# ---------------------------------------------------------------------------
+# additional motif / predicate parity queries
+# ---------------------------------------------------------------------------
+
+
+def q_five_house(spark, sf_dir):
+    from .algos import motifs
+
+    return _scalar_df(spark, "five_houses", motifs.five_house_count(edges_b(spark, sf_dir)))
+
+
+FIVE_HOUSE_SQL = f"""
+WITH {EDGES_B_SQL}, {UND_B_SQL},
+roof AS (
+  SELECT e01.src AS v0, e01.dst AS v1, e02.dst AS v2
+  FROM und_b e01
+  JOIN und_b e02 ON e01.src = e02.src AND e01.dst <> e02.dst
+  WHERE EXISTS (SELECT 1 FROM und_b e12 WHERE e12.src = e01.dst AND e12.dst = e02.dst)
+),
+walls AS (
+  SELECT r.v0, r.v1, r.v2, e13.dst AS v3, e24.dst AS v4
+  FROM roof r
+  JOIN und_b e13 ON e13.src = r.v1
+  JOIN und_b e24 ON e24.src = r.v2
+  WHERE e13.dst <> r.v0 AND e13.dst <> r.v2
+    AND e24.dst <> r.v0 AND e24.dst <> r.v1 AND e24.dst <> e13.dst
+)
+SELECT CAST(count(*) / 2 AS BIGINT) AS five_houses
+FROM walls w
+WHERE EXISTS (SELECT 1 FROM und_b e34 WHERE e34.src = w.v3 AND e34.dst = w.v4)
+"""
+
+EDGES_C_SQL = """
+edges_c AS (
+  SELECT DISTINCT
+    CAST((c_custkey * 19 + 11) % 150 AS BIGINT) AS src,
+    CAST((c_nationkey * 23 + c_custkey * 3 + 1) % 150 AS BIGINT) AS dst
+  FROM customer
+  WHERE c_custkey % 7 < 2
+    AND (c_custkey * 19 + 11) % 150 <> (c_nationkey * 23 + c_custkey * 3 + 1) % 150
+)"""
+
+
+def edges_c(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    s = (F.col("c_custkey").cast("long") * 19 + 11) % 150
+    d = (F.col("c_nationkey").cast("long") * 23 + F.col("c_custkey").cast("long") * 3 + 1) % 150
+    return (
+        c.filter(F.col("c_custkey") % 7 < 2)
+        .select(s.alias("src"), d.alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def q_five_chain(spark, sf_dir):
+    """Runtime-parameterized k-chain (k=5), the reference's ChainMining
+    (/root/reference/applications/ChainMining.cpp:18-106)."""
+    from .algos import motifs
+
+    return _scalar_df(spark, "five_chains", motifs.k_chain_count(edges_c(spark, sf_dir), 5))
+
+
+FIVE_CHAIN_SQL = f"""
+WITH {EDGES_C_SQL},
+und_c AS (
+  SELECT src, dst FROM edges_c UNION SELECT dst, src FROM edges_c
+)
+SELECT CAST(count(*) / 2 AS BIGINT) AS five_chains
+FROM und_c e1
+JOIN und_c e2 ON e1.dst = e2.src AND e2.dst <> e1.src
+JOIN und_c e3 ON e2.dst = e3.src AND e3.dst <> e2.src AND e3.dst <> e1.src
+JOIN und_c e4 ON e3.dst = e4.src AND e4.dst <> e3.src AND e4.dst <> e2.src
+                 AND e4.dst <> e1.src
+"""
+
+
+def q_at_least_one_weighted_triangle(spark, sf_dir):
+    """Inclusion-exclusion predicate triangles: >= 1 edge with weight >= 50
+    (/root/reference/applications/AtLeastOnePredicateWeightedTriangle.cpp:135-153)."""
+    from .algos import motifs
+
+    e = edges_a(spark, sf_dir).withColumn(
+        "weight", ((F.col("src") * 31 + F.col("dst") * 7) % 79).cast("long")
+    )
+    n = motifs.at_least_one_predicate_triangle_count(e, F.col("weight") >= 50)
+    return _scalar_df(spark, "triangles_pred", n)
+
+
+AT_LEAST_ONE_SQL = f"""
+WITH {EDGES_A_SQL},
+w AS (SELECT src, dst, (src * 31 + dst * 7) % 79 AS weight FROM edges_a),
+oe_all AS (SELECT DISTINCT least(src,dst) AS a, greatest(src,dst) AS b FROM w),
+oe_none AS (SELECT DISTINCT least(src,dst) AS a, greatest(src,dst) AS b
+            FROM w WHERE NOT (weight >= 50)),
+t_all AS (
+  SELECT count(*) AS n FROM oe_all e1
+  JOIN oe_all e2 ON e1.b = e2.a
+  JOIN oe_all e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+t_none AS (
+  SELECT count(*) AS n FROM oe_none e1
+  JOIN oe_none e2 ON e1.b = e2.a
+  JOIN oe_none e3 ON e3.a = e1.a AND e3.b = e2.b
+)
+SELECT CAST((SELECT n FROM t_all) - (SELECT n FROM t_none) AS BIGINT) AS triangles_pred
+"""
+
+
+def q_three_motif(spark, sf_dir):
+    """Both connected 3-vertex motifs in one pass over a shared cached
+    intermediate (/root/reference/applications/ThreeMotif.cpp:42-122)."""
+    from .algos import motifs
+
+    c = motifs.three_motif_counts(edges_a(spark, sf_dir))
+    return spark.createDataFrame(
+        [(c["triangle"], c["three_chain_open"], c["three_chain_total"])],
+        "triangles long, three_chain_open long, three_chain_total long",
+    )
+
+
+THREE_MOTIF_SQL = f"""
+WITH {EDGES_A_SQL}, {OE_A_SQL}, {UND_A_SQL},
+tri AS (
+  SELECT count(*) AS n FROM oe_a e1
+  JOIN oe_a e2 ON e1.b = e2.a
+  JOIN oe_a e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+ch AS (
+  SELECT coalesce(sum(d * (d - 1) / 2), 0) AS n
+  FROM (SELECT count(*) AS d FROM und_a GROUP BY src) t
+)
+SELECT CAST((SELECT n FROM tri) AS BIGINT) AS triangles,
+       CAST((SELECT n FROM ch) - 3 * (SELECT n FROM tri) AS BIGINT) AS three_chain_open,
+       CAST((SELECT n FROM ch) AS BIGINT) AS three_chain_total
+"""
+
+
+def q_triangle_sampled(spark, sf_dir):
+    """ASAP-style sampled triangle estimate (rows-only check: the estimate
+    is randomized; exactness is asserted statistically in tests/)."""
+    from .algos.triangles import triangle_count, triangle_count_sampled
+
+    e = edges_a(spark, sf_dir)
+    est = triangle_count_sampled(e, num_estimators=200_000, seed=42)
+    exact = triangle_count(e)
+    rel_err = abs(est - exact) / exact if exact else 0.0
+    return spark.createDataFrame(
+        [(float(est), int(exact), float(rel_err), bool(rel_err <= 0.15))],
+        "estimate double, exact long, rel_err double, within_15pct boolean",
+    )
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -665,3 +925,51 @@ REGISTRY: dict = {
     "pricing_summary": (q_pricing_summary, PRICING_SUMMARY_SQL),
     "top_customer_per_nation": (q_top_customer_per_nation, TOP_CUSTOMER_SQL),
 }
+
+
+def _register_extensions() -> None:
+    from . import ann, dedup, multimodal, text  # noqa: F401
+
+    REGISTRY.update(
+        {
+            "minhash_lsh_dedup": (
+                q_minhash_lsh_dedup,
+                dedup.minhash_lsh_pairs_sql(num_hashes=16, bands=8,
+                                            jaccard_threshold=0.5),
+            ),
+            "simhash_pairs": (
+                q_simhash_pairs,
+                dedup.simhash_pairs_sql(bits=32, max_hamming=3),
+            ),
+            "ngram_jaccard": (
+                q_ngram_jaccard,
+                dedup.ngram_jaccard_pairs_sql(shingle_k=3, threshold=0.3),
+            ),
+            "embedding_near_dup": (
+                q_embedding_near_dup,
+                dedup.embedding_near_dup_sql(threshold=0.45),
+            ),
+            "doc_fingerprint": (q_doc_fingerprint, text.doc_fingerprints_sql()),
+            "bpe_token_stats": (q_bpe_token_stats, text.bpe_token_stats_sql()),
+            "ann_lsh_topk": (
+                q_ann_lsh_topk,
+                ann.lsh_topk_sql(query_where="vec_id < 20", k=5, bands=3,
+                                 planes_per_band=4, dim=64),
+            ),
+            "multimodal_decode": (q_multimodal_decode, multimodal.decode_features_sql()),
+            "multimodal_frames": (q_multimodal_frames, multimodal.frame_sample_sql(stride=64)),
+            "stream_hourly": (q_stream_hourly, EVENT_HOURLY_SQL),
+            "stream_sessions": (q_stream_sessions, EVENT_SESSIONS_SQL),
+            "five_house_count": (q_five_house, FIVE_HOUSE_SQL),
+            "five_chain_count": (q_five_chain, FIVE_CHAIN_SQL),
+            "at_least_one_weighted_triangle": (
+                q_at_least_one_weighted_triangle,
+                AT_LEAST_ONE_SQL,
+            ),
+            "three_motif_counts": (q_three_motif, THREE_MOTIF_SQL),
+            "triangle_sampled_estimate": (q_triangle_sampled, None),
+        }
+    )
+
+
+_register_extensions()

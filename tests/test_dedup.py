@@ -1,0 +1,112 @@
+"""Dedup operators vs pure-python oracles on planted duplicates."""
+
+import numpy as np
+import pytest
+
+from linkgraph import dedup, oracles
+
+BASE = ("the quick brown fox jumps over the lazy dog while the cat "
+        "sleeps on the warm mat near the door")
+DOCS = [
+    (0, BASE),
+    (1, BASE),  # exact dup of 0
+    (2, BASE.replace("lazy", "sleepy")),  # near dup of 0
+    (3, "completely different text about spark dataframes and shuffles "
+        "partitions joins aggregations and window functions at scale"),
+    (4, "short text"),  # < 3 words after split? (2 words -> no shingles)
+    (5, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string").persist()
+
+
+def _jaccard(a: str, b: str, k: int = 3) -> float:
+    sa = set(oracles.word_shingles_oracle(a, k))
+    sb = set(oracles.word_shingles_oracle(b, k))
+    return len(sa & sb) / len(sa | sb) if sa | sb else 0.0
+
+
+def test_minhash_lsh_finds_planted_dups(docs):
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard_e6"]
+        for r in dedup.minhash_lsh_pairs(docs, jaccard_threshold=0.5).collect()
+    }
+    assert (0, 1) in got and got[(0, 1)] == 1_000_000  # exact dup
+    assert (0, 2) in got and (1, 2) in got  # near dup
+    assert got[(0, 2)] == round(_jaccard(BASE, DOCS[2][1]) * 1e6)
+    # unrelated docs must not appear
+    assert all(3 not in pair and 5 not in pair for pair in got)
+
+
+def test_minhash_signature_matches_python(docs):
+    sig = dedup.minhash_signature(docs, num_hashes=4).filter("id = 0").collect()[0]
+    sh = oracles.word_shingles_oracle(BASE)
+    for i in range(4):
+        exp = min(oracles.h60_oracle(f"{s}#{i}") for s in sh)
+        assert sig[f"mh_{i}"] == exp
+
+
+def test_short_doc_has_no_shingles(docs):
+    sig = dedup.minhash_signature(docs, num_hashes=2).filter("id = 4").collect()[0]
+    assert sig["shingles"] == []
+    assert sig["mh_0"] is None
+
+
+def test_simhash_matches_python(docs):
+    got = {r["id"]: r["simhash"] for r in dedup.simhash(docs, bits=32).collect()}
+    for doc_id, text in DOCS:
+        assert got[doc_id] == oracles.simhash_oracle(text, 32), doc_id
+
+
+def test_simhash_pairs_planted(docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dedup.simhash_pairs(docs, bits=32, max_hamming=6).collect()
+    }
+    assert pairs.get((0, 1)) == 0  # exact dup
+    assert (0, 2) in pairs  # near dup: few words differ
+    a, b = oracles.simhash_oracle(BASE, 32), oracles.simhash_oracle(DOCS[3][1], 32)
+    if bin(a ^ b).count("1") > 6:
+        assert (0, 3) not in pairs
+
+
+def test_ngram_jaccard_matches_python(docs):
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard_e6"]
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.0).collect()
+    }
+    for i in range(len(DOCS)):
+        for j in range(i + 1, len(DOCS)):
+            ta, tb = DOCS[i][1], DOCS[j][1]
+            if not oracles.word_shingles_oracle(ta) or not oracles.word_shingles_oracle(tb):
+                continue
+            assert got[(i, j)] == round(_jaccard(ta, tb) * 1e6)
+
+
+def test_embedding_near_dup_matches_numpy(spark):
+    rng = np.random.RandomState(0)
+    vecs = rng.randn(20, 8)
+    vecs[7] = vecs[3] + 0.01 * rng.randn(8)  # planted near-dup
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(20)],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["cos_e6"]
+        for r in dedup.embedding_near_dup(df, threshold=0.95).collect()
+    }
+    norm = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = norm @ norm.T
+    exp = {
+        (i, j): round(sims[i, j] * 1e6)
+        for i in range(20)
+        for j in range(i + 1, 20)
+        if sims[i, j] >= 0.95
+    }
+    assert set(got) == set(exp)
+    assert (3, 7) in got
+    for k in got:
+        assert abs(got[k] - exp[k]) <= 1  # float last-ulp rounding

@@ -1,0 +1,126 @@
+"""Fingerprint / BPE-ish tokens / ANN / multimodal plumbing vs oracles."""
+
+import numpy as np
+import pytest
+
+from linkgraph import ann, multimodal, oracles, text
+
+DOCS = [
+    (0, "Hello world 123 foo-bar!"),
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "a1b2c3 ... ;; spark 4 ever"),
+    (3, "x"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string").persist()
+
+
+def test_fingerprint_matches_python(docs):
+    got = {r["doc_id"]: r["fingerprint"]
+           for r in text.doc_fingerprints(docs).collect()}
+    for i, t in DOCS:
+        assert got[i] == oracles.fingerprint_oracle(t), i
+
+
+def test_fingerprint_dedup_marks_dups(spark):
+    df = spark.createDataFrame(
+        [(0, "same text here"), (1, "same text here"), (2, "other")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in text.doc_fingerprints(df).collect()}
+    assert rows[0]["is_dup"] is False and rows[1]["is_dup"] is True
+    assert rows[1]["keep_id"] == 0 and rows[2]["is_dup"] is False
+
+
+def test_bpe_token_stats(docs):
+    import re
+
+    got = {r["doc_id"]: r for r in text.bpe_token_stats(docs).collect()}
+    for i, t in DOCS:
+        toks = re.findall(text.BPE_RE, t)
+        assert got[i]["n_bpe"] == len(toks)
+        assert got[i]["n_alpha"] == sum(1 for x in toks if re.fullmatch("[A-Za-z]+", x))
+        assert got[i]["n_num"] == sum(1 for x in toks if re.fullmatch("[0-9]+", x))
+        assert got[i]["n_punct"] == (
+            got[i]["n_bpe"] - got[i]["n_alpha"] - got[i]["n_num"]
+        )
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    rng = np.random.RandomState(3)
+    vecs = rng.randn(40, 16)
+    return spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    ).persist()
+
+
+def test_brute_force_topk_matches_numpy(embeddings):
+    q = embeddings.filter("vec_id < 3")
+    got = ann.cosine_topk(embeddings, q, k=3).collect()
+    vecs = np.array([r["embedding"] for r in embeddings.orderBy("vec_id").collect()])
+    norm = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = norm @ norm.T
+    for qid in range(3):
+        order = [
+            j for j in sorted(range(40), key=lambda j: (-sims[qid, j], j)) if j != qid
+        ][:3]
+        mine = [r["neighbor_id"] for r in got if r["query_id"] == qid]
+        assert mine == order
+
+
+def test_lsh_topk_matches_python_reimpl(embeddings):
+    k, bands, ppb, dim = 3, 2, 3, 16
+    got = ann.lsh_topk(embeddings, embeddings.filter("vec_id < 5"),
+                       k=k, bands=bands, planes_per_band=ppb, dim=dim)
+    rows = got.collect()
+    planes = np.array(ann.hyperplanes(dim, bands * ppb))
+    vecs = np.array([r["embedding"] for r in embeddings.orderBy("vec_id").collect()])
+    signs = (vecs @ planes.T) >= 0
+    sigs = np.zeros((40, bands), dtype=int)
+    for b in range(bands):
+        for j in range(ppb):
+            sigs[:, b] |= signs[:, b * ppb + j].astype(int) << j
+    norm = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = norm @ norm.T
+    for qid in range(5):
+        cand = [
+            j for j in range(40)
+            if j != qid and any(sigs[j, b] == sigs[qid, b] for b in range(bands))
+        ]
+        exp = sorted(cand, key=lambda j: (-sims[qid, j], j))[:k]
+        mine = [r["neighbor_id"] for r in sorted(rows, key=lambda r: r["rank"])
+                if r["query_id"] == qid]
+        assert mine == exp, qid
+
+
+def test_multimodal_decode_matches_stub(docs):
+    blobs = multimodal.docs_as_blobs(docs)
+    got = {r["doc_id"]: r for r in multimodal.decode_features(blobs).collect()}
+    for i, t in DOCS:
+        b = t.encode("utf-8")
+        n, head, tail, byte_sum, wh = multimodal._decode_stub(b)
+        assert got[i]["n_bytes"] == n
+        assert got[i]["head_byte"] == head
+        assert got[i]["tail_byte"] == tail
+        assert got[i]["byte_sum_1k"] == byte_sum
+        assert got[i]["fake_width"] == wh // 1000000
+        assert got[i]["fake_height"] == wh % 1000000
+
+
+def test_multimodal_frame_sample(docs):
+    blobs = multimodal.docs_as_blobs(docs)
+    got = {r["doc_id"]: r for r in multimodal.frame_sample(blobs, stride=8).collect()}
+    for i, t in DOCS:
+        assert got[i]["n_frames"] == len(t.encode()) // 8
+        assert got[i]["frame_stride"] == 8
+
+
+def test_multimodal_preserves_partitioning(docs):
+    """mapInPandas must not introduce a shuffle."""
+    blobs = multimodal.docs_as_blobs(docs.repartition(4, "doc_id"))
+    assert multimodal.decode_features(blobs).rdd.getNumPartitions() == 4
