@@ -99,7 +99,23 @@ def main():
     timings["triangle_count"] = time.time() - t0
     extra["triangles"] = tri
 
-    # 6. Ingest: synthetic pages -> edge table (pandas-UDF outlink extraction)
+    # 6. Training-data pipeline ops at sf scale
+    from linkgraph import suite as _suite
+
+    t0 = time.time()
+    n_dup_pairs = _suite.q_minhash_lsh_dedup(spark, sf_dir).count()
+    timings["minhash_lsh_dedup"] = time.time() - t0
+    extra["minhash_dup_pairs"] = n_dup_pairs
+
+    t0 = time.time()
+    _suite.q_ann_lsh_topk(spark, sf_dir).count()
+    timings["ann_lsh_topk"] = time.time() - t0
+
+    t0 = time.time()
+    _suite.q_stream_hourly(spark, sf_dir).count()
+    timings["stream_hourly"] = time.time() - t0
+
+    # 7. Ingest: synthetic pages -> edge table (pandas-UDF outlink extraction)
     n_pages = 20000
     pages = datagen.synth_pages(spark, n_pages, partitions=P)
     t0 = time.time()

@@ -13,9 +13,10 @@ in the component) — the analogue of the reference's exact counters in
 
 from __future__ import annotations
 
+import gc
 import time
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from ..ckpt import CheckpointManager
@@ -63,13 +64,18 @@ def connected_components(
 
     for it in range(start_iter, max_iter):
         t0 = time.time()
+        # shuffle-hash hint: keep sym's pinned src-partitioning (no exchange,
+        # no per-superstep sort of E rows); only the V-row state shuffles
         nb_min = (
-            sym.join(labels.withColumnRenamed("id", "src"), "src")
+            sym.join(
+                labels.withColumnRenamed("id", "src").hint("shuffle_hash"), "src"
+            )
             .groupBy(F.col("dst").alias("id"))
             .agg(F.min("component").alias("nb_component"))
         )
+        obs = Observation(f"cc_changes_{it}")
         updated = (
-            labels.join(nb_min, "id", "left")
+            labels.join(nb_min.hint("shuffle_hash"), "id", "left")
             .select(
                 "id",
                 F.least(
@@ -78,11 +84,12 @@ def connected_components(
                 (F.col("nb_component") < F.col("component")).alias("_changed"),
             )
             .repartition(P, "id")
+            # change count piggy-backs on the checkpoint job (one job/superstep)
+            .observe(obs, F.coalesce(
+                F.sum(F.col("_changed").cast("long")), F.lit(0)).alias("c"))
             .localCheckpoint(eager=True)
         )
-        changes = updated.agg(
-            F.coalesce(F.sum(F.col("_changed").cast("long")), F.lit(0)).alias("c")
-        ).collect()[0]["c"]
+        changes = int(obs.get["c"])
         new_labels = updated.select("id", "component")
         secs = time.time() - t0
         m = {
@@ -97,6 +104,7 @@ def connected_components(
         if ckpt is not None:
             ckpt.save(it, new_labels, m)
         labels = new_labels
+        gc.collect()  # release prior superstep's checkpoint RDD + shuffles
         if changes == 0:
             break
 

@@ -13,9 +13,10 @@ shuffle beyond the grouped agg, no Python in the loop.
 
 from __future__ import annotations
 
+import gc
 import time
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from ..ckpt import CheckpointManager
@@ -63,9 +64,11 @@ def label_propagation(
     for it in range(start_iter, max_iter):
         t0 = time.time()
         # label of each neighbor (dst side carries the label; edge points at id=src)
-        nb = sym.join(labels.withColumnRenamed("id", "dst"), "dst").select(
-            F.col("src").alias("id"), "label"
-        )
+        # shuffle-hash hint: sym keeps its pinned dst-partitioning; only the
+        # V-row label state shuffles (and no per-superstep sort of E rows)
+        nb = sym.join(
+            labels.withColumnRenamed("id", "dst").hint("shuffle_hash"), "dst"
+        ).select(F.col("src").alias("id"), "label")
         # mode with min-label tie-break: argmax of (count, -label)
         best = (
             nb.groupBy("id", "label")
@@ -74,21 +77,20 @@ def label_propagation(
             .agg(F.max(F.struct(F.col("cnt"), (-F.col("label")).alias("neg"))).alias("m"))
             .select("id", (-F.col("m.neg")).alias("nb_label"))
         )
+        obs = Observation(f"lp_changes_{it}")
         updated = (
-            labels.join(best, "id", "left")
+            labels.join(best.hint("shuffle_hash"), "id", "left")
             .select(
                 "id",
                 F.coalesce("nb_label", F.col("label")).alias("new_label"),
                 (F.coalesce("nb_label", F.col("label")) != F.col("label")).alias("_chg"),
             )
             .repartition(P, "id")
+            .observe(obs, F.coalesce(
+                F.sum(F.col("_chg").cast("long")), F.lit(0)).alias("c"))
             .localCheckpoint(eager=True)
         )
-        changes = int(
-            updated.agg(
-                F.coalesce(F.sum(F.col("_chg").cast("long")), F.lit(0)).alias("c")
-            ).collect()[0]["c"]
-        )
+        changes = int(obs.get["c"])
         new_labels = updated.select("id", F.col("new_label").alias("label"))
         secs = time.time() - t0
         m = {
@@ -103,6 +105,7 @@ def label_propagation(
         if ckpt is not None:
             ckpt.save(it, new_labels, m)
         labels = new_labels
+        gc.collect()  # release prior superstep's checkpoint RDD + shuffles
         if changes == 0:
             break
 

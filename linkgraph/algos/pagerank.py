@@ -1,35 +1,47 @@
-"""PageRank as iterative DataFrame joins + grouped aggregation.
+"""PageRank over hash-partitioned CSR-style adjacency blocks.
 
 Semantics: damping 0.85, uniform dangling-mass redistribution, ranks sum
 to 1, convergence when the L1 delta < tol.  This is the engine's headline
 metric query (BASELINE.json: edges-processed/sec per superstep, wall-time
 to 1e-6 convergence).
 
-Scale design:
-  * ``links`` (edges ⋈ out-degree) is computed once, hash-partitioned on
-    ``src`` (pinned per superstep — the partitioning is reused by every
-    iteration's join) and persisted.
-  * The per-superstep shuffle is exactly one: re-keying contributions from
-    src-partitioning to dst-partitioning inside the groupBy(dst).  The
-    rank-contribution sum uses Spark's map-side partial aggregation, which
-    already absorbs in-degree hub skew.
-  * Out-degree hub skew on the ranks⋈links join is handled with explicit
-    salting (skew.salted_join) — edges of hub vertices are split across
-    ``num_salts`` shards and the hub's rank row is replicated (north rule).
+Scale design (north rule: "DataFrame self-joins and grouped aggregations
+over hash-partitioned CSR-style adjacency blocks ... salted/split hub
+partitions ... pinned shuffle partitioning per superstep"):
+
+  * **Adjacency blocks**: the edge table is packed ONCE into
+    ``(src, salt, dsts: array<long>, out_degree)`` rows — the Spark form of
+    the reference's per-socket CSR (/root/reference/include/Graph.hpp:148-166,
+    built at /root/reference/src/Graph.cpp:215-377).  Per superstep the scan
+    touches V-ish block rows with packed arrays instead of E individual edge
+    rows: far less memory traffic, and the per-superstep join keys shrink
+    from E to ~V rows.
+  * **Hub splitting == salting**: a vertex with out-degree > block_size is
+    split into multiple blocks; block i gets salt = i mod num_salts, so a
+    hub's adjacency spreads across num_salts shuffle partitions.  The static
+    ``salt_map`` (src -> distinct salts) replicates a hub's rank row to
+    exactly the salts its blocks live in; non-hubs stay single-copy.
+  * **Pinned partitioning**: blocks are persisted repartition(P, src, salt);
+    every superstep's join reuses it (no exchange, no sort — the SHUFFLE_HASH
+    hint keeps Spark from sort-merge-joining the big side).  Only the V-row
+    rank state shuffles per superstep, plus the map-side-combined
+    contribution aggregation.
   * **Dangling mass needs no join**: with ranks summing to 1, the uniform
     dangling redistribution is a per-vertex constant recoverable from the
     raw update's total mass — S = sum(raw') = 1 - d*dm, so the correction
-    is corr = (1 - S)/V, folded lazily into the next superstep.  This
-    removes the reference-style dangling semi-join + broadcast job; each
-    superstep is ONE heavy job (contrib shuffle + checkpoint) plus a
-    V-row scalar aggregate.
-  * Per-iteration ``localCheckpoint`` truncates lineage; optional durable
-    checkpoint (parquet + metrics.json) enables mid-algorithm resume
-    (ckpt.CheckpointManager).
+    corr = (1-S)/V folds lazily into the next superstep.  The correction
+    enters through a broadcast 1-row LocalRelation (not a literal), keeping
+    generated code byte-identical across supersteps (codegen cache hits).
+  * **One job per superstep**: the mass sum piggy-backs on the eager
+    localCheckpoint via the Observation API; the checkpoint truncates
+    lineage (the reference's "plain arrays" model, by other means).
+  * Optional durable checkpoint (parquet + metrics.json) for mid-algorithm
+    resume (ckpt.CheckpointManager).
 
-Reference parity: the superstep loop replaces ZGraph's
-OpenMP-reduction + MPI_Allreduce execution (/root/reference/src/ZGraphInstance.cpp:257-297);
-partitioning replaces its 1-D vertex-range scheme (/root/reference/src/Graph.cpp:26-111).
+Reference parity: the superstep loop replaces ZGraph's OpenMP reduction +
+MPI_Allreduce (/root/reference/src/ZGraphInstance.cpp:257-297); block
+packing replaces its 1-D vertex-range partitioning + CSR build
+(/root/reference/src/Graph.cpp:26-111,215-377).
 """
 
 from __future__ import annotations
@@ -37,11 +49,52 @@ from __future__ import annotations
 import gc
 import time
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation, Window
 from pyspark.sql import functions as F
 
 from ..ckpt import CheckpointManager
-from .. import skew as _skew
+
+DEFAULT_BLOCK_SIZE = 4096
+
+
+def adjacency_blocks(
+    edges: DataFrame,
+    partitions: int,
+    block_size: int = DEFAULT_BLOCK_SIZE,
+    num_salts: int = 8,
+) -> tuple[DataFrame, DataFrame]:
+    """Pack edges into CSR-style blocks; returns (blocks, salt_map).
+
+    blocks: (src, salt, dsts array<long>, out_degree long), persisted,
+    hash-partitioned on (src, salt).  salt_map: (src, salts array<int>) —
+    the distinct salts of each src's blocks, persisted, partitioned on src.
+    """
+    w = Window.partitionBy("src").orderBy("dst")
+    b = (
+        edges.select("src", "dst")
+        .withColumn("_bi", F.floor((F.row_number().over(w) - 1) / block_size))
+        .groupBy("src", "_bi")
+        .agg(F.collect_list("dst").alias("dsts"))
+        .withColumn("salt", F.pmod(F.col("_bi"), F.lit(num_salts)).cast("int"))
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_degree"))
+    blocks = (
+        b.join(deg, "src")
+        .select("src", "salt", "dsts", "out_degree")
+        .repartition(partitions, "src", "salt")
+        .persist()
+    )
+    salt_map = (
+        blocks.select("src", "salt")
+        .distinct()
+        .groupBy("src")
+        .agg(F.collect_set("salt").alias("salts"))
+        .repartition(partitions, "src")
+        .persist()
+    )
+    blocks.count()
+    salt_map.count()
+    return blocks, salt_map
 
 
 def pagerank(
@@ -56,16 +109,19 @@ def pagerank(
     hub_degree_threshold: int | None = None,
     num_salts: int = 8,
     lineage_truncate_every: int = 1,
+    block_size: int | None = None,
 ) -> tuple[DataFrame, list[dict]]:
     """Run PageRank; returns (ranks(id, rank), per-iteration metrics).
 
     ``num_iters`` forces an exact iteration count (no convergence check) —
     used for fixed-iteration oracle comparisons; otherwise iterate until
-    the L1 delta < ``tol`` or ``max_iter``.
+    the L1 delta < ``tol`` or ``max_iter``.  ``hub_degree_threshold``
+    doubles as the adjacency block size (vertices above it are split/salted
+    across ``num_salts`` shuffle partitions).
     """
     spark = edges.sparkSession
-    P = partitions or edges.sparkSession.conf.get("spark.sql.shuffle.partitions")
-    P = int(P)
+    P = int(partitions or spark.conf.get("spark.sql.shuffle.partitions"))
+    bs = block_size or hub_degree_threshold or DEFAULT_BLOCK_SIZE
 
     if vertices is None:
         vertices = (
@@ -75,28 +131,9 @@ def pagerank(
         )
     v = vertices.select("id").repartition(P, "id").persist()
     V = v.count()
-
-    out_deg = edges.groupBy(F.col("src").alias("id")).agg(
-        F.count(F.lit(1)).alias("out_degree")
-    )
-    links = (
-        edges.select("src", "dst")
-        .join(out_deg.withColumnRenamed("id", "src"), "src")
-        .repartition(P, "src")
-        .persist()
-    )
-    links.count()  # materialize once; reused every superstep
     E = edges.count()
 
-    hubs = None
-    if hub_degree_threshold is not None:
-        hubs = _skew.hub_ids(
-            out_deg.withColumnRenamed("out_degree", "degree"), hub_degree_threshold
-        ).persist()
-        links_salted = _skew.salt_edges(
-            links, hubs, "src", num_salts
-        ).repartition(P, "src", "_salt").persist()
-        links_salted.count()
+    blocks, salt_map = adjacency_blocks(edges, P, bs, num_salts)
 
     ckpt = CheckpointManager(checkpoint_dir) if checkpoint_dir else None
     metrics: list[dict] = []
@@ -116,50 +153,48 @@ def pagerank(
     it = start_iter
     while it < total_iters:
         t0 = time.time()
-        # the correction enters through a broadcast 1-row LocalRelation, NOT
-        # a literal: the generated code is byte-identical across supersteps,
-        # so whole-stage-codegen compiles once and is cache-hit thereafter
+        # correction via broadcast 1-row LocalRelation: codegen-stable
         corr_df = spark.createDataFrame([(float(corr),)], "corr double")
         src_ranks = ranks_raw.crossJoin(F.broadcast(corr_df)).select(
             F.col("id").alias("src"), (F.col("rank") + F.col("corr")).alias("rank")
         )
-        # SHUFFLE_HASH hint on the per-vertex state side: the persisted edge
-        # side keeps its pinned src-partitioning (no exchange, and — unlike
-        # sort-merge — no per-superstep sort of E rows); only the V-row state
-        # shuffles.  State comes from a checkpoint RDD whose stats are
-        # unknown, so without the hint Spark would fall back to SMJ.
-        if hubs is not None:
-            joined = links_salted.join(
-                _skew.salt_state(src_ranks, hubs, "src", num_salts)
-                .hint("shuffle_hash"),
-                ["src", "_salt"],
-            )
-        else:
-            joined = links.join(src_ranks.hint("shuffle_hash"), "src")
+        # replicate each src's rank to exactly the salts its blocks occupy
+        ranks_salted = (
+            src_ranks.join(salt_map.hint("shuffle_hash"), "src")
+            .select("src", "rank", F.explode("salts").alias("salt"))
+        )
+        joined = blocks.join(ranks_salted.hint("shuffle_hash"), ["src", "salt"])
         contribs = (
-            joined.select("dst", (F.col("rank") / F.col("out_degree")).alias("contrib"))
-            .groupBy(F.col("dst").alias("id"))
+            joined.select(
+                F.explode("dsts").alias("id"),
+                (F.col("rank") / F.col("out_degree")).alias("contrib"),
+            )
+            .groupBy("id")
             .agg(F.sum("contrib").alias("contrib"))
         )
-        raw_new = (
-            v.join(contribs.hint("shuffle_hash"), "id", "left")
-            .select(
-                "id",
-                (
-                    F.lit((1.0 - damping) / V)
-                    + F.lit(damping) * F.coalesce(F.col("contrib"), F.lit(0.0))
-                ).alias("rank"),
-            )
-            .repartition(P, "id")
+        raw_new = v.join(contribs.hint("shuffle_hash"), "id", "left").select(
+            "id",
+            (
+                F.lit((1.0 - damping) / V)
+                + F.lit(damping) * F.coalesce(F.col("contrib"), F.lit(0.0))
+            ).alias("rank"),
         )
+        if P != int(spark.conf.get("spark.sql.shuffle.partitions")):
+            # groupBy/join above already leave hash(id, shuffle.partitions);
+            # an explicit exchange is only needed when the caller pinned a
+            # different P than the session default
+            raw_new = raw_new.repartition(P, "id")
         truncate = (it + 1) % lineage_truncate_every == 0
         if truncate:
+            # piggy-back the mass sum on the checkpoint job (Observation) —
+            # the superstep stays a single Spark job
+            obs = Observation(f"mass_{it}")
+            raw_new = raw_new.observe(obs, F.sum("rank").alias("s"))
             raw_new = raw_new.localCheckpoint(eager=True)
-
+            S = float(obs.get["s"])
+        else:
+            S = float(raw_new.agg(F.sum("rank").alias("s")).collect()[0]["s"])
         # dangling correction from total mass: S = 1 - damping * dm
-        S = float(
-            raw_new.agg(F.sum("rank").alias("s")).collect()[0]["s"]
-        )
         corr_new = (1.0 - S) / V
 
         delta = None
@@ -201,16 +236,12 @@ def pagerank(
         corr = corr_new
         it += 1
         # drop py4j refs to the previous superstep's checkpoint RDD so the
-        # ContextCleaner can free its memory and shuffle files — without
-        # this, executor memory grows linearly with iterations
+        # ContextCleaner can free its memory and shuffle files
         gc.collect()
         if delta is not None and delta < tol:
             break
 
     ranks = ranks_raw.select("id", (F.col("rank") + F.lit(corr)).alias("rank"))
-    for df in (v, links):
+    for df in (v, blocks, salt_map):
         df.unpersist()
-    if hubs is not None:
-        hubs.unpersist()
-        links_salted.unpersist()
     return ranks, metrics

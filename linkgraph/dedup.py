@@ -95,17 +95,17 @@ def minhash_signature(
     """
     sh = word_shingles(F.col(text_col), shingle_k)
     out = docs.select(F.col(id_col).alias("id"), sh.alias("shingles"))
-    for i in range(num_hashes):
-        out = out.withColumn(
-            f"mh_{i}",
-            F.array_min(
-                F.transform(
-                    F.col("shingles"),
-                    lambda s, i=i: h60(F.concat(s, F.lit(f"#{i}"))),
-                )
-            ),
+
+    def _mh(i: int):
+        # NB: the transform lambda must take exactly one parameter — a
+        # second parameter (even a defaulted one) is bound to the array
+        # INDEX column by PySpark's higher-order-function protocol.
+        suffix = F.lit(f"#{i}")
+        return F.array_min(
+            F.transform(F.col("shingles"), lambda s: h60(F.concat(s, suffix)))
         )
-    return out
+
+    return out.select("*", *[_mh(i).alias(f"mh_{i}") for i in range(num_hashes)])
 
 
 def minhash_lsh_pairs(

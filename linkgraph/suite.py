@@ -883,6 +883,38 @@ SELECT CAST((SELECT n FROM tri) AS BIGINT) AS triangles,
 """
 
 
+def q_edgelist_roundtrip(spark, sf_dir):
+    """Write the derived edge table to the reference's .edgelist and
+    .biedgelist formats, read both back, and aggregate — proves the legacy
+    source/sink path end-to-end (formats per SURVEY.md §1.2)."""
+    import tempfile
+
+    from . import sources
+
+    e = edges_c(spark, sf_dir)
+    d = tempfile.mkdtemp(prefix="lg_fmt_")
+    sources.write_edgelist(e, f"{d}/g.edgelist", 150)
+    sources.write_biedgelist(e, f"{d}/g.biedgelist")
+    a = sources.read_edgelist(spark, f"{d}/g.edgelist")
+    b = sources.read_biedgelist(spark, f"{d}/g.biedgelist")
+    agg = lambda df, tag: df.agg(  # noqa: E731
+        F.lit(tag).alias("fmt"),
+        F.count(F.lit(1)).cast("long").alias("n_edges"),
+        F.sum(F.col("src") * 3 + F.col("dst")).cast("long").alias("checksum"),
+    )
+    return agg(a, "edgelist").union(agg(b, "biedgelist"))
+
+
+EDGELIST_ROUNDTRIP_SQL = f"""
+WITH {EDGES_C_SQL},
+a AS (SELECT 'edgelist' AS fmt, CAST(count(*) AS BIGINT) AS n_edges,
+             CAST(sum(src * 3 + dst) AS BIGINT) AS checksum FROM edges_c),
+b AS (SELECT 'biedgelist' AS fmt, CAST(count(*) AS BIGINT) AS n_edges,
+             CAST(sum(src * 3 + dst) AS BIGINT) AS checksum FROM edges_c)
+SELECT * FROM a UNION ALL SELECT * FROM b
+"""
+
+
 def q_triangle_sampled(spark, sf_dir):
     """ASAP-style sampled triangle estimate (rows-only check: the estimate
     is randomized; exactness is asserted statistically in tests/)."""
@@ -967,6 +999,7 @@ def _register_extensions() -> None:
                 AT_LEAST_ONE_SQL,
             ),
             "three_motif_counts": (q_three_motif, THREE_MOTIF_SQL),
+            "edgelist_roundtrip": (q_edgelist_roundtrip, EDGELIST_ROUNDTRIP_SQL),
             "triangle_sampled_estimate": (q_triangle_sampled, None),
         }
     )

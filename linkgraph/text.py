@@ -41,9 +41,10 @@ def fingerprint(text: Column) -> Column:
 
 def fingerprint_sql(text_expr: str) -> str:
     w = f"regexp_split_to_array(trim(lower({text_expr})), '\\s+')"
+    hashes = f"list_transform({w}, w -> ({h60_sql('w')}) % {KR_MOD})"
     return (
-        f"list_reduce(list_prepend(CAST(0 AS BIGINT), {w}), "
-        f"(acc, w) -> (CAST(acc AS BIGINT) * {KR_BASE} + ({h60_sql('w')}) % {KR_MOD}) % {KR_MOD})"
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), {hashes}), "
+        f"(acc, h) -> (acc * {KR_BASE} + h) % {KR_MOD})"
     )
 
 
@@ -76,7 +77,7 @@ FROM f JOIN keep k ON f.fingerprint = k.fingerprint
 def bpe_token_stats(docs: DataFrame, text_col: str = "text",
                     id_col: str = "doc_id") -> DataFrame:
     """(doc_id, n_bpe, n_alpha, n_num, n_punct) via regex token classes."""
-    toks = F.regexp_extract_all(F.col(text_col), F.lit(BPE_RE))
+    toks = F.regexp_extract_all(F.col(text_col), F.lit(BPE_RE), 0)
     cls = lambda pat: F.size(F.filter(toks, lambda t: t.rlike(pat)))  # noqa: E731
     return docs.select(
         F.col(id_col).alias("doc_id"),

@@ -1,0 +1,101 @@
+"""File-format sources roundtrip + adaptive stopping + sampled estimators."""
+
+import os
+import random
+
+import pytest
+
+from linkgraph import adaptive, datagen, oracles, sources
+
+V = 30
+EDGES = datagen.expected_edges(V)
+
+
+@pytest.fixture()
+def tmp_graph_dir(tmp_path):
+    return str(tmp_path)
+
+
+def test_edgelist_roundtrip(spark, edges30, tmp_graph_dir):
+    path = os.path.join(tmp_graph_dir, "g.edgelist")
+    sources.write_edgelist(edges30, path, V)
+    assert sources.edgelist_meta(path) == (V, len(EDGES))
+    back = sources.read_edgelist(spark, path)
+    assert sorted((r["src"], r["dst"]) for r in back.collect()) == sorted(EDGES)
+
+
+def test_biedgelist_roundtrip(spark, edges30, tmp_graph_dir):
+    path = os.path.join(tmp_graph_dir, "g.biedgelist")
+    sources.write_biedgelist(edges30, path)
+    assert os.path.getsize(path) == 8 * len(EDGES)  # 2 x uint32 / edge
+    back = sources.read_biedgelist(spark, path)
+    assert sorted((r["src"], r["dst"]) for r in back.collect()) == sorted(EDGES)
+
+
+def test_biedgelist_weighted_roundtrip(spark, edges30, tmp_graph_dir):
+    from pyspark.sql import functions as F
+
+    w = edges30.withColumn("weight", (F.col("src") * 7 + F.col("dst")) % 79)
+    path = os.path.join(tmp_graph_dir, "gw.biedgelist")
+    sources.write_biedgelist(w, path, weighted=True)
+    back = sources.read_biedgelist(spark, path, weighted=True)
+    exp = sorted((s, d, (s * 7 + d) % 79) for s, d in EDGES)
+    assert sorted(tuple(r) for r in back.collect()) == exp
+
+
+def test_densify_ids(spark):
+    e = spark.createDataFrame(
+        [(100, 7), (7, 100), (100, 100), (7, 55), (100, 7)], "src long, dst long"
+    )
+    dense, mapping = sources.densify_ids(e)
+    mp = {r["orig_id"]: r["id"] for r in mapping.collect()}
+    assert mp == {7: 0, 55: 1, 100: 2}  # rank order
+    got = sorted((r["src"], r["dst"]) for r in dense.collect())
+    assert got == sorted([(2, 0), (0, 2), (0, 1)])
+
+
+def test_iestop_converges_to_mean():
+    random.seed(42)
+    st = adaptive.IEStop(alpha=0.05, delta=0.02)
+    mean = st.run(lambda i: random.gauss(100.0, 5.0))
+    assert st.n >= st.min_samples
+    assert abs(mean - 100.0) / 100.0 < 0.02
+
+
+def test_ebstop_stops_and_brackets():
+    random.seed(7)
+    st = adaptive.EBStop(eps=0.05, delta=0.05, value_range=20.0, max_samples=50_000)
+    while not st.add(random.uniform(40, 60)):
+        pass
+    assert abs(st.mean - 50.0) / 50.0 < 0.05
+
+
+def test_fit_k_exact():
+    assert adaptive.fit_k([(1.0, 3.0), (2.0, 6.0), (5.0, 15.0)]) == pytest.approx(3.0)
+
+
+def test_size_estimators_scales_with_variance():
+    low = adaptive.size_estimators([10.0, 10.1, 9.9, 10.05, 9.95], eps=0.05)
+    high = adaptive.size_estimators([1.0, 19.0, 2.0, 18.0, 10.0], eps=0.05)
+    assert high > low
+
+
+def test_three_chain_sampled_within_eps(spark, edges30):
+    from linkgraph.algos.triangles import three_chain_count_sampled
+
+    exact = oracles.three_chain_count_oracle(V, EDGES)
+    est = three_chain_count_sampled(edges30, num_estimators=20_000, seed=11)
+    assert abs(est - exact) / exact < 0.15
+
+
+def test_adaptive_loop_drives_spark_batches(spark, edges30):
+    """IEStop as the driver loop over per-batch sampled estimates (the
+    reference's main-rank work pump, sampling/main.cpp:97-146)."""
+    from linkgraph.algos.triangles import three_chain_count_sampled
+
+    exact = oracles.three_chain_count_oracle(V, EDGES)
+    st = adaptive.IEStop(alpha=0.05, delta=0.05, min_samples=5, max_samples=12)
+    mean = st.run(
+        lambda i: three_chain_count_sampled(edges30, num_estimators=2_000, seed=100 + i)
+    )
+    assert abs(mean - exact) / exact < 0.2
