@@ -44,10 +44,35 @@ class CheckpointManager:
         payload.setdefault("iteration", iteration)
         payload.setdefault("wall_clock", time.time())
         payload["num_state_partitions"] = state.rdd.getNumPartitions()
+        payload["partition_lineage"] = self._partition_lineage(
+            os.path.join(d, "state")
+        )
         mtmp = os.path.join(d, "metrics.json.tmp")
         with open(mtmp, "w") as f:
             json.dump(payload, f)
         os.rename(mtmp, os.path.join(d, "metrics.json"))
+
+    @staticmethod
+    def _partition_lineage(state_dir: str) -> list[dict]:
+        """Per-partition lineage from the written parquet footers (row count
+        + byte size per part file) — metadata-only reads, no extra Spark job.
+        On resume this is the record of exactly which partition files make
+        up the iteration's state (north rule: per-partition lineage)."""
+        try:
+            import pyarrow.parquet as pq
+        except ImportError:  # pragma: no cover
+            return []
+        out = []
+        for name in sorted(os.listdir(state_dir)):
+            if not name.endswith(".parquet"):
+                continue
+            p = os.path.join(state_dir, name)
+            out.append({
+                "file": name,
+                "rows": pq.ParquetFile(p).metadata.num_rows,
+                "bytes": os.path.getsize(p),
+            })
+        return out
 
     def latest(self) -> int | None:
         """Highest iteration with a complete checkpoint, else None."""

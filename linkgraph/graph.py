@@ -152,6 +152,42 @@ class LinkGraph:
             weighted=self.weighted,
         )
 
+    def vertex_induced_sample(self, num: int, seed: int = 1234) -> "LinkGraph":
+        """Uniform sample of ``num`` distinct vertices + their induced edges
+        — the sampling subsystem's ``Graph::sample``
+        (/root/reference/sampling/Graph.cpp:128-156).
+
+        The sampled vertex set is tiny relative to the graph, so both
+        endpoint membership tests are BROADCAST semi-joins (no shuffle of
+        the edge table).  Deterministic for a given seed: vertices ranked
+        by a seeded hash, not by ``rand()``.
+        """
+        sv = (
+            self.vertices().select("id")
+            .withColumn("_h", F.xxhash64(F.col("id"), F.lit(seed)))
+            .orderBy("_h")
+            .limit(num)
+            .select("id")
+        )
+        b = F.broadcast(sv)
+        induced = (
+            self.edges.join(b.withColumnRenamed("id", "src"), "src", "left_semi")
+            .join(b.withColumnRenamed("id", "dst"), "dst", "left_semi")
+            .select(self.edges.columns)
+        )
+        return LinkGraph(induced, vertices=sv, partitions=self.partitions,
+                         weighted=self.weighted)
+
+    def union_with(self, other: "LinkGraph") -> "LinkGraph":
+        """Merge two partial graphs (the reference's zipgraph join,
+        /root/reference/sampling/Graph.cpp:95-122): union of edge sets."""
+        cols = ["src", "dst"] + (["weight"] if self.weighted and other.weighted else [])
+        edges = (
+            self.edges.select(cols).union(other.edges.select(cols)).distinct()
+        )
+        return LinkGraph(edges, partitions=self.partitions,
+                         weighted="weight" in cols)
+
     def filter_edges(self, predicate) -> "LinkGraph":
         """Predicate-filtered graph — GraphFilter equivalent
         (/root/reference/src/GraphFilters.cpp:17-177); Catalyst pushes the

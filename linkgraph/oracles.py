@@ -260,3 +260,28 @@ def four_chain_count_oracle(edges: list[tuple[int, int]]) -> int:
                     if d != b and d != a:
                         ordered += 1
     return ordered // 2
+
+
+def pattern_count_oracle(edges: list[tuple[int, int]],
+                         pattern: list[tuple[int, int]]) -> int:
+    """Brute-force generic pattern count: enumerate injective vertex maps,
+    count those where every pattern edge maps to a graph edge, divide by
+    |Aut| (the factorial-enumeration semantics of
+    /root/reference/src/SamplerGenerator.cpp:225-242,312-363)."""
+    from itertools import permutations as _perms
+
+    und = _undirected_unique(edges)
+    g = {(min(a, b), max(a, b)) for a, b in und}
+    verts = sorted({x for e in und for x in e})
+    pes = {(min(u, v), max(u, v)) for u, v in pattern}
+    k = max(max(u, v) for u, v in pes) + 1
+    aut = sum(
+        1
+        for p in _perms(range(k))
+        if all((min(p[u], p[v]), max(p[u], p[v])) in pes for u, v in pes)
+    )
+    homs = 0
+    for m in _perms(verts, k):
+        if all((min(m[u], m[v]), max(m[u], m[v])) in g for u, v in pes):
+            homs += 1
+    return homs // aut

@@ -915,6 +915,59 @@ SELECT * FROM a UNION ALL SELECT * FROM b
 """
 
 
+# five_star is deliberately absent: the generic join chain enumerates
+# sum(deg^4) tuples for stars — the closed-form C(deg,k) agg in
+# motifs.k_star_count is the right plan (tested equal in tests/test_patterns.py)
+GENERIC_PATTERNS = ("four_cycle", "tailed_triangle")
+
+
+def q_generic_patterns(spark, sf_dir):
+    """Declarative pattern queries through the generic compiler — the Spark
+    analogue of the reference's SamplerGenerator entry point
+    (/root/reference/applications/Triangle2.cpp:18-24); exact counts, plan
+    auto-derived closure-first (algos/patterns.py)."""
+    from .algos import patterns
+
+    e = edges_b(spark, sf_dir).persist()
+    rows = [(n, patterns.pattern_count(e, patterns.PATTERNS[n]))
+            for n in GENERIC_PATTERNS]
+    e.unpersist()
+    return spark.createDataFrame(rows, "pattern string, n long")
+
+
+def _generic_patterns_sql() -> str:
+    from .algos import patterns
+
+    subs = [
+        f"SELECT '{n}' AS pattern, n FROM ("
+        + patterns.pattern_count_sql(patterns.PATTERNS[n], "und_b", "n")
+        + ")"
+        for n in GENERIC_PATTERNS
+    ]
+    return (
+        f"WITH {EDGES_B_SQL}, {UND_B_SQL}\n"
+        + "\nUNION ALL\n".join(subs)
+    )
+
+
+def q_adaptive_triangle(spark, sf_dir):
+    """Sequential adaptive-stopping estimate (IEStop) over batches of
+    sampled-triangle estimators — rows-only check (randomized); statistical
+    exactness is asserted in tests/ (reference: /root/reference/sampling/main.cpp:97-146)."""
+    from . import adaptive
+    from .algos import triangles
+
+    e = edges_b(spark, sf_dir).persist()
+    stop = adaptive.IEStop(delta=0.2, alpha=0.05, min_samples=3, max_samples=6)
+    est = stop.run(
+        lambda n: triangles.triangle_count_sampled(e, 2048, seed=100 + n)
+    )
+    e.unpersist()
+    return spark.createDataFrame(
+        [(float(est), int(stop.n))], "estimate double, num_batches int"
+    )
+
+
 def q_triangle_sampled(spark, sf_dir):
     """ASAP-style sampled triangle estimate (rows-only check: the estimate
     is randomized; exactness is asserted statistically in tests/)."""
@@ -1000,7 +1053,9 @@ def _register_extensions() -> None:
             ),
             "three_motif_counts": (q_three_motif, THREE_MOTIF_SQL),
             "edgelist_roundtrip": (q_edgelist_roundtrip, EDGELIST_ROUNDTRIP_SQL),
+            "generic_pattern_counts": (q_generic_patterns, _generic_patterns_sql()),
             "triangle_sampled_estimate": (q_triangle_sampled, None),
+            "adaptive_triangle_estimate": (q_adaptive_triangle, None),
         }
     )
 

@@ -49,6 +49,9 @@ def test_checkpoint_metrics_on_disk(spark, edges30, tmp_path):
     assert m["labels_changed"] == 0
     assert m["num_state_partitions"] == 8
     assert m["edges_per_sec"] > 0
+    # per-partition lineage: part files with row counts summing to V
+    assert sum(p["rows"] for p in m["partition_lineage"]) == V
+    assert all(p["bytes"] > 0 for p in m["partition_lineage"])
 
 
 def test_incomplete_checkpoint_ignored(spark, edges30, tmp_path):

@@ -62,3 +62,26 @@ def test_dense_ids_are_dense_and_sorted(spark):
     out = ingest.dense_ids(df, "k", partitions=3).toPandas().sort_values("id")
     assert list(out["k"]) == ["a", "b", "c", "d"]
     assert list(out["id"]) == [0, 1, 2, 3]
+
+
+def test_vertex_induced_sample(graph30):
+    sub = graph30.vertex_induced_sample(10, seed=7)
+    ids = {r["id"] for r in sub.vertices().collect()}
+    assert len(ids) == 10
+    got = {(r["src"], r["dst"]) for r in sub.edges.collect()}
+    full = {(r["src"], r["dst"]) for r in graph30.edges.collect()}
+    # exactly the induced edge set, deterministically
+    assert got == {(s, d) for s, d in full if s in ids and d in ids}
+    again = graph30.vertex_induced_sample(10, seed=7)
+    assert {r["id"] for r in again.vertices().collect()} == ids
+
+
+def test_union_with_zipgraph(spark, graph30):
+    from linkgraph.graph import LinkGraph
+
+    a = graph30.vertex_induced_sample(12, seed=1)
+    b = graph30.vertex_induced_sample(12, seed=2)
+    u = a.union_with(b)
+    ea = {(r["src"], r["dst"]) for r in a.edges.collect()}
+    eb = {(r["src"], r["dst"]) for r in b.edges.collect()}
+    assert {(r["src"], r["dst"]) for r in u.edges.collect()} == ea | eb

@@ -1,0 +1,68 @@
+"""io seam (parquet branch) + spark-submit CLI end-to-end."""
+
+import json
+
+import numpy as np
+import pytest
+
+from linkgraph import cli, datagen
+from linkgraph import io as lgio
+from linkgraph import oracles
+
+
+@pytest.fixture(scope="module")
+def pages_path(spark, pages30, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("io") / "pages.parquet")
+    pages30.write.mode("overwrite").parquet(d)
+    return d
+
+
+def test_read_pages_roundtrip(spark, pages30, pages_path):
+    got = lgio.read_pages(spark, pages_path)
+    assert got.columns == ["url", "warc_ts", "html", "text", "lang"]
+    assert got.count() == pages30.count()
+
+
+def test_write_table_bucketed_path(spark, edges30, tmp_path):
+    p = str(tmp_path / "edges.parquet")
+    lgio.write_table(edges30, p, buckets=4, bucket_cols=["src"])
+    back = lgio.read_edges(spark, p)
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, edges30.collect())
+    )
+
+
+def test_is_path_vs_table():
+    assert lgio.is_path("/tmp/x.parquet")
+    assert lgio.is_path("rel/dir")
+    assert not lgio.is_path("catalog.db.pages")
+
+
+def test_cli_ingest_then_pagerank(spark, pages_path, tmp_path):
+    edges_out = str(tmp_path / "edges.parquet")
+    s1 = cli.main(["ingest", "--input", pages_path, "--output", edges_out,
+                   "--partitions", "8"])
+    assert s1["num_edges"] > 0 and s1["num_vertices"] == 30
+
+    ranks_out = str(tmp_path / "ranks.parquet")
+    metrics_out = str(tmp_path / "metrics.json")
+    s2 = cli.main(["pagerank", "--input", edges_out, "--output", ranks_out,
+                   "--partitions", "8", "--tol", "1e-6",
+                   "--metrics-out", metrics_out])
+    assert s2["final_l1_delta"] < 1e-6
+
+    got = {r["id"]: r["rank"]
+           for r in lgio.read_table(spark, ranks_out).collect()}
+    exp = oracles.pagerank_oracle(30, datagen.expected_edges(30))
+    assert np.allclose([got[i] for i in range(30)],
+                       [exp[i] for i in range(30)], atol=1e-6)
+    ms = json.load(open(metrics_out))
+    assert ms[-1]["l1_delta"] < 1e-6
+
+
+def test_cli_triangles(spark, tmp_path, edges30):
+    p = str(tmp_path / "e.parquet")
+    edges30.write.parquet(p)
+    s = cli.main(["triangles", "--input", p])
+    assert s["triangles"] == oracles.triangle_count_oracle(
+        datagen.expected_edges(30))

@@ -1,0 +1,51 @@
+"""Generic pattern compiler vs brute-force oracle and specialized counters."""
+
+import pytest
+
+from linkgraph import datagen, oracles
+from linkgraph.algos import motifs, patterns, triangles
+
+V = 30
+EDGES = datagen.expected_edges(V)
+
+
+def test_automorphism_counts():
+    assert patterns.automorphisms(patterns.PATTERNS["triangle"]) == 6
+    assert patterns.automorphisms(patterns.PATTERNS["three_chain"]) == 2
+    assert patterns.automorphisms(patterns.PATTERNS["four_chain"]) == 2
+    assert patterns.automorphisms(patterns.PATTERNS["four_cycle"]) == 8
+    assert patterns.automorphisms(patterns.PATTERNS["four_clique"]) == 24
+    assert patterns.automorphisms(patterns.PATTERNS["five_house"]) == 2
+    assert patterns.automorphisms(patterns.PATTERNS["five_star"]) == 24
+    assert patterns.automorphisms(patterns.PATTERNS["tailed_triangle"]) == 2
+
+
+def test_plan_closure_first():
+    steps = patterns.plan_pattern(patterns.PATTERNS["five_house"])
+    kinds = [k for k, _, _ in steps]
+    # the roof triangle must close before the walls extend
+    assert kinds.index("close") == 2
+
+
+@pytest.mark.parametrize("name", sorted(patterns.PATTERNS))
+def test_pattern_count_matches_bruteforce(spark, edges30, name):
+    got = patterns.pattern_count(edges30, patterns.PATTERNS[name])
+    assert got == oracles.pattern_count_oracle(EDGES, patterns.PATTERNS[name])
+
+
+def test_pattern_count_matches_specialized(spark, edges30):
+    p = patterns.PATTERNS
+    assert patterns.pattern_count(edges30, p["triangle"]) == triangles.triangle_count(edges30)
+    assert patterns.pattern_count(edges30, p["three_chain"]) == motifs.three_chain_count(edges30)
+    assert patterns.pattern_count(edges30, p["four_chain"]) == motifs.four_chain_count(edges30)
+    assert patterns.pattern_count(edges30, p["four_clique"]) == motifs.four_clique_count(edges30)
+    assert patterns.pattern_count(edges30, p["five_house"]) == motifs.five_house_count(edges30)
+
+
+def test_pattern_validation():
+    with pytest.raises(ValueError):
+        patterns.plan_pattern([(0, 0)])
+    with pytest.raises(ValueError):
+        patterns.plan_pattern([(0, 1), (2, 3)])  # disconnected
+    with pytest.raises(ValueError):
+        patterns.automorphisms([(0, 2)])  # gap in vertex ids
