@@ -2,9 +2,10 @@
 
 Undirected view of the edge table; every vertex starts labeled with its own
 id; each superstep takes the min over {own label} ∪ {neighbor labels};
-terminates when no label changes.  Label propagation converges in
-O(diameter) supersteps; each superstep is one src-partitioned join + one
-dst-keyed grouped min (map-side partial agg absorbs hub skew).
+terminates when no label changes.  Converges in O(diameter) supersteps;
+each superstep joins the V-row label state against pinned CSR-style
+adjacency blocks (pagerank.adjacency_blocks: hubs split/salted, join keys
+~V rows not E) and takes one map-side-combined grouped min.
 
 Exactness gate: labels equal the BFS oracle exactly (label = min vertex id
 in the component) — the analogue of the reference's exact counters in
@@ -20,6 +21,7 @@ from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from ..ckpt import CheckpointManager
+from .pagerank import adjacency_blocks
 
 
 def connected_components(
@@ -46,10 +48,12 @@ def connected_components(
         .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .filter(F.col("src") != F.col("dst"))
         .dropDuplicates(["src", "dst"])
-        .repartition(P, "src")
-        .persist()
     )
-    E = sym.count()
+    # CSR-style adjacency blocks (see pagerank.adjacency_blocks): the
+    # per-superstep join touches ~V block rows instead of E edge rows;
+    # hub vertices split/salted across blocks
+    blocks, salt_map = adjacency_blocks(sym, P)
+    E = int(blocks.agg(F.sum(F.size("dsts"))).collect()[0][0] or 0)
 
     ckpt = CheckpointManager(checkpoint_dir) if checkpoint_dir else None
     metrics: list[dict] = []
@@ -64,13 +68,19 @@ def connected_components(
 
     for it in range(start_iter, max_iter):
         t0 = time.time()
-        # shuffle-hash hint: keep sym's pinned src-partitioning (no exchange,
-        # no per-superstep sort of E rows); only the V-row state shuffles
+        # blocks keep their pinned (src, salt) partitioning; only the V-row
+        # label state shuffles, then one map-side-combined grouped min
+        lab_src = labels.select(F.col("id").alias("src"), "component")
+        if salt_map is None:
+            lab_salted = lab_src.withColumn("salt", F.lit(0).cast("int"))
+        else:
+            lab_salted = lab_src.join(
+                salt_map.hint("shuffle_hash"), "src"
+            ).select("src", "component", F.explode("salts").alias("salt"))
         nb_min = (
-            sym.join(
-                labels.withColumnRenamed("id", "src").hint("shuffle_hash"), "src"
-            )
-            .groupBy(F.col("dst").alias("id"))
+            blocks.join(lab_salted.hint("shuffle_hash"), ["src", "salt"])
+            .select(F.explode("dsts").alias("id"), "component")
+            .groupBy("id")
             .agg(F.min("component").alias("nb_component"))
         )
         obs = Observation(f"cc_changes_{it}")
@@ -109,5 +119,7 @@ def connected_components(
             break
 
     v.unpersist()
-    sym.unpersist()
+    blocks.unpersist()
+    if salt_map is not None:
+        salt_map.unpersist()
     return labels, metrics

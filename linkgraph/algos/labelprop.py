@@ -6,9 +6,11 @@ with no neighbors keep their label.  Runs a fixed cap of supersteps (default
 20) with early stop when a round changes nothing — fully deterministic so
 the pytest oracle check is exact (north rule: label assignments exact).
 
-Per superstep: one src-partitioned join, one (id, label) grouped count
-(partial agg), one per-id argmax via max(struct(cnt, -label)) — no window
-shuffle beyond the grouped agg, no Python in the loop.
+Per superstep: the V-row label state joins pinned CSR-style adjacency
+blocks (pagerank.adjacency_blocks: hubs split/salted, join keys ~V rows
+not E), then one (id, label) grouped count (partial agg) and a per-id
+argmax via max(struct(cnt, -label)) — no window shuffle beyond the grouped
+agg, no Python in the loop.
 """
 
 from __future__ import annotations
@@ -20,6 +22,7 @@ from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from ..ckpt import CheckpointManager
+from .pagerank import adjacency_blocks
 
 
 def label_propagation(
@@ -45,10 +48,9 @@ def label_propagation(
         .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .filter(F.col("src") != F.col("dst"))
         .dropDuplicates(["src", "dst"])
-        .repartition(P, "dst")
-        .persist()
     )
-    E = sym.count()
+    blocks, salt_map = adjacency_blocks(sym, P)
+    E = int(blocks.agg(F.sum(F.size("dsts"))).collect()[0][0] or 0)
 
     ckpt = CheckpointManager(checkpoint_dir) if checkpoint_dir else None
     metrics: list[dict] = []
@@ -63,12 +65,18 @@ def label_propagation(
 
     for it in range(start_iter, max_iter):
         t0 = time.time()
-        # label of each neighbor (dst side carries the label; edge points at id=src)
-        # shuffle-hash hint: sym keeps its pinned dst-partitioning; only the
-        # V-row label state shuffles (and no per-superstep sort of E rows)
-        nb = sym.join(
-            labels.withColumnRenamed("id", "dst").hint("shuffle_hash"), "dst"
-        ).select(F.col("src").alias("id"), "label")
+        # each vertex receives every neighbor's label: join the V-row state
+        # against the pinned blocks (src carries the label, dsts receive it)
+        lab_src = labels.select(F.col("id").alias("src"), "label")
+        if salt_map is None:
+            lab_salted = lab_src.withColumn("salt", F.lit(0).cast("int"))
+        else:
+            lab_salted = lab_src.join(
+                salt_map.hint("shuffle_hash"), "src"
+            ).select("src", "label", F.explode("salts").alias("salt"))
+        nb = blocks.join(lab_salted.hint("shuffle_hash"), ["src", "salt"]).select(
+            F.explode("dsts").alias("id"), "label"
+        )
         # mode with min-label tie-break: argmax of (count, -label)
         best = (
             nb.groupBy("id", "label")
@@ -110,5 +118,7 @@ def label_propagation(
             break
 
     v.unpersist()
-    sym.unpersist()
+    blocks.unpersist()
+    if salt_map is not None:
+        salt_map.unpersist()
     return labels, metrics

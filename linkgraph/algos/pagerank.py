@@ -49,7 +49,7 @@ from __future__ import annotations
 import gc
 import time
 
-from pyspark.sql import DataFrame, Observation, Window
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from ..ckpt import CheckpointManager
@@ -67,23 +67,33 @@ def adjacency_blocks(
 
     blocks: (src, salt, dsts array<long>, out_degree long), persisted,
     hash-partitioned on (src, salt).  salt_map: (src, salts array<int>) —
-    the distinct salts of each src's blocks, persisted, partitioned on src.
+    the distinct salts of each src's blocks, persisted, partitioned on src;
+    ``None`` when no src exceeds ``block_size`` (every salt is 0 and the
+    per-superstep replication join would be pure overhead).
     """
-    w = Window.partitionBy("src").orderBy("dst")
-    b = (
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_degree"))
+    # hub blocks assigned by hash(dst), NOT by sorted position: no window
+    # sort of E rows, and a hub's adjacency never materializes in one task
+    # (each (src, _bi) group holds ~block_size entries) — skew-safe at any
+    # degree, unlike collect_list-then-split
+    nb = F.greatest(F.lit(1), F.ceil(F.col("out_degree") / block_size))
+    blocks = (
         edges.select("src", "dst")
-        .withColumn("_bi", F.floor((F.row_number().over(w) - 1) / block_size))
-        .groupBy("src", "_bi")
+        .join(deg.hint("shuffle_hash"), "src")
+        .withColumn("_bi", F.pmod(F.xxhash64("dst"), nb).cast("int"))
+        .groupBy("src", "_bi", "out_degree")
         .agg(F.collect_list("dst").alias("dsts"))
         .withColumn("salt", F.pmod(F.col("_bi"), F.lit(num_salts)).cast("int"))
-    )
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_degree"))
-    blocks = (
-        b.join(deg, "src")
         .select("src", "salt", "dsts", "out_degree")
         .repartition(partitions, "src", "salt")
         .persist()
     )
+    blocks.count()
+    # no src above block_size => every block has salt 0 and the per-superstep
+    # rank replication join is pure overhead: signal with salt_map = None
+    has_hubs = deg.filter(F.col("out_degree") > block_size).limit(1).count() > 0
+    if not has_hubs:
+        return blocks, None
     salt_map = (
         blocks.select("src", "salt")
         .distinct()
@@ -92,7 +102,6 @@ def adjacency_blocks(
         .repartition(partitions, "src")
         .persist()
     )
-    blocks.count()
     salt_map.count()
     return blocks, salt_map
 
@@ -159,10 +168,14 @@ def pagerank(
             F.col("id").alias("src"), (F.col("rank") + F.col("corr")).alias("rank")
         )
         # replicate each src's rank to exactly the salts its blocks occupy
-        ranks_salted = (
-            src_ranks.join(salt_map.hint("shuffle_hash"), "src")
-            .select("src", "rank", F.explode("salts").alias("salt"))
-        )
+        # (hub-free graphs skip the join: every block carries salt 0)
+        if salt_map is None:
+            ranks_salted = src_ranks.withColumn("salt", F.lit(0).cast("int"))
+        else:
+            ranks_salted = (
+                src_ranks.join(salt_map.hint("shuffle_hash"), "src")
+                .select("src", "rank", F.explode("salts").alias("salt"))
+            )
         joined = blocks.join(ranks_salted.hint("shuffle_hash"), ["src", "salt"])
         contribs = (
             joined.select(
@@ -243,5 +256,6 @@ def pagerank(
 
     ranks = ranks_raw.select("id", (F.col("rank") + F.lit(corr)).alias("rank"))
     for df in (v, blocks, salt_map):
-        df.unpersist()
+        if df is not None:
+            df.unpersist()
     return ranks, metrics
