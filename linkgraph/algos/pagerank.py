@@ -82,7 +82,10 @@ def adjacency_blocks(
         .join(deg.hint("shuffle_hash"), "src")
         .withColumn("_bi", F.pmod(F.xxhash64("dst"), nb).cast("int"))
         .groupBy("src", "_bi", "out_degree")
-        .agg(F.collect_list("dst").alias("dsts"))
+        # sorted dsts: after the per-superstep explode, contributions hit the
+        # partial-agg hash table in near-ascending id order — measurably
+        # better cache locality than collect_list's arbitrary order
+        .agg(F.sort_array(F.collect_list("dst")).alias("dsts"))
         .withColumn("salt", F.pmod(F.col("_bi"), F.lit(num_salts)).cast("int"))
         .select("src", "salt", "dsts", "out_degree")
         .repartition(partitions, "src", "salt")
@@ -106,6 +109,59 @@ def adjacency_blocks(
     return blocks, salt_map
 
 
+def bucketed_adjacency_blocks(
+    edges: DataFrame,
+    partitions: int,
+    dst_buckets: int,
+    block_size: int = DEFAULT_BLOCK_SIZE,
+) -> tuple[DataFrame, DataFrame]:
+    """2-D (grid) adjacency blocks: returns (blocks, bucket_map).
+
+    blocks: (src, dstb, dsts array<long>, out_degree long) where
+    ``dstb = pmod(xxhash64(dst), K)``; partitioned on ``dstb`` ALONE so one
+    task owns one bucket-hash class.  bucket_map: (src, dstbs array<int>).
+
+    Why 2-D: with 1-D src blocks every map task of the contribution
+    aggregation can touch ALL V destination keys — the partial-agg hash
+    table is V-sized per task (cache-hostile at bench scale, impossible at
+    V~1e10), and the shuffle carries up to V x P partially-aggregated rows.
+    Aligning blocks to destination buckets bounds the per-task key space to
+    ~V/K and makes each dst's partial sum complete within one task, so the
+    contribution shuffle carries exactly <= V rows.  The price is rank
+    replication: V x min(out_degree, K) state rows per superstep — the
+    standard grid/GIM-V PageRank trade, which is what survives a 1000x
+    scale-up.  Hub salting is subsumed: a hub's adjacency spreads across
+    all K buckets by construction.
+    """
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_degree"))
+    # sub-split a hub's per-bucket adjacency so no single block row exceeds
+    # ~block_size entries (skew safety within the bucket)
+    nbb = F.greatest(
+        F.lit(1), F.ceil(F.col("out_degree") / (dst_buckets * block_size))
+    )
+    blocks = (
+        edges.select("src", "dst")
+        .join(deg.hint("shuffle_hash"), "src")
+        .withColumn("dstb", F.pmod(F.xxhash64("dst"), F.lit(dst_buckets)).cast("int"))
+        .withColumn("_bi", F.pmod(F.xxhash64("dst", F.lit(7)), nbb).cast("int"))
+        .groupBy("src", "dstb", "_bi", "out_degree")
+        .agg(F.sort_array(F.collect_list("dst")).alias("dsts"))
+        .select("src", "dstb", "dsts", "out_degree")
+        .repartition(partitions, "dstb")
+        .persist()
+    )
+    bucket_map = (
+        blocks.select("src", "dstb")
+        .groupBy("src")
+        .agg(F.collect_set("dstb").alias("dstbs"))
+        .repartition(partitions, "src")
+        .persist()
+    )
+    blocks.count()
+    bucket_map.count()
+    return blocks, bucket_map
+
+
 def pagerank(
     edges: DataFrame,
     vertices: DataFrame | None = None,
@@ -119,6 +175,7 @@ def pagerank(
     num_salts: int = 8,
     lineage_truncate_every: int = 1,
     block_size: int | None = None,
+    dst_buckets: int | None = None,
 ) -> tuple[DataFrame, list[dict]]:
     """Run PageRank; returns (ranks(id, rank), per-iteration metrics).
 
@@ -126,7 +183,11 @@ def pagerank(
     used for fixed-iteration oracle comparisons; otherwise iterate until
     the L1 delta < ``tol`` or ``max_iter``.  ``hub_degree_threshold``
     doubles as the adjacency block size (vertices above it are split/salted
-    across ``num_salts`` shuffle partitions).
+    across ``num_salts`` shuffle partitions).  ``dst_buckets`` switches to
+    the 2-D grid layout (bucketed_adjacency_blocks): per-task aggregation
+    state bounded by V/K and a <=V-row contribution shuffle, at the cost of
+    replicating each rank to min(out_degree, K) buckets — the layout that
+    survives V ~ 1e10.  Set it to ~the shuffle partition count.
     """
     spark = edges.sparkSession
     P = int(partitions or spark.conf.get("spark.sql.shuffle.partitions"))
@@ -142,7 +203,12 @@ def pagerank(
     V = v.count()
     E = edges.count()
 
-    blocks, salt_map = adjacency_blocks(edges, P, bs, num_salts)
+    if dst_buckets:
+        blocks, bucket_map = bucketed_adjacency_blocks(edges, P, dst_buckets, bs)
+        salt_map = None
+    else:
+        blocks, salt_map = adjacency_blocks(edges, P, bs, num_salts)
+        bucket_map = None
 
     ckpt = CheckpointManager(checkpoint_dir) if checkpoint_dir else None
     metrics: list[dict] = []
@@ -167,21 +233,33 @@ def pagerank(
         src_ranks = ranks_raw.crossJoin(F.broadcast(corr_df)).select(
             F.col("id").alias("src"), (F.col("rank") + F.col("corr")).alias("rank")
         )
-        # replicate each src's rank to exactly the salts its blocks occupy
-        # (hub-free graphs skip the join: every block carries salt 0)
-        if salt_map is None:
+        # replicate each src's rank to exactly the salts/buckets its blocks
+        # occupy (hub-free 1-D graphs skip the join: every block has salt 0)
+        if dst_buckets:
+            ranks_repl = (
+                src_ranks.join(bucket_map.hint("shuffle_hash"), "src")
+                .select("src", "rank", F.explode("dstbs").alias("dstb"))
+            )
+            # blocks are partitioned on dstb alone (a subset of the join
+            # keys): only the replicated V-row state shuffles, and every
+            # dst key the task emits belongs to its own bucket class
+            joined = blocks.join(ranks_repl.hint("shuffle_hash"), ["src", "dstb"])
+        elif salt_map is None:
             ranks_salted = src_ranks.withColumn("salt", F.lit(0).cast("int"))
+            joined = blocks.join(ranks_salted.hint("shuffle_hash"), ["src", "salt"])
         else:
             ranks_salted = (
                 src_ranks.join(salt_map.hint("shuffle_hash"), "src")
                 .select("src", "rank", F.explode("salts").alias("salt"))
             )
-        joined = blocks.join(ranks_salted.hint("shuffle_hash"), ["src", "salt"])
+            joined = blocks.join(ranks_salted.hint("shuffle_hash"), ["src", "salt"])
         contribs = (
+            # divide once per block row (not per exploded edge): the weight
+            # projection sits below the Generate operator
             joined.select(
-                F.explode("dsts").alias("id"),
-                (F.col("rank") / F.col("out_degree")).alias("contrib"),
+                (F.col("rank") / F.col("out_degree")).alias("contrib"), "dsts"
             )
+            .select(F.explode("dsts").alias("id"), "contrib")
             .groupBy("id")
             .agg(F.sum("contrib").alias("contrib"))
         )
@@ -255,7 +333,7 @@ def pagerank(
             break
 
     ranks = ranks_raw.select("id", (F.col("rank") + F.lit(corr)).alias("rank"))
-    for df in (v, blocks, salt_map):
+    for df in (v, blocks, salt_map, bucket_map):
         if df is not None:
             df.unpersist()
     return ranks, metrics

@@ -117,6 +117,81 @@ def three_chain_count_sampled(
     return float(m) * float(total_c) / float(num_estimators)
 
 
+def four_chain_count_sampled(
+    edges: DataFrame,
+    num_estimators: int,
+    seed: int = 42,
+    partitions: int | None = None,
+) -> float:
+    """Sampled 4-chain (simple path on 4 vertices) estimate.
+
+    The reference's FourChain estimator importance-samples one of 3
+    edge-ordering orientations per trial
+    (/root/reference/applications/FourChain.cpp:18-125).  Spark-first we use
+    the equivalent middle-edge plan: sample a uniform edge (u, v)
+    [prob 1/m], a uniform neighbor a of u excluding v [prob 1/(deg_u - 1)],
+    a uniform neighbor d of v excluding u [prob 1/(deg_v - 1)]; accept iff
+    a != d (else the walk is a triangle, not a simple path).  Weight
+    m * (deg_u - 1) * (deg_v - 1); a chain's middle edge is unique and the
+    edge list is canonically oriented, so every unordered chain maps to
+    exactly ONE (edge, a, d) pick: E[sum/N] is exactly the 4-chain count.
+    All steps are column expressions over two adjacency joins — no
+    per-row Python.
+    """
+    spark = edges.sparkSession
+    P = int(partitions or spark.conf.get("spark.sql.shuffle.partitions"))
+
+    o = _oriented(edges)
+    from ..ingest import dense_ids
+
+    ok = o.withColumn("_key", F.concat_ws("_", "a", "b"))
+    idx = dense_ids(ok.select("_key"), "_key", P)
+    ok = ok.join(idx, "_key").drop("_key").persist()
+    m = ok.count()
+
+    sym = o.select(F.col("a").alias("x"), F.col("b").alias("w")).union(
+        o.select(F.col("b").alias("x"), F.col("a").alias("w"))
+    )
+    adj = sym.groupBy("x").agg(F.collect_list("w").alias("nbrs")).persist()
+
+    est = spark.range(num_estimators).select(
+        F.col("id").alias("est_id"),
+        F.floor(F.rand(seed) * m).cast("long").alias("id"),
+        F.rand(seed + 1).alias("r1"),
+        F.rand(seed + 2).alias("r2"),
+    )
+    mid = est.join(ok, "id").select(
+        "est_id", "r1", "r2", F.col("a").alias("u"), F.col("b").alias("v")
+    )
+    au = mid.join(adj.withColumnRenamed("x", "u"), "u").withColumn(
+        "cand_u", F.array_remove(F.col("nbrs"), F.col("v"))
+    ).drop("nbrs")
+    both = au.join(adj.withColumnRenamed("x", "v"), "v").withColumn(
+        "cand_v", F.array_remove(F.col("nbrs"), F.col("u"))
+    ).drop("nbrs")
+    picked = both.select(
+        "est_id",
+        F.size("cand_u").alias("cu"),
+        F.size("cand_v").alias("cv"),
+        # try_element_at: NULL (not an error) when an endpoint has no other
+        # neighbor (cand empty) — the weight guard zeroes those trials
+        F.try_element_at(
+            "cand_u", (F.floor(F.col("r1") * F.size("cand_u")) + 1).cast("int")
+        ).alias("a3"),
+        F.try_element_at(
+            "cand_v", (F.floor(F.col("r2") * F.size("cand_v")) + 1).cast("int")
+        ).alias("d"),
+    )
+    w = F.when(
+        (F.col("cu") > 0) & (F.col("cv") > 0) & (F.col("a3") != F.col("d")),
+        F.col("cu").cast("double") * F.col("cv"),
+    ).otherwise(F.lit(0.0))
+    total = picked.agg(F.coalesce(F.sum(w), F.lit(0.0)).alias("s")).collect()[0]["s"]
+    ok.unpersist()
+    adj.unpersist()
+    return float(m) * float(total) / float(num_estimators)
+
+
 def triangle_count_sampled(
     edges: DataFrame,
     num_estimators: int,

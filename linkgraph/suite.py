@@ -968,6 +968,17 @@ def q_adaptive_triangle(spark, sf_dir):
     )
 
 
+def q_four_chain_sampled(spark, sf_dir):
+    """Sampled 4-chain estimate via the middle-edge plan (rows-only check:
+    randomized; statistical exactness asserted in tests/)."""
+    from .algos import triangles
+
+    est = triangles.four_chain_count_sampled(
+        edges_b(spark, sf_dir), num_estimators=8192, seed=11
+    )
+    return spark.createDataFrame([(float(est),)], "estimate double")
+
+
 def q_triangle_sampled(spark, sf_dir):
     """ASAP-style sampled triangle estimate (rows-only check: the estimate
     is randomized; exactness is asserted statistically in tests/)."""
@@ -1055,6 +1066,7 @@ def _register_extensions() -> None:
             "edgelist_roundtrip": (q_edgelist_roundtrip, EDGELIST_ROUNDTRIP_SQL),
             "generic_pattern_counts": (q_generic_patterns, _generic_patterns_sql()),
             "triangle_sampled_estimate": (q_triangle_sampled, None),
+            "four_chain_sampled_estimate": (q_four_chain_sampled, None),
             "adaptive_triangle_estimate": (q_adaptive_triangle, None),
         }
     )

@@ -104,3 +104,45 @@ def test_end_to_end_pages_to_pagerank(spark, graph30):
     exp = oracles.pagerank_oracle(V, EDGES, tol=1e-6)
     got = np.array([byurl[datagen.url_of(i)] for i in range(V)])
     assert np.allclose(got, exp, atol=1e-6)
+
+
+def test_four_chain_count_sampled_within_eps(spark, edges30):
+    from linkgraph.algos.triangles import four_chain_count_sampled
+
+    exact = oracles.four_chain_count_oracle(EDGES)
+    est = four_chain_count_sampled(edges30, num_estimators=20000, seed=7,
+                                   partitions=8)
+    # same accuracy contract as the triangle estimator (eps=5% at 95% conf
+    # per the reference; 15% slack on the tiny fixture)
+    assert abs(est - exact) / exact < 0.15
+
+
+def test_three_chain_count_sampled_exact_expectation(spark, edges30):
+    from linkgraph.algos.triangles import three_chain_count_sampled
+
+    exact = oracles.three_chain_count_oracle(V, EDGES)
+    est = three_chain_count_sampled(edges30, num_estimators=5000, seed=3,
+                                    partitions=8)
+    # the 3-chain estimator reduces to m * mean(c): variance comes only from
+    # the uniform e1 pick — tight even at small N
+    assert abs(est - exact) / exact < 0.10
+
+
+def test_pagerank_dst_buckets_matches_oracle(spark, edges30):
+    from linkgraph.algos.pagerank import pagerank
+
+    exp = oracles.pagerank_oracle(V, EDGES)
+    ranks, m = pagerank(
+        edges30,
+        vertices=spark.createDataFrame([(i,) for i in range(V)], "id long"),
+        tol=1e-6, partitions=8, dst_buckets=4,
+    )
+    got = _vec(ranks, "rank")
+    assert np.allclose(got, exp, atol=1e-6)
+    # 2-D layout must agree with the 1-D layout bit-for-bit at convergence
+    ranks1, _ = pagerank(
+        edges30,
+        vertices=spark.createDataFrame([(i,) for i in range(V)], "id long"),
+        tol=1e-6, partitions=8,
+    )
+    assert np.allclose(_vec(ranks1, "rank"), got, atol=1e-9)
