@@ -72,14 +72,15 @@ def connected_components(
         # label state shuffles, then one map-side-combined grouped min
         lab_src = labels.select(F.col("id").alias("src"), "component")
         if salt_map is None:
-            lab_salted = lab_src.withColumn("salt", F.lit(0).cast("int"))
+            # hub-free: blocks carry no salt column (src-partitioned)
+            j = blocks.join(lab_src.hint("shuffle_hash"), "src")
         else:
             lab_salted = lab_src.join(
                 salt_map.hint("shuffle_hash"), "src"
             ).select("src", "component", F.explode("salts").alias("salt"))
+            j = blocks.join(lab_salted.hint("shuffle_hash"), ["src", "salt"])
         nb_min = (
-            blocks.join(lab_salted.hint("shuffle_hash"), ["src", "salt"])
-            .select(F.explode("dsts").alias("id"), "component")
+            j.select(F.explode("dsts").alias("id"), "component")
             .groupBy("id")
             .agg(F.min("component").alias("nb_component"))
         )

@@ -69,14 +69,14 @@ def label_propagation(
         # against the pinned blocks (src carries the label, dsts receive it)
         lab_src = labels.select(F.col("id").alias("src"), "label")
         if salt_map is None:
-            lab_salted = lab_src.withColumn("salt", F.lit(0).cast("int"))
+            # hub-free: blocks carry no salt column (src-partitioned)
+            j = blocks.join(lab_src.hint("shuffle_hash"), "src")
         else:
             lab_salted = lab_src.join(
                 salt_map.hint("shuffle_hash"), "src"
             ).select("src", "label", F.explode("salts").alias("salt"))
-        nb = blocks.join(lab_salted.hint("shuffle_hash"), ["src", "salt"]).select(
-            F.explode("dsts").alias("id"), "label"
-        )
+            j = blocks.join(lab_salted.hint("shuffle_hash"), ["src", "salt"])
+        nb = j.select(F.explode("dsts").alias("id"), "label")
         # mode with min-label tie-break: argmax of (count, -label)
         best = (
             nb.groupBy("id", "label")

@@ -77,7 +77,7 @@ def adjacency_blocks(
     # (each (src, _bi) group holds ~block_size entries) — skew-safe at any
     # degree, unlike collect_list-then-split
     nb = F.greatest(F.lit(1), F.ceil(F.col("out_degree") / block_size))
-    blocks = (
+    grouped = (
         edges.select("src", "dst")
         .join(deg.hint("shuffle_hash"), "src")
         .withColumn("_bi", F.pmod(F.xxhash64("dst"), nb).cast("int"))
@@ -86,17 +86,30 @@ def adjacency_blocks(
         # partial-agg hash table in near-ascending id order — measurably
         # better cache locality than collect_list's arbitrary order
         .agg(F.sort_array(F.collect_list("dst")).alias("dsts"))
+    )
+    # no src above block_size => no salting is needed; CRITICALLY the salt
+    # column must then not exist at all: a constant salt would let Catalyst
+    # rewrite the per-superstep (src, salt) equi-join into a src-only join
+    # plus a pushed filter, which no longer matches the persisted
+    # (src, salt) partitioning — re-shuffling every adjacency array each
+    # superstep (observed via .explain: an E-row Exchange per iteration)
+    has_hubs = deg.filter(F.col("out_degree") > block_size).limit(1).count() > 0
+    if not has_hubs:
+        blocks = (
+            grouped.select("src", "dsts", "out_degree")
+            .repartition(partitions, "src")
+            .persist()
+        )
+        blocks.count()
+        return blocks, None
+    blocks = (
+        grouped
         .withColumn("salt", F.pmod(F.col("_bi"), F.lit(num_salts)).cast("int"))
         .select("src", "salt", "dsts", "out_degree")
         .repartition(partitions, "src", "salt")
         .persist()
     )
     blocks.count()
-    # no src above block_size => every block has salt 0 and the per-superstep
-    # rank replication join is pure overhead: signal with salt_map = None
-    has_hubs = deg.filter(F.col("out_degree") > block_size).limit(1).count() > 0
-    if not has_hubs:
-        return blocks, None
     salt_map = (
         blocks.select("src", "salt")
         .distinct()
@@ -245,8 +258,9 @@ def pagerank(
             # dst key the task emits belongs to its own bucket class
             joined = blocks.join(ranks_repl.hint("shuffle_hash"), ["src", "dstb"])
         elif salt_map is None:
-            ranks_salted = src_ranks.withColumn("salt", F.lit(0).cast("int"))
-            joined = blocks.join(ranks_salted.hint("shuffle_hash"), ["src", "salt"])
+            # hub-free: blocks have no salt column and are partitioned on
+            # src — only the V-row rank state shuffles
+            joined = blocks.join(src_ranks.hint("shuffle_hash"), "src")
         else:
             ranks_salted = (
                 src_ranks.join(salt_map.hint("shuffle_hash"), "src")
