@@ -144,3 +144,59 @@ def stream_sessionize(
         .filter(F.col("_rn") == 1)
         .select("user_id", "n_sessions", "n_events")
     )
+
+
+def stream_ingest_edges(
+    spark: SparkSession,
+    pages_path: str,
+    sink_table: str = "stream_ingest",
+) -> DataFrame:
+    """Streaming twin of the batch ingest stage: ``readStream`` over the
+    web-pages table, vectorized pandas-UDF outlink extraction per
+    micro-batch, aggregated to (src_url, n_outlinks).
+
+    This is the shape a continuously-crawling pipeline uses: each arriving
+    WARC batch flows through the SAME extraction UDF as the batch path
+    (ingest.extract_outlinks — byte-identical semantics), so backfill and
+    live ingest cannot diverge.  Output equals the batch answer on a
+    drained backlog (the oracle check).
+    """
+    from .ingest import extract_outlinks
+
+    schema = spark.read.parquet(pages_path).schema
+    if os.path.isdir(pages_path):
+        # a parquet directory of part files: stream it directly
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(pages_path)
+        )
+    else:
+        # a single parquet file: the file source needs a directory, so
+        # stream the parent filtered to this basename
+        directory = os.path.dirname(pages_path.rstrip("/"))
+        basename = os.path.basename(pages_path.rstrip("/"))
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("pathGlobFilter", basename)
+            .parquet(directory)
+        )
+    edges = stream.select(
+        F.col("url").alias("src_url"),
+        F.explode(extract_outlinks(F.col("html"))).alias("dst_url"),
+    ).filter(F.col("src_url") != F.col("dst_url"))
+    agg = edges.groupBy("src_url").agg(
+        F.count(F.lit(1)).cast("long").alias("n_outlinks")
+    )
+    ckpt = tempfile.mkdtemp(prefix="lg_stream_ckpt_")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink_table)
+        .outputMode("complete")
+        .option("checkpointLocation", os.path.join(ckpt, "ingest"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink_table)

@@ -968,6 +968,21 @@ def q_adaptive_triangle(spark, sf_dir):
     )
 
 
+def q_stream_ingest(spark, sf_dir):
+    """Streaming ingest: readStream over a synthesized web-pages table ->
+    pandas-UDF outlink extraction per micro-batch -> per-url outlink counts
+    (rows-only check here; streaming == batch parity asserted in tests/)."""
+    import tempfile
+
+    from . import datagen, streaming
+
+    pages = datagen.synth_pages(spark, 200, partitions=4)
+    d = tempfile.mkdtemp(prefix="lg_si_") + "/pages.parquet"
+    pages.write.mode("overwrite").parquet(d)
+    out = streaming.stream_ingest_edges(spark, d, sink_table="q_stream_ingest_t")
+    return out.orderBy("src_url")
+
+
 def q_four_chain_sampled(spark, sf_dir):
     """Sampled 4-chain estimate via the middle-edge plan (rows-only check:
     randomized; statistical exactness asserted in tests/)."""
@@ -1056,6 +1071,7 @@ def _register_extensions() -> None:
             "multimodal_frames": (q_multimodal_frames, multimodal.frame_sample_sql(stride=64)),
             "stream_hourly": (q_stream_hourly, EVENT_HOURLY_SQL),
             "stream_sessions": (q_stream_sessions, EVENT_SESSIONS_SQL),
+            "stream_ingest_counts": (q_stream_ingest, None),
             "five_house_count": (q_five_house, FIVE_HOUSE_SQL),
             "five_chain_count": (q_five_chain, FIVE_CHAIN_SQL),
             "at_least_one_weighted_triangle": (

@@ -42,3 +42,25 @@ def test_stream_sessions_equals_batch(spark, events):
         for r in q_event_sessions(spark, SF).collect()
     }
     assert got == exp
+
+
+def test_stream_ingest_matches_batch(spark, tmp_path):
+    from linkgraph import datagen, ingest, streaming
+    from pyspark.sql import functions as F
+
+    pages = datagen.synth_pages(spark, 40, partitions=4)
+    p = str(tmp_path / "pages.parquet")
+    pages.write.mode("overwrite").parquet(p)
+
+    got = {
+        r["src_url"]: r["n_outlinks"]
+        for r in streaming.stream_ingest_edges(
+            spark, p, sink_table="t_stream_ingest"
+        ).collect()
+    }
+    batch = (
+        ingest.pages_to_url_edges(spark.read.parquet(p))
+        .groupBy("src_url").agg(F.count(F.lit(1)).alias("n"))
+    )
+    exp = {r["src_url"]: r["n"] for r in batch.collect()}
+    assert got == exp
