@@ -71,41 +71,55 @@ def adjacency_blocks(
     ``None`` when no src exceeds ``block_size`` (every salt is 0 and the
     per-superstep replication join would be pure overhead).
     """
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_degree"))
-    # hub blocks assigned by hash(dst), NOT by sorted position: no window
-    # sort of E rows, and a hub's adjacency never materializes in one task
-    # (each (src, _bi) group holds ~block_size entries) — skew-safe at any
-    # degree, unlike collect_list-then-split
-    nb = F.greatest(F.lit(1), F.ceil(F.col("out_degree") / block_size))
-    grouped = (
-        edges.select("src", "dst")
-        .join(deg.hint("shuffle_hash"), "src")
-        .withColumn("_bi", F.pmod(F.xxhash64("dst"), nb).cast("int"))
-        .groupBy("src", "_bi", "out_degree")
-        # sorted dsts: after the per-superstep explode, contributions hit the
-        # partial-agg hash table in near-ascending id order — measurably
-        # better cache locality than collect_list's arbitrary order
-        .agg(F.sort_array(F.collect_list("dst")).alias("dsts"))
-    )
+    e = edges.select("src", "dst")
+    # degree pass is a count-only shuffle (map-side partial counts, tiny);
+    # the hub set (out_degree > block_size) is small enough to broadcast,
+    # so NO E-row join shuffle is ever needed for the build
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_degree"))
+    hubs = deg.filter(F.col("out_degree") > block_size)
+    has_hubs = hubs.limit(1).count() > 0
+
+    def _whole(src_edges):
+        # one grouping shuffle; arrays bounded by block_size here (no hubs)
+        # sorted dsts: the per-superstep explode then feeds the partial-agg
+        # hash table in near-ascending id order (better cache locality)
+        return src_edges.groupBy("src").agg(
+            F.sort_array(F.collect_list("dst")).alias("dsts"),
+            F.count(F.lit(1)).alias("out_degree"),
+        )
+
     # no src above block_size => no salting is needed; CRITICALLY the salt
     # column must then not exist at all: a constant salt would let Catalyst
     # rewrite the per-superstep (src, salt) equi-join into a src-only join
     # plus a pushed filter, which no longer matches the persisted
     # (src, salt) partitioning — re-shuffling every adjacency array each
     # superstep (observed via .explain: an E-row Exchange per iteration)
-    has_hubs = deg.filter(F.col("out_degree") > block_size).limit(1).count() > 0
     if not has_hubs:
-        blocks = (
-            grouped.select("src", "dsts", "out_degree")
-            .repartition(partitions, "src")
-            .persist()
-        )
+        blocks = _whole(e).repartition(partitions, "src").persist()
         blocks.count()
         return blocks, None
+
+    # hub edges split by hash(dst), NOT by sorted position: no window sort,
+    # and a hub's adjacency never materializes in one task (each (src, _bi)
+    # group holds ~block_size entries) — skew-safe at any degree
+    hub_src = F.broadcast(hubs)
+    nonhub_blocks = _whole(e.join(hub_src.select("src"), "src", "left_anti"))
+    nonhub_blocks = nonhub_blocks.select(
+        "src", F.lit(0).cast("int").alias("salt"), "dsts", "out_degree"
+    )
+    nb = F.greatest(F.lit(1), F.ceil(F.col("out_degree") / block_size))
+    hub_blocks = (
+        e.join(hub_src, "src")  # broadcast: adds out_degree map-side
+        .withColumn("_bi", F.pmod(F.xxhash64("dst"), nb).cast("int"))
+        .groupBy("src", "_bi", "out_degree")
+        .agg(F.sort_array(F.collect_list("dst")).alias("dsts"))
+        .select(
+            "src", F.pmod(F.col("_bi"), F.lit(num_salts)).cast("int").alias("salt"),
+            "dsts", "out_degree",
+        )
+    )
     blocks = (
-        grouped
-        .withColumn("salt", F.pmod(F.col("_bi"), F.lit(num_salts)).cast("int"))
-        .select("src", "salt", "dsts", "out_degree")
+        nonhub_blocks.union(hub_blocks)
         .repartition(partitions, "src", "salt")
         .persist()
     )
