@@ -160,19 +160,23 @@ def bucketed_adjacency_blocks(
     scale-up.  Hub salting is subsumed: a hub's adjacency spreads across
     all K buckets by construction.
     """
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_degree"))
-    # sub-split a hub's per-bucket adjacency so no single block row exceeds
-    # ~block_size entries (skew safety within the bucket)
-    nbb = F.greatest(
-        F.lit(1), F.ceil(F.col("out_degree") / (dst_buckets * block_size))
+    # single E-row grouping shuffle; per-(src, bucket) arrays are bounded by
+    # ~degree/K (pick K >= degree_max/block_size to bound them absolutely).
+    # out_degree falls out of the block sizes — no E-row degree join.
+    grouped = (
+        edges.select(
+            "src", "dst",
+            F.pmod(F.xxhash64("dst"), F.lit(dst_buckets)).cast("int").alias("dstb"),
+        )
+        .groupBy("src", "dstb")
+        .agg(
+            F.sort_array(F.collect_list("dst")).alias("dsts"),
+            F.count(F.lit(1)).alias("_bsz"),
+        )
     )
+    deg = grouped.groupBy("src").agg(F.sum("_bsz").alias("out_degree"))
     blocks = (
-        edges.select("src", "dst")
-        .join(deg.hint("shuffle_hash"), "src")
-        .withColumn("dstb", F.pmod(F.xxhash64("dst"), F.lit(dst_buckets)).cast("int"))
-        .withColumn("_bi", F.pmod(F.xxhash64("dst", F.lit(7)), nbb).cast("int"))
-        .groupBy("src", "dstb", "_bi", "out_degree")
-        .agg(F.sort_array(F.collect_list("dst")).alias("dsts"))
+        grouped.join(deg.hint("shuffle_hash"), "src")  # (V x K)-row join, not E
         .select("src", "dstb", "dsts", "out_degree")
         .repartition(partitions, "dstb")
         .persist()
