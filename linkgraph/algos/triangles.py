@@ -192,6 +192,84 @@ def four_chain_count_sampled(
     return float(m) * float(total) / float(num_estimators)
 
 
+def k_chain_count_sampled(
+    edges: DataFrame,
+    k: int,
+    num_estimators: int,
+    seed: int = 42,
+    partitions: int | None = None,
+) -> float:
+    """Runtime-parameterized sampled k-chain (simple path on k vertices)
+    estimate — the sampled twin of the reference's ChainMining app
+    (/root/reference/applications/ChainMining.cpp:18-106).
+
+    Estimator: sample a uniform (edge, direction) [prob 1/(2m)], then
+    extend the moving end k-2 times, each step a uniform pick among the
+    end's neighbors not already on the path [prob 1/c_j]; weight
+    2m * prod(c_j).  Each ORDERED simple path corresponds to exactly one
+    (edge, direction, picks) trajectory, and unordered = ordered / 2, so
+    E[sum/N] / 2 is the k-chain count.  The loop is k-2 chained joins
+    against the persisted adjacency — all column expressions
+    (array_except / try_element_at), no per-row Python.
+    """
+    if k < 3:
+        raise ValueError("k >= 3")
+    spark = edges.sparkSession
+    P = int(partitions or spark.conf.get("spark.sql.shuffle.partitions"))
+
+    o = _oriented(edges)
+    from ..ingest import dense_ids
+
+    ok = o.withColumn("_key", F.concat_ws("_", "a", "b"))
+    idx = dense_ids(ok.select("_key"), "_key", P)
+    ok = ok.join(idx, "_key").drop("_key").persist()
+    m = ok.count()
+
+    sym = o.select(F.col("a").alias("x"), F.col("b").alias("w")).union(
+        o.select(F.col("b").alias("x"), F.col("a").alias("w"))
+    )
+    adj = sym.groupBy("x").agg(F.collect_list("w").alias("nbrs")).persist()
+
+    est = spark.range(num_estimators).select(
+        F.col("id").alias("est_id"),
+        F.floor(F.rand(seed) * m).cast("long").alias("id"),
+        (F.rand(seed + 1) < 0.5).alias("fwd"),
+    )
+    cur = est.join(ok, "id").select(
+        "est_id",
+        F.when(F.col("fwd"), F.array("a", "b"))
+        .otherwise(F.array("b", "a"))
+        .alias("path"),
+        F.lit(1.0).alias("wprod"),
+    )
+    for step in range(k - 2):
+        r = F.rand(seed + 10 + step)
+        cur = (
+            cur.withColumn("end", F.element_at("path", -1))
+            .join(adj.withColumnRenamed("x", "end"), "end")
+            .withColumn("cand", F.array_except(F.col("nbrs"), F.col("path")))
+            .withColumn("c", F.size("cand"))
+            .withColumn(
+                "nxt",
+                F.try_element_at("cand", (F.floor(r * F.col("c")) + 1).cast("int")),
+            )
+            .filter(F.col("c") > 0)
+            .select(
+                "est_id",
+                F.concat(F.col("path"), F.array(F.col("nxt"))).alias("path"),
+                (F.col("wprod") * F.col("c")).alias("wprod"),
+            )
+        )
+    total = cur.agg(
+        F.coalesce(F.sum("wprod"), F.lit(0.0)).alias("s")
+    ).collect()[0]["s"]
+    ok.unpersist()
+    adj.unpersist()
+    # weight 2m*prod(c) for an ordered path, / 2 for unordered: the twos
+    # cancel to m * mean(prod(c))
+    return float(m) * float(total) / float(num_estimators)
+
+
 def triangle_count_sampled(
     edges: DataFrame,
     num_estimators: int,

@@ -994,6 +994,17 @@ def q_four_chain_sampled(spark, sf_dir):
     return spark.createDataFrame([(float(est),)], "estimate double")
 
 
+def q_five_chain_sampled(spark, sf_dir):
+    """Runtime-k sampled chain estimate at k=5 (rows-only: randomized;
+    statistical exactness asserted in tests/)."""
+    from .algos import triangles
+
+    est = triangles.k_chain_count_sampled(
+        edges_b(spark, sf_dir), k=5, num_estimators=8192, seed=13
+    )
+    return spark.createDataFrame([(float(est),)], "estimate double")
+
+
 def q_triangle_sampled(spark, sf_dir):
     """ASAP-style sampled triangle estimate (rows-only check: the estimate
     is randomized; exactness is asserted statistically in tests/)."""
@@ -1083,6 +1094,7 @@ def _register_extensions() -> None:
             "generic_pattern_counts": (q_generic_patterns, _generic_patterns_sql()),
             "triangle_sampled_estimate": (q_triangle_sampled, None),
             "four_chain_sampled_estimate": (q_four_chain_sampled, None),
+            "five_chain_sampled_estimate": (q_five_chain_sampled, None),
             "adaptive_triangle_estimate": (q_adaptive_triangle, None),
         }
     )

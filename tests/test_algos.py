@@ -146,3 +146,19 @@ def test_pagerank_dst_buckets_matches_oracle(spark, edges30):
         tol=1e-6, partitions=8,
     )
     assert np.allclose(_vec(ranks1, "rank"), got, atol=1e-9)
+
+
+def test_k_chain_count_sampled_within_eps(spark, edges30):
+    from linkgraph.algos.triangles import k_chain_count_sampled
+
+    # k=4 cross-checks the dedicated 4-chain estimator's answer; k=5
+    # checks the runtime-k path against the exact counter
+    exact4 = oracles.four_chain_count_oracle(EDGES)
+    est4 = k_chain_count_sampled(edges30, 4, num_estimators=20000, seed=5,
+                                 partitions=8)
+    assert abs(est4 - exact4) / exact4 < 0.15
+
+    exact5 = motifs.k_chain_count(edges30, 5)
+    est5 = k_chain_count_sampled(edges30, 5, num_estimators=20000, seed=6,
+                                 partitions=8)
+    assert abs(est5 - exact5) / exact5 < 0.15
