@@ -1005,6 +1005,36 @@ def q_five_chain_sampled(spark, sf_dir):
     return spark.createDataFrame([(float(est),)], "estimate double")
 
 
+def q_profiled_triangle(spark, sf_dir):
+    """ErrorProfile-driven estimation lifecycle (rows-only: randomized):
+    pilot batches on a 50%-sampled graph measure the estimator's
+    coefficient of variation, size_estimators picks the batch budget for
+    (eps, conf), then the final run executes that budget on the full graph
+    — the reference's profile-then-run flow
+    (/root/reference/src/ErrorLatencyProfile.cpp:72-207) with the 10%%
+    profiling subgraph of :83 as the Bernoulli edge sample."""
+    from . import adaptive
+    from .algos import triangles
+
+    e = edges_b(spark, sf_dir).persist()
+    pilot_graph = e.sample(fraction=0.5, seed=404).persist()
+    pilot = [
+        triangles.triangle_count_sampled(pilot_graph, 512, seed=200 + i)
+        for i in range(2)
+    ]
+    pilot_graph.unpersist()
+    n_batches = min(adaptive.size_estimators(pilot, eps=0.1, conf=0.95), 3)
+    ests = [
+        triangles.triangle_count_sampled(e, 512, seed=300 + i)
+        for i in range(n_batches)
+    ]
+    e.unpersist()
+    return spark.createDataFrame(
+        [(float(sum(ests) / len(ests)), int(n_batches))],
+        "estimate double, n_batches int",
+    )
+
+
 def q_triangle_sampled(spark, sf_dir):
     """ASAP-style sampled triangle estimate (rows-only check: the estimate
     is randomized; exactness is asserted statistically in tests/)."""
@@ -1096,6 +1126,7 @@ def _register_extensions() -> None:
             "four_chain_sampled_estimate": (q_four_chain_sampled, None),
             "five_chain_sampled_estimate": (q_five_chain_sampled, None),
             "adaptive_triangle_estimate": (q_adaptive_triangle, None),
+            "profiled_triangle_estimate": (q_profiled_triangle, None),
         }
     )
 
