@@ -199,3 +199,114 @@ SELECT query_id, neighbor_id, CAST(round(sim * 1e6) AS BIGINT) AS sim_e6,
        CAST(rank AS BIGINT) AS rank
 FROM ranked WHERE rank <= {k}
 """
+
+
+def ivf_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-style approximate top-k: coarse quantizer + probed-cluster rerank.
+
+    The coarse codebook is the ``n_centroids`` lowest-id vectors (a
+    deterministic stand-in for k-means so the DuckDB oracle is value-exact;
+    a production build would plug trained centroids into the same plan).
+    Every vector is assigned to its nearest centroid (broadcast cross join,
+    K tiny); a query probes its ``nprobe`` nearest centroids and exact
+    cosine re-ranks ONLY those clusters' members.  At scale: the inverted
+    lists are the cluster-id hash partitioning, the query side broadcasts,
+    and the scan prunes to nprobe/K of the data.
+    """
+    c = (
+        emb.orderBy(id_col)
+        .limit(n_centroids)
+        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
+    )
+    wv = Window.partitionBy("_id").orderBy(F.desc("_cos"), F.asc("cid"))
+
+    def nearest(df, n):
+        scored = (
+            df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+            .crossJoin(F.broadcast(c))
+            .withColumn("_cos", _cos(F.col("_v"), F.col("cvec")))
+        )
+        return (
+            scored.withColumn("_rn", F.row_number().over(wv))
+            .filter(F.col("_rn") <= n)
+            .select("_id", "_v", "cid")
+        )
+
+    assign = nearest(emb, 1).select(
+        F.col("_id").alias("neighbor_id"), F.col("_v").alias("v"), "cid"
+    )
+    probes = nearest(queries, nprobe).select(
+        F.col("_id").alias("query_id"), F.col("_v").alias("qv"), "cid"
+    )
+    cand = (
+        probes.join(assign, "cid")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cand.select(
+        "query_id", "neighbor_id", _cos(F.col("qv"), F.col("v")).alias("sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id",
+                F.round(F.col("sim") * 1e6).cast("long").alias("sim_e6"),
+                F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def ivf_topk_sql(
+    table: str = "embeddings",
+    query_where: str = "vec_id < 20",
+    k: int = 5,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    vec_expr: str = "embedding",
+    id_expr: str = "vec_id",
+) -> str:
+    return f"""
+WITH e AS (SELECT {id_expr} AS id, CAST({vec_expr} AS DOUBLE[]) AS v FROM {table}),
+c AS (SELECT id AS cid, v AS cvec FROM e ORDER BY id LIMIT {n_centroids}),
+ac AS (
+  SELECT e.id, e.v, c.cid,
+         list_dot_product(e.v, c.cvec)
+           / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cvec, c.cvec))) AS cs,
+         row_number() OVER (PARTITION BY e.id ORDER BY list_dot_product(e.v, c.cvec)
+           / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cvec, c.cvec))) DESC,
+           c.cid ASC) AS rn
+  FROM e CROSS JOIN c
+),
+assign AS (SELECT id AS neighbor_id, v, cid FROM ac WHERE rn = 1),
+probes AS (
+  SELECT id AS query_id, v AS qv, cid FROM ac
+  WHERE rn <= {nprobe} AND id IN (SELECT {id_expr} FROM {table} WHERE {query_where})
+),
+cand AS (
+  SELECT DISTINCT p.query_id, p.qv, a.neighbor_id, a.v
+  FROM probes p JOIN assign a ON p.cid = a.cid
+  WHERE a.neighbor_id <> p.query_id
+),
+scored AS (
+  SELECT query_id, neighbor_id,
+         list_dot_product(qv, v)
+           / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))) AS sim
+  FROM cand
+),
+ranked AS (
+  SELECT query_id, neighbor_id, sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(round(sim * 1e6) AS BIGINT) AS sim_e6,
+       CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {k}
+"""

@@ -710,6 +710,16 @@ def q_ann_lsh_topk(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF coarse-quantizer ANN: probed-cluster exact rerank (value-checked
+    vs the DuckDB twin of the same deterministic codebook)."""
+    from . import ann
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 20)
+    return ann.ivf_topk(e, q, k=5, n_centroids=8, nprobe=2)
+
+
 def q_multimodal_decode(spark, sf_dir):
     from . import multimodal
 
@@ -1107,6 +1117,11 @@ def _register_extensions() -> None:
                 q_ann_lsh_topk,
                 ann.lsh_topk_sql(query_where="vec_id < 20", k=5, bands=3,
                                  planes_per_band=4, dim=64),
+            ),
+            "ann_ivf_topk": (
+                q_ann_ivf_topk,
+                ann.ivf_topk_sql(query_where="vec_id < 20", k=5,
+                                 n_centroids=8, nprobe=2),
             ),
             "multimodal_decode": (q_multimodal_decode, multimodal.decode_features_sql()),
             "multimodal_frames": (q_multimodal_frames, multimodal.frame_sample_sql(stride=64)),

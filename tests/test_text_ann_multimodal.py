@@ -124,3 +124,42 @@ def test_multimodal_preserves_partitioning(docs):
     """mapInPandas must not introduce a shuffle."""
     blobs = multimodal.docs_as_blobs(docs.repartition(4, "doc_id"))
     assert multimodal.decode_features(blobs).rdd.getNumPartitions() == 4
+
+
+def test_ivf_topk_recall_and_exactness(spark):
+    import numpy as np
+    from linkgraph import ann
+    from pyspark.sql import functions as F
+
+    rng = np.random.RandomState(9)
+    rows = [(i, [float(x) for x in rng.randn(8)]) for i in range(60)]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = e.filter(F.col("vec_id") < 5)
+
+    got = ann.ivf_topk(e, q, k=3, n_centroids=4, nprobe=2)
+    rowsg = got.collect()
+    # every query gets k results with contiguous ranks and exact cosines
+    by_q = {}
+    for r in rowsg:
+        by_q.setdefault(r["query_id"], []).append(r)
+    vecs = {i: np.array(v) for i, v in rows}
+    for qid, rs in by_q.items():
+        assert sorted(x["rank"] for x in rs) == list(range(1, len(rs) + 1))
+        for r in rs:
+            a, b = vecs[qid], vecs[r["neighbor_id"]]
+            exact = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+            assert r["sim_e6"] == round(exact * 1e6)
+
+    # recall vs exact brute force: probing half the clusters must find at
+    # least one of the true top-3 for most queries
+    exact_top = {}
+    for qid in range(5):
+        sims = sorted(
+            ((float(vecs[qid] @ vecs[j] / (np.linalg.norm(vecs[qid]) * np.linalg.norm(vecs[j]))), j)
+             for j in range(60) if j != qid), reverse=True)
+        exact_top[qid] = {j for _, j in sims[:3]}
+    hits = sum(
+        1 for qid in range(5)
+        if exact_top[qid] & {r["neighbor_id"] for r in by_q.get(qid, [])}
+    )
+    assert hits >= 3
