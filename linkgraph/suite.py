@@ -144,6 +144,56 @@ JOIN oe_a e3 ON e3.a = e1.a AND e3.b = e2.b
 """
 
 
+def q_clustering_coeff(spark, sf_dir):
+    """Per-vertex local clustering coefficient: triangles_v / C(deg_v, 2),
+    scaled e6 (0 for degree < 2) — composed from per-vertex triangle
+    participation (oriented self-joins) and the undirected degree table."""
+    from .algos.triangles import per_vertex_triangle_counts
+    from .graph import LinkGraph
+
+    g = LinkGraph(edges_a(spark, sf_dir), vertices=verts(spark, V_A), partitions=16)
+    deg = g.degrees().select("id", "degree")
+    tri = per_vertex_triangle_counts(edges_a(spark, sf_dir))
+    pairs = (F.col("degree") * (F.col("degree") - 1) / 2).cast("double")
+    return (
+        deg.join(tri, "id", "left")
+        .select(
+            "id",
+            F.when(
+                F.col("degree") >= 2,
+                F.round(F.coalesce(F.col("triangles"), F.lit(0)) / pairs * 1e6),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("lcc_e6"),
+        )
+    )
+
+
+CLUSTERING_COEFF_SQL = f"""
+WITH {EDGES_A_SQL}, {VERTS_A_SQL}, {UND_A_SQL}, {OE_A_SQL},
+tri AS (
+  SELECT e1.a AS a, e1.b AS b, e2.b AS c
+  FROM oe_a e1
+  JOIN oe_a e2 ON e1.b = e2.a
+  JOIN oe_a e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+tv AS (
+  SELECT id, count(*) AS triangles FROM (
+    SELECT a AS id FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri
+  ) GROUP BY id
+),
+deg AS (SELECT src AS id, count(*) AS degree FROM und_a GROUP BY src)
+SELECT v.id,
+       CAST(CASE WHEN coalesce(d.degree, 0) >= 2
+            THEN round(coalesce(t.triangles, 0) * 1e6 / (d.degree * (d.degree - 1) / 2.0))
+            ELSE 0 END AS BIGINT) AS lcc_e6
+FROM verts_a v
+LEFT JOIN deg d ON v.id = d.id
+LEFT JOIN tv t ON v.id = t.id
+"""
+
+
 def q_pagerank5(spark, sf_dir):
     from .algos import pagerank
 
@@ -1069,6 +1119,7 @@ REGISTRY: dict = {
     "degrees": (q_degrees, DEGREES_SQL),
     "triangle_count": (q_triangle_count, TRIANGLE_SQL),
     "pagerank_5iter": (q_pagerank5, PAGERANK5_SQL),
+    "clustering_coefficient": (q_clustering_coeff, CLUSTERING_COEFF_SQL),
     "connected_components": (q_components, COMPONENTS_SQL),
     "label_propagation_3iter": (q_labelprop3, LABELPROP3_SQL),
     "three_chain_count": (q_three_chain, THREE_CHAIN_SQL),
