@@ -285,3 +285,22 @@ def pattern_count_oracle(edges: list[tuple[int, int]],
         if all((min(m[u], m[v]), max(m[u], m[v])) in g for u, v in pes):
             homs += 1
     return homs // aut
+
+
+def hits_oracle(num_vertices: int, edges: list[tuple[int, int]],
+                num_iters: int = 5) -> tuple[np.ndarray, np.ndarray]:
+    """Textbook HITS power iteration (L2-normalized each half-step);
+    returns (hub, authority) — the twin of algos.hits."""
+    A = np.zeros((num_vertices, num_vertices))
+    for s, d in edges:
+        A[s, d] = 1.0
+    h = np.ones(num_vertices)
+    a = np.ones(num_vertices)
+    for _ in range(num_iters):
+        a = A.T @ h
+        n = np.linalg.norm(a)
+        a = a / (n if n else 1.0)
+        h = A @ a
+        n = np.linalg.norm(h)
+        h = h / (n if n else 1.0)
+    return h, a

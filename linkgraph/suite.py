@@ -194,6 +194,68 @@ LEFT JOIN tv t ON v.id = t.id
 """
 
 
+def q_hits3(spark, sf_dir):
+    """HITS hubs/authorities, 3 fixed L2-normalized iterations (e6-scaled,
+    value-checked vs an iterative SQL twin)."""
+    from .algos.hits import hits
+
+    out = hits(edges_b(spark, sf_dir), vertices=verts(spark, V_B),
+               num_iters=3, partitions=8)
+    return out.select(
+        "id",
+        F.round(F.col("hub") * 1e6).cast("long").alias("hub_e6"),
+        F.round(F.col("authority") * 1e6).cast("long").alias("auth_e6"),
+    )
+
+
+def _hits_sql(num_iters: int, edges_sql: str, verts_sql: str,
+              verts_name: str, edges_name: str) -> str:
+    parts = [edges_sql, verts_sql,
+             f"s0 AS (SELECT id, 1.0 AS hub, 1.0 AS auth FROM {verts_name})"]
+    for i in range(1, num_iters + 1):
+        p = f"s{i - 1}"
+        parts.append(
+            f"""ar{i} AS (SELECT e.dst AS id, sum(s.hub) AS r
+                 FROM {edges_name} e JOIN {p} s ON e.src = s.id GROUP BY e.dst)"""
+        )
+        parts.append(
+            f"""av{i} AS MATERIALIZED (SELECT v.id, s.hub, coalesce(ar.r, 0) AS auth
+                 FROM {verts_name} v JOIN {p} s ON v.id = s.id
+                 LEFT JOIN ar{i} ar ON v.id = ar.id)"""
+        )
+        parts.append(
+            f"an{i} AS (SELECT CASE WHEN sqrt(sum(auth*auth)) = 0 THEN 1.0 "
+            f"ELSE sqrt(sum(auth*auth)) END AS n FROM av{i})"
+        )
+        parts.append(
+            f"a{i} AS MATERIALIZED (SELECT av.id, av.hub, av.auth / n.n AS auth FROM av{i} av CROSS JOIN an{i} n)"
+        )
+        parts.append(
+            f"""hr{i} AS (SELECT e.src AS id, sum(a.auth) AS r
+                 FROM {edges_name} e JOIN a{i} a ON e.dst = a.id GROUP BY e.src)"""
+        )
+        parts.append(
+            f"""hv{i} AS MATERIALIZED (SELECT v.id, coalesce(hr.r, 0) AS hub, a.auth
+                 FROM {verts_name} v JOIN a{i} a ON v.id = a.id
+                 LEFT JOIN hr{i} hr ON v.id = hr.id)"""
+        )
+        parts.append(
+            f"hn{i} AS (SELECT CASE WHEN sqrt(sum(hub*hub)) = 0 THEN 1.0 "
+            f"ELSE sqrt(sum(hub*hub)) END AS n FROM hv{i})"
+        )
+        parts.append(
+            f"s{i} AS MATERIALIZED (SELECT hv.id, hv.hub / n.n AS hub, hv.auth FROM hv{i} hv CROSS JOIN hn{i} n)"
+        )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"""\nSELECT id, CAST(round(hub * 1e6) AS BIGINT) AS hub_e6,
+       CAST(round(auth * 1e6) AS BIGINT) AS auth_e6 FROM s{num_iters}"""
+    )
+
+
+HITS3_SQL = _hits_sql(3, EDGES_B_SQL, VERTS_B_SQL, "verts_b", "edges_b")
+
+
 def q_pagerank5(spark, sf_dir):
     from .algos import pagerank
 
@@ -1120,6 +1182,7 @@ REGISTRY: dict = {
     "triangle_count": (q_triangle_count, TRIANGLE_SQL),
     "pagerank_5iter": (q_pagerank5, PAGERANK5_SQL),
     "clustering_coefficient": (q_clustering_coeff, CLUSTERING_COEFF_SQL),
+    "hits_3iter": (q_hits3, HITS3_SQL),
     "connected_components": (q_components, COMPONENTS_SQL),
     "label_propagation_3iter": (q_labelprop3, LABELPROP3_SQL),
     "three_chain_count": (q_three_chain, THREE_CHAIN_SQL),

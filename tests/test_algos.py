@@ -162,3 +162,18 @@ def test_k_chain_count_sampled_within_eps(spark, edges30):
     est5 = k_chain_count_sampled(edges30, 5, num_estimators=20000, seed=6,
                                  partitions=8)
     assert abs(est5 - exact5) / exact5 < 0.15
+
+
+def test_hits_matches_oracle(spark, edges30):
+    from linkgraph.algos.hits import hits
+
+    h_exp, a_exp = oracles.hits_oracle(V, EDGES, num_iters=5)
+    out = hits(
+        edges30,
+        vertices=spark.createDataFrame([(i,) for i in range(V)], "id long"),
+        num_iters=5, partitions=8,
+    )
+    got_h = _vec(out, "hub")
+    got_a = _vec(out, "authority")
+    assert np.allclose(got_h, h_exp, atol=1e-9)
+    assert np.allclose(got_a, a_exp, atol=1e-9)
