@@ -369,3 +369,89 @@ def pagerank(
         if df is not None:
             df.unpersist()
     return ranks, metrics
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    sources: DataFrame,
+    vertices: DataFrame | None = None,
+    damping: float = 0.85,
+    num_iters: int = 5,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Personalized PageRank: teleport mass restarts uniformly over the
+    ``sources`` vertex set (column ``id``) instead of all vertices; dangling
+    mass likewise returns to the sources.  Returns (id, rank).
+
+    Shares the CSR-block superstep with :func:`pagerank`; runs a fixed
+    iteration count (the suite-parity mode).  The reset vector joins as a
+    broadcast (source sets are tiny relative to V).
+    """
+    spark = edges.sparkSession
+    P = int(partitions or spark.conf.get("spark.sql.shuffle.partitions"))
+
+    if vertices is None:
+        vertices = (
+            edges.select(F.col("src").alias("id"))
+            .union(edges.select(F.col("dst").alias("id")))
+            .distinct()
+        )
+    v = vertices.select("id").repartition(P, "id").persist()
+    S = sources.select("id").distinct().persist()
+    nS = S.count()
+    reset = F.broadcast(S.withColumn("_p", F.lit(1.0 / nS)))
+
+    blocks, salt_map = adjacency_blocks(edges, P)
+    # dangling set: vertices with no out-edges (their rank re-teleports)
+    danglers = v.join(
+        blocks.select(F.col("src").alias("id")).distinct(), "id", "left_anti"
+    ).persist()
+
+    ranks = v.join(reset, "id", "left").select(
+        "id", F.coalesce("_p", F.lit(0.0)).alias("rank")
+    ).localCheckpoint(eager=True)
+
+    for _ in range(num_iters):
+        dm = float(
+            ranks.join(danglers, "id", "left_semi")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("s"))
+            .collect()[0]["s"]
+        )
+        src_ranks = ranks.select(F.col("id").alias("src"), "rank")
+        if salt_map is None:
+            joined = blocks.join(src_ranks.hint("shuffle_hash"), "src")
+        else:
+            salted = src_ranks.join(salt_map.hint("shuffle_hash"), "src").select(
+                "src", "rank", F.explode("salts").alias("salt")
+            )
+            joined = blocks.join(salted.hint("shuffle_hash"), ["src", "salt"])
+        contribs = (
+            joined.select(
+                (F.col("rank") / F.col("out_degree")).alias("contrib"), "dsts"
+            )
+            .select(F.explode("dsts").alias("id"), "contrib")
+            .groupBy("id")
+            .agg(F.sum("contrib").alias("contrib"))
+        )
+        ranks = (
+            v.join(contribs.hint("shuffle_hash"), "id", "left")
+            .join(reset, "id", "left")
+            .select(
+                "id",
+                (
+                    F.lit(1.0 - damping) * F.coalesce("_p", F.lit(0.0))
+                    + F.lit(damping)
+                    * (
+                        F.coalesce("contrib", F.lit(0.0))
+                        + F.lit(dm) * F.coalesce("_p", F.lit(0.0))
+                    )
+                ).alias("rank"),
+            )
+            .repartition(P, "id")
+            .localCheckpoint(eager=True)
+        )
+
+    for df in (v, S, danglers, blocks, salt_map):
+        if df is not None:
+            df.unpersist()
+    return ranks

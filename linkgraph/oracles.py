@@ -304,3 +304,30 @@ def hits_oracle(num_vertices: int, edges: list[tuple[int, int]],
         n = np.linalg.norm(h)
         h = h / (n if n else 1.0)
     return h, a
+
+
+def personalized_pagerank_oracle(
+    num_vertices: int,
+    edges: list[tuple[int, int]],
+    sources: list[int],
+    damping: float = 0.85,
+    num_iters: int = 5,
+) -> np.ndarray:
+    """Twin of algos.pagerank.personalized_pagerank: teleport + dangling
+    mass restart uniformly over ``sources``."""
+    out: dict[int, list[int]] = {}
+    for s, d in edges:
+        out.setdefault(s, []).append(d)
+    p = np.zeros(num_vertices)
+    for s in sources:
+        p[s] = 1.0 / len(sources)
+    r = p.copy()
+    for _ in range(num_iters):
+        dm = sum(r[v] for v in range(num_vertices) if v not in out)
+        new = (1.0 - damping) * p + damping * dm * p
+        for s, ds in out.items():
+            w = r[s] / len(ds)
+            for d in ds:
+                new[d] += damping * w
+        r = new
+    return r

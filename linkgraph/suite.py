@@ -301,6 +301,62 @@ def _pagerank_sql(num_iters: int, v: int, edges_sql: str, verts_sql: str,
 PAGERANK5_SQL = _pagerank_sql(5, V_A, EDGES_A_SQL, VERTS_A_SQL, "verts_a", "edges_a")
 
 
+PPR_SOURCES = (0, 3, 7, 11)
+
+
+def q_ppr5(spark, sf_dir):
+    """Personalized PageRank from a fixed source set, 5 fixed iterations
+    (e8-scaled, value-checked vs an iterative SQL twin)."""
+    from .algos.pagerank import personalized_pagerank
+
+    ranks = personalized_pagerank(
+        edges_b(spark, sf_dir),
+        sources=spark.createDataFrame([(s,) for s in PPR_SOURCES], "id long"),
+        vertices=verts(spark, V_B), num_iters=5, partitions=8,
+    )
+    return ranks.select(
+        "id", F.round(F.col("rank") * 1e8).cast("long").alias("rank_e8")
+    )
+
+
+def _ppr_sql(num_iters: int, sources: tuple, edges_sql: str, verts_sql: str,
+             verts_name: str, edges_name: str) -> str:
+    d = 0.85
+    src_list = ", ".join(str(x) for x in sources)
+    parts = [
+        edges_sql, verts_sql,
+        f"outd AS (SELECT src AS id, CAST(count(*) AS DOUBLE) AS od FROM {edges_name} GROUP BY src)",
+        f"reset AS (SELECT id, CASE WHEN id IN ({src_list}) THEN 1.0/{len(sources)} ELSE 0.0 END AS p FROM {verts_name})",
+        "r0 AS (SELECT id, p AS rank FROM reset)",
+    ]
+    for i in range(1, num_iters + 1):
+        p = f"r{i - 1}"
+        parts.append(
+            f"""d{i} AS MATERIALIZED (SELECT coalesce(sum(r.rank), 0) AS dm FROM {p} r
+                 LEFT JOIN outd o ON r.id = o.id WHERE o.id IS NULL)"""
+        )
+        parts.append(
+            f"""c{i} AS MATERIALIZED (SELECT e.dst AS id, sum(r.rank / o.od) AS contrib
+                 FROM {edges_name} e JOIN {p} r ON e.src = r.id
+                 JOIN outd o ON e.src = o.id GROUP BY e.dst)"""
+        )
+        parts.append(
+            f"""r{i} AS MATERIALIZED (SELECT v.id,
+                 {1.0 - d} * rs.p + {d} * (coalesce(c.contrib, 0) + dd.dm * rs.p) AS rank
+                 FROM {verts_name} v
+                 JOIN reset rs ON v.id = rs.id
+                 LEFT JOIN c{i} c ON v.id = c.id
+                 CROSS JOIN d{i} dd)"""
+        )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT id, CAST(round(rank * 100000000) AS BIGINT) AS rank_e8 FROM r{num_iters}"
+    )
+
+
+PPR5_SQL = _ppr_sql(5, PPR_SOURCES, EDGES_B_SQL, VERTS_B_SQL, "verts_b", "edges_b")
+
+
 def q_components(spark, sf_dir):
     from .algos import connected_components
 
@@ -1183,6 +1239,7 @@ REGISTRY: dict = {
     "pagerank_5iter": (q_pagerank5, PAGERANK5_SQL),
     "clustering_coefficient": (q_clustering_coeff, CLUSTERING_COEFF_SQL),
     "hits_3iter": (q_hits3, HITS3_SQL),
+    "personalized_pagerank_5iter": (q_ppr5, PPR5_SQL),
     "connected_components": (q_components, COMPONENTS_SQL),
     "label_propagation_3iter": (q_labelprop3, LABELPROP3_SQL),
     "three_chain_count": (q_three_chain, THREE_CHAIN_SQL),

@@ -177,3 +177,17 @@ def test_hits_matches_oracle(spark, edges30):
     got_a = _vec(out, "authority")
     assert np.allclose(got_h, h_exp, atol=1e-9)
     assert np.allclose(got_a, a_exp, atol=1e-9)
+
+
+def test_personalized_pagerank_matches_oracle(spark, edges30):
+    from linkgraph.algos.pagerank import personalized_pagerank
+
+    sources = [0, 3, 7]
+    exp = oracles.personalized_pagerank_oracle(V, EDGES, sources, num_iters=5)
+    got_df = personalized_pagerank(
+        edges30,
+        sources=spark.createDataFrame([(s,) for s in sources], "id long"),
+        vertices=spark.createDataFrame([(i,) for i in range(V)], "id long"),
+        num_iters=5, partitions=8,
+    )
+    assert np.allclose(_vec(got_df, "rank"), exp, atol=1e-9)
