@@ -357,6 +357,58 @@ def _ppr_sql(num_iters: int, sources: tuple, edges_sql: str, verts_sql: str,
 PPR5_SQL = _ppr_sql(5, PPR_SOURCES, EDGES_B_SQL, VERTS_B_SQL, "verts_b", "edges_b")
 
 
+def q_graph_summary(spark, sf_dir):
+    """One-row web-graph summary: edge/vertex counts, density_e9,
+    reciprocity_e6 (fraction of directed edges whose reverse exists),
+    max/avg degree — the metadata pass a crawl pipeline runs first."""
+    e = edges_a(spark, sf_dir).persist()
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    n_recip = e.join(rev, ["src", "dst"], "left_semi").count()
+    m = e.count()
+    und_deg = (
+        e.select("src", "dst")
+        .union(rev)
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    row = und_deg.agg(
+        F.max("d").alias("maxd"), F.sum("d").alias("sumd"),
+        F.count(F.lit(1)).alias("nv"),
+    ).collect()[0]
+    e.unpersist()
+    V = V_A
+    return spark.createDataFrame(
+        [(
+            int(m), int(V),
+            int(round(m / (V * (V - 1)) * 1e9)),
+            int(round(n_recip / m * 1e6)),
+            int(row["maxd"]),
+            int(round(row["sumd"] / row["nv"] * 1e6)),
+        )],
+        "n_edges long, n_vertices long, density_e9 long, reciprocity_e6 long, "
+        "max_degree long, avg_degree_e6 long",
+    )
+
+
+GRAPH_SUMMARY_SQL = f"""
+WITH {EDGES_A_SQL}, {UND_A_SQL},
+m AS (SELECT count(*) AS m FROM edges_a),
+r AS (SELECT count(*) AS n FROM edges_a e
+      WHERE EXISTS (SELECT 1 FROM edges_a x WHERE x.src = e.dst AND x.dst = e.src)),
+deg AS (SELECT src, count(*) AS d FROM und_a GROUP BY src),
+ds AS (SELECT max(d) AS maxd, sum(d) AS sumd, count(*) AS nv FROM deg)
+SELECT CAST(m.m AS BIGINT) AS n_edges,
+       CAST({V_A} AS BIGINT) AS n_vertices,
+       CAST(round(m.m * 1e9 / ({V_A} * ({V_A} - 1))) AS BIGINT) AS density_e9,
+       CAST(round(r.n * 1e6 / m.m) AS BIGINT) AS reciprocity_e6,
+       CAST(ds.maxd AS BIGINT) AS max_degree,
+       CAST(round(ds.sumd * 1e6 / ds.nv) AS BIGINT) AS avg_degree_e6
+FROM m CROSS JOIN r CROSS JOIN ds
+"""
+
+
 def q_components(spark, sf_dir):
     from .algos import connected_components
 
@@ -1240,6 +1292,7 @@ REGISTRY: dict = {
     "clustering_coefficient": (q_clustering_coeff, CLUSTERING_COEFF_SQL),
     "hits_3iter": (q_hits3, HITS3_SQL),
     "personalized_pagerank_5iter": (q_ppr5, PPR5_SQL),
+    "graph_summary": (q_graph_summary, GRAPH_SUMMARY_SQL),
     "connected_components": (q_components, COMPONENTS_SQL),
     "label_propagation_3iter": (q_labelprop3, LABELPROP3_SQL),
     "three_chain_count": (q_three_chain, THREE_CHAIN_SQL),
