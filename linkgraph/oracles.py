@@ -331,3 +331,19 @@ def personalized_pagerank_oracle(
                 new[d] += damping * w
         r = new
     return r
+
+
+def kcore_oracle(edges: list[tuple[int, int]], k: int) -> set[int]:
+    """Iterative peeling twin of algos.kcore.kcore_vertices."""
+    adj: dict[int, set[int]] = {}
+    for a, b in _undirected_unique(edges):
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    changed = True
+    while changed:
+        changed = False
+        for v in [v for v, ns in adj.items() if len(ns) < k]:
+            for u in adj.pop(v):
+                adj[u].discard(v)
+            changed = True
+    return set(adj)

@@ -191,3 +191,11 @@ def test_personalized_pagerank_matches_oracle(spark, edges30):
         num_iters=5, partitions=8,
     )
     assert np.allclose(_vec(got_df, "rank"), exp, atol=1e-9)
+
+
+def test_kcore_matches_oracle(spark, edges30):
+    from linkgraph.algos.kcore import kcore_vertices
+
+    for k in (2, 3, 4):
+        got = {r["id"] for r in kcore_vertices(edges30, k, partitions=8).collect()}
+        assert got == oracles.kcore_oracle(EDGES, k)
