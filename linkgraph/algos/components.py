@@ -124,3 +124,112 @@ def connected_components(
     if salt_map is not None:
         salt_map.unpersist()
     return labels, metrics
+
+
+def connected_components_star(
+    edges: DataFrame,
+    vertices: DataFrame | None = None,
+    max_rounds: int = 60,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star rounds.
+
+    The O(log V)-round MapReduce CC construction (Kiveris et al., "Connected
+    Components in MapReduce and Beyond") — the scale path for graphs whose
+    DIAMETER is large (a chain-of-hosts web graph can have diameter in the
+    thousands, where min-label propagation needs one superstep per hop):
+
+      * large-star: every node u links each strictly-larger neighbor to
+        m(u) = min(Γ(u) ∪ {u});
+      * small-star: every node u links each smaller-or-equal neighbor to
+        m(u);
+      * alternate until the edge multiset reaches a fixpoint — the graph is
+        then a forest of stars whose centers are the component minima.
+
+    Each round is one grouped min + one generate/dedup shuffle over the
+    current edge set (which only SHRINKS toward V−#components rows), with
+    per-round ``localCheckpoint``.  Fixpoint detection: (count,
+    xor-of-hashes) signature equality — one tiny agg per round, no
+    EXCEPT-join.  Returns labels(id, component) identical to
+    :func:`connected_components` (min id in the component); validated
+    against it and the BFS oracle in tests.
+    """
+    spark = edges.sparkSession
+    P = int(partitions or spark.conf.get("spark.sql.shuffle.partitions"))
+
+    if vertices is None:
+        vertices = (
+            edges.select(F.col("src").alias("id"))
+            .union(edges.select(F.col("dst").alias("id")))
+            .distinct()
+        )
+    v = vertices.select("id").repartition(P, "id").persist()
+
+    e = (
+        edges.select("src", "dst")
+        .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .filter(F.col("src") != F.col("dst"))
+        .dropDuplicates(["src", "dst"])
+        .repartition(P, "src")
+        .localCheckpoint(eager=True)
+    )
+
+    def _sig(df: DataFrame) -> tuple:
+        r = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(src, dst))").alias("h"),  # overflow-free
+        ).collect()[0]
+        return (r["n"], r["h"])
+
+    def _star(df: DataFrame, large: bool) -> DataFrame:
+        # m(u) over the symmetric neighbor list; u itself enters via least()
+        m = (
+            df.groupBy("src")
+            .agg(F.least(F.min("dst"), F.col("src")).alias("m"))
+        )
+        j = df.join(m.hint("shuffle_hash"), "src")
+        if large:
+            pairs = j.filter(F.col("dst") > F.col("src")).select(
+                F.col("dst").alias("a"), F.col("m").alias("b")
+            )
+        else:
+            # small-star links the smaller neighbors AND u itself to m(u)
+            pairs = j.filter(F.col("dst") < F.col("src")).select(
+                F.col("dst").alias("a"), F.col("m").alias("b")
+            ).union(m.select(F.col("src").alias("a"), F.col("m").alias("b")))
+        out = (
+            pairs.filter(F.col("a") != F.col("b"))
+            .select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        )
+        # re-symmetrize: both star phases reason over full neighbor lists
+        return (
+            out.union(out.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+            .dropDuplicates(["src", "dst"])
+            .repartition(P, "src")
+            .localCheckpoint(eager=True)
+        )
+
+    sig = _sig(e)
+    for _ in range(max_rounds):
+        e = _star(e, large=True)
+        e = _star(e, large=False)
+        new_sig = _sig(e)
+        if new_sig == sig:
+            break
+        sig = new_sig
+
+    # fixpoint: star forest — every edge points child -> center (min id);
+    # component(u) = min neighbor if smaller than u else u
+    centers = (
+        e.groupBy("src").agg(F.min("dst").alias("nb"))
+        .select("src", F.least("src", "nb").alias("component"))
+    )
+    labels = (
+        v.join(centers.withColumnRenamed("src", "id").hint("shuffle_hash"),
+               "id", "left")
+        .select("id", F.coalesce("component", F.col("id")).alias("component"))
+        .repartition(P, "id")
+    )
+    out = labels.localCheckpoint(eager=True)
+    v.unpersist()
+    return out

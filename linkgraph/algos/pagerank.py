@@ -455,3 +455,92 @@ def personalized_pagerank(
         if df is not None:
             df.unpersist()
     return ranks
+
+
+def pagerank_weighted(
+    edges: DataFrame,
+    vertices: DataFrame | None = None,
+    weight_col: str = "weight",
+    damping: float = 0.85,
+    num_iters: int = 5,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Edge-weighted PageRank: contribution ∝ rank(src) * w(src,dst) / Σw(src,·).
+
+    Weighted-adjacency blocks ``(src, dsts array, ws array, w_out)`` packed
+    once (one E-row grouping shuffle), pinned on src; per superstep only the
+    V-row rank state shuffles + one map-side-combined grouped sum — same
+    shape as :func:`pagerank`.  Dangling mass (Σw = 0 vertices) is
+    redistributed uniformly; ranks sum to 1.  Returns ranks(id, rank) after
+    exactly ``num_iters`` supersteps (the oracle-comparison mode).
+    """
+    spark = edges.sparkSession
+    P = int(partitions or spark.conf.get("spark.sql.shuffle.partitions"))
+
+    if vertices is None:
+        vertices = (
+            edges.select(F.col("src").alias("id"))
+            .union(edges.select(F.col("dst").alias("id")))
+            .distinct()
+        )
+    v = vertices.select("id").repartition(P, "id").persist()
+    V = v.count()
+
+    blocks = (
+        edges.select("src", "dst", F.col(weight_col).cast("double").alias("w"))
+        .groupBy("src")
+        .agg(
+            F.collect_list("dst").alias("dsts"),
+            F.collect_list("w").alias("ws"),
+            F.sum("w").alias("w_out"),
+        )
+        .repartition(P, "src")
+        .persist()
+    )
+    blocks.count()
+
+    ranks = v.select("id", (F.lit(1.0) / V).alias("rank")).localCheckpoint(eager=True)
+    for _ in range(num_iters):
+        # dangling mass: 1 − Σ rank over srcs with outgoing weight (tiny agg)
+        live = (
+            ranks.join(
+                blocks.select(F.col("src").alias("id")).hint("shuffle_hash"),
+                "id", "left_semi",
+            )
+            .agg(F.sum("rank").alias("s"))
+            .collect()[0]["s"]
+            or 0.0
+        )
+        dm = 1.0 - live
+        contribs = (
+            blocks.join(
+                ranks.withColumnRenamed("id", "src").hint("shuffle_hash"), "src"
+            )
+            .select(
+                F.explode(F.arrays_zip("dsts", "ws")).alias("z"),
+                (F.col("rank") / F.col("w_out")).alias("r_per_w"),
+            )
+            .select(
+                F.col("z.dsts").alias("id"),
+                (F.col("z.ws") * F.col("r_per_w")).alias("contrib"),
+            )
+            .groupBy("id")
+            .agg(F.sum("contrib").alias("contrib"))
+        )
+        ranks = (
+            v.join(contribs.hint("shuffle_hash"), "id", "left")
+            .select(
+                "id",
+                (
+                    F.lit((1.0 - damping) / V)
+                    + F.lit(damping)
+                    * (F.coalesce("contrib", F.lit(0.0)) + F.lit(dm / V))
+                ).alias("rank"),
+            )
+            .repartition(P, "id")
+            .localCheckpoint(eager=True)
+        )
+
+    v.unpersist()
+    blocks.unpersist()
+    return ranks

@@ -347,3 +347,140 @@ def kcore_oracle(edges: list[tuple[int, int]], k: int) -> set[int]:
                 adj[u].discard(v)
             changed = True
     return set(adj)
+
+
+def bfs_oracle(
+    edges: list[tuple[int, int]], sources: list[int], directed: bool = False
+) -> dict[int, int]:
+    """Hop distance from the nearest source; unreached vertices absent."""
+    adj: dict[int, list[int]] = defaultdict(list)
+    for s, d in edges:
+        if s == d:
+            continue
+        adj[s].append(d)
+        if not directed:
+            adj[d].append(s)
+    dist = {s: 0 for s in sources}
+    q = deque(sources)
+    while q:
+        u = q.popleft()
+        for w in adj[u]:
+            if w not in dist:
+                dist[w] = dist[u] + 1
+                q.append(w)
+    return dist
+
+
+def scc_oracle(num_vertices: int, edges: list[tuple[int, int]]) -> dict[int, int]:
+    """Iterative Tarjan SCC; label = min vertex id in the component."""
+    adj: dict[int, list[int]] = defaultdict(list)
+    for s, d in edges:
+        if s != d:
+            adj[s].append(d)
+    index = {}
+    low = {}
+    on_stack = set()
+    stack: list[int] = []
+    label: dict[int, int] = {}
+    counter = [0]
+
+    for root in range(num_vertices):
+        if root in index:
+            continue
+        work = [(root, 0)]
+        while work:
+            v, pi = work[-1]
+            if pi == 0:
+                index[v] = low[v] = counter[0]
+                counter[0] += 1
+                stack.append(v)
+                on_stack.add(v)
+            recurse = False
+            nbrs = adj[v]
+            while pi < len(nbrs):
+                w = nbrs[pi]
+                pi += 1
+                if w not in index:
+                    work[-1] = (v, pi)
+                    work.append((w, 0))
+                    recurse = True
+                    break
+                if w in on_stack:
+                    low[v] = min(low[v], index[w])
+            if recurse:
+                continue
+            work[-1] = (v, pi)
+            if low[v] == index[v]:
+                comp = []
+                while True:
+                    w = stack.pop()
+                    on_stack.discard(w)
+                    comp.append(w)
+                    if w == v:
+                        break
+                m = min(comp)
+                for w in comp:
+                    label[w] = m
+            work.pop()
+            if work:
+                p, _ = work[-1]
+                low[p] = min(low[p], low[v])
+    return label
+
+
+def weighted_pagerank_oracle(
+    num_vertices: int,
+    edges: list[tuple[int, int, float]],
+    damping: float = 0.85,
+    num_iters: int = 5,
+) -> np.ndarray:
+    """Edge-weighted power iteration: contribution ∝ w / Σw(src); uniform
+    dangling redistribution; ranks sum to 1."""
+    V = num_vertices
+    w_out = np.zeros(V)
+    for s, _, w in edges:
+        w_out[s] += w
+    r = np.full(V, 1.0 / V)
+    for _ in range(num_iters):
+        dangling = r[w_out == 0].sum()
+        new = np.full(V, (1.0 - damping) / V + damping * dangling / V)
+        for s, d, w in edges:
+            new[d] += damping * r[s] * w / w_out[s]
+        r = new
+    return r
+
+
+def four_cycle_oracle(edges: list[tuple[int, int]]) -> int:
+    """Exact rectangle count: Σ_{u<v} C(common(u,v),2) / 2."""
+    und = _undirected_unique(edges)
+    adj: dict[int, set[int]] = defaultdict(set)
+    for a, b in und:
+        adj[a].add(b)
+        adj[b].add(a)
+    vs = sorted(adj)
+    total = 0
+    for i, u in enumerate(vs):
+        for v in vs[i + 1:]:
+            w = len(adj[u] & adj[v])
+            total += w * (w - 1) // 2
+    return total // 2
+
+
+def kcore_peel_depth(edges: list[tuple[int, int]], k: int) -> int:
+    """Number of peeling rounds until the k-core fixpoint (oracle for
+    checking the unrolled-SQL round budget)."""
+    und = _undirected_unique(edges)
+    adj: dict[int, set[int]] = defaultdict(set)
+    for a, b in und:
+        adj[a].add(b)
+        adj[b].add(a)
+    rounds = 0
+    while True:
+        drop = [v for v, ns in adj.items() if len(ns) < k]
+        if not drop:
+            return rounds
+        rounds += 1
+        for v in drop:
+            for w in adj[v]:
+                adj[w].discard(v)
+            del adj[v]

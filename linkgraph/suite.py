@@ -1371,3 +1371,426 @@ def _register_extensions() -> None:
 
 
 _register_extensions()
+
+
+# ---------------------------------------------------------------------------
+# round-1b extensions: paths / SCC / k-core / link-prediction / weighted PR /
+# dedup clustering — each with a DuckDB SQL twin (recursive CTE or unrolled
+# fixpoint), keeping every new operator inside the driver's value-hash gate
+# ---------------------------------------------------------------------------
+
+
+def q_bfs_distances(spark, sf_dir):
+    """Hop distance from vertex 0 over the undirected derived graph
+    (frontier-expansion BFS; bounded recursive-CTE SQL twin)."""
+    from .algos.paths import bfs_distances
+
+    dist, _ = bfs_distances(
+        edges_b(spark, sf_dir),
+        sources=spark.createDataFrame([(0,)], "id long"),
+        directed=False,
+        partitions=8,
+    )
+    return dist.select("id", F.col("dist").cast("long").alias("dist"))
+
+
+BFS_SQL = f"""
+WITH RECURSIVE {EDGES_B_SQL}, {UND_B_SQL},
+walk(id, d) AS (
+  SELECT CAST(0 AS BIGINT) AS id, 0 AS d
+  UNION
+  SELECT e.dst, w.d + 1 FROM walk w JOIN und_b e ON e.src = w.id WHERE w.d < 40
+)
+SELECT id, CAST(min(d) AS BIGINT) AS dist FROM walk GROUP BY id
+"""
+
+
+def q_scc(spark, sf_dir):
+    """Strongly connected components of the DIRECTED derived graph
+    (trim + forward-coloring + backward-membership; label = min id in SCC;
+    transitive-closure recursive-CTE SQL twin)."""
+    from .algos.scc import strongly_connected_components
+
+    labels, _ = strongly_connected_components(
+        edges_b(spark, sf_dir), vertices=verts(spark, V_B), partitions=8
+    )
+    return labels.select("id", F.col("scc").cast("long").alias("scc"))
+
+
+SCC_SQL = f"""
+WITH RECURSIVE {EDGES_B_SQL}, {VERTS_B_SQL},
+reach(u, v) AS (
+  SELECT id AS u, id AS v FROM verts_b
+  UNION
+  SELECT r.u, e.dst FROM reach r JOIN edges_b e ON e.src = r.v
+)
+SELECT r1.u AS id, CAST(min(r1.v) AS BIGINT) AS scc
+FROM reach r1 JOIN reach r2 ON r1.u = r2.v AND r1.v = r2.u
+GROUP BY r1.u
+"""
+
+
+def q_kcore3(spark, sf_dir):
+    """3-core of the undirected derived graph by iterative peeling
+    (unrolled-peel SQL twin)."""
+    from .algos.kcore import kcore_vertices
+
+    return kcore_vertices(edges_b(spark, sf_dir), k=3, partitions=8)
+
+
+def _kcore_sql(k: int, rounds: int) -> str:
+    # MATERIALIZED is load-bearing: each p_i is referenced 3x (k_{i+1} and
+    # both join sides of p_{i+1}); inlining would expand 3^rounds subtrees
+    parts = [EDGES_B_SQL, UND_B_SQL, "p0 AS MATERIALIZED (SELECT src, dst FROM und_b)"]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"k{i} AS MATERIALIZED (SELECT src FROM p{i - 1} GROUP BY src HAVING count(*) >= {k})"
+        )
+        parts.append(
+            f"""p{i} AS MATERIALIZED (SELECT e.src, e.dst FROM p{i - 1} e
+                 JOIN k{i} a ON e.src = a.src JOIN k{i} b ON e.dst = b.src)"""
+        )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT DISTINCT src AS id FROM p{rounds}"
+    )
+
+
+KCORE3_SQL = _kcore_sql(3, 24)
+
+
+def q_jaccard_neighbors(spark, sf_dir):
+    """Neighborhood Jaccard similarity of every adjacent pair (a<b) in the
+    undirected derived graph: |N(a)∩N(b)| / |N(a)∪N(b)|, e6-scaled.
+    The wedge self-join + degree join plan (exact ints, then one rounding)."""
+    ea = edges_a(spark, sf_dir)
+    und = (
+        ea.union(ea.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+    )
+    deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    e1 = und.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    e2 = und.select(F.col("src").alias("c"), F.col("dst").alias("b"))
+    cn = (
+        e1.join(e2, "c")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("cn"))
+    )
+    pairs = und.filter(F.col("src") < F.col("dst")).select(
+        F.col("src").alias("a"), F.col("dst").alias("b")
+    )
+    j = (
+        pairs.join(cn, ["a", "b"], "left")
+        .na.fill({"cn": 0})
+        .join(deg.withColumnRenamed("src", "a").withColumnRenamed("d", "da"), "a")
+        .join(deg.withColumnRenamed("src", "b").withColumnRenamed("d", "db"), "b")
+    )
+    return j.select(
+        "a", "b",
+        F.round(F.col("cn") * 1e6 / (F.col("da") + F.col("db") - F.col("cn")))
+        .cast("long").alias("jaccard_e6"),
+    )
+
+
+JACCARD_SQL = f"""
+WITH {EDGES_A_SQL}, {UND_A_SQL},
+deg AS (SELECT src, count(*) AS d FROM und_a GROUP BY src),
+cn AS (
+  SELECT e1.src AS a, e2.dst AS b, count(*) AS cn
+  FROM und_a e1 JOIN und_a e2 ON e1.dst = e2.src
+  WHERE e1.src < e2.dst
+  GROUP BY e1.src, e2.dst
+)
+SELECT p.src AS a, p.dst AS b,
+       CAST(round(coalesce(cn.cn, 0) * 1e6 /
+                  (da.d + db.d - coalesce(cn.cn, 0))) AS BIGINT) AS jaccard_e6
+FROM und_a p
+LEFT JOIN cn ON cn.a = p.src AND cn.b = p.dst
+JOIN deg da ON da.src = p.src
+JOIN deg db ON db.src = p.dst
+WHERE p.src < p.dst
+"""
+
+
+def q_adamic_adar_topk(spark, sf_dir):
+    """Link prediction: top-20 non-adjacent pairs by quantized Adamic–Adar
+    score Σ_c round(1e6/ln(deg(c))) over common neighbors c — integer-sum
+    formulation so the result is exactly reproducible in any engine.
+    Deterministic total order (score desc, a, b)."""
+    eb = edges_b(spark, sf_dir)
+    und = (
+        eb.union(eb.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+    )
+    deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    # per-neighbor quantized weight — integer, so the final sum is order-free;
+    # degree-1 vertices (ln d = 0) can never be common neighbors: drop them
+    w = deg.filter(F.col("d") >= 2).select(
+        F.col("src").alias("c"),
+        F.round(F.lit(1e6) / F.log(F.col("d").cast("double"))).cast("long").alias("w"),
+    )
+    e1 = und.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    e2 = und.select(F.col("src").alias("c"), F.col("dst").alias("b"))
+    scores = (
+        e1.join(e2, "c")
+        .filter(F.col("a") < F.col("b"))
+        .join(w, "c")
+        .groupBy("a", "b")
+        .agg(F.sum("w").alias("score_e6"))
+        .join(
+            und.select(F.col("src").alias("a"), F.col("dst").alias("b")),
+            ["a", "b"], "left_anti",
+        )
+    )
+    return (
+        scores.orderBy(F.col("score_e6").desc(), "a", "b")
+        .limit(20)
+        .select("a", "b", "score_e6")
+    )
+
+
+ADAMIC_ADAR_SQL = f"""
+WITH {EDGES_B_SQL}, {UND_B_SQL},
+deg AS (SELECT src, count(*) AS d FROM und_b GROUP BY src),
+w AS (SELECT src AS c, CAST(round(1e6 / ln(CAST(d AS DOUBLE))) AS BIGINT) AS w FROM deg WHERE d >= 2),
+sc AS (
+  SELECT e1.src AS a, e2.dst AS b, sum(w.w) AS score_e6
+  FROM und_b e1 JOIN und_b e2 ON e1.dst = e2.src JOIN w ON w.c = e1.dst
+  WHERE e1.src < e2.dst
+    AND NOT EXISTS (SELECT 1 FROM und_b u WHERE u.src = e1.src AND u.dst = e2.dst)
+  GROUP BY e1.src, e2.dst
+)
+SELECT a, b, CAST(score_e6 AS BIGINT) AS score_e6
+FROM sc ORDER BY score_e6 DESC, a, b LIMIT 20
+"""
+
+
+def q_four_cycle_count(spark, sf_dir):
+    """Exact 4-cycle (rectangle) count: Σ_{{u<v}} C(common(u,v), 2) / 2 —
+    each rectangle counted once per diagonal."""
+    eb = edges_b(spark, sf_dir)
+    und = (
+        eb.union(eb.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+    )
+    e1 = und.select(F.col("src").alias("u"), F.col("dst").alias("c"))
+    e2 = und.select(F.col("src").alias("c"), F.col("dst").alias("v"))
+    cn = (
+        e1.join(e2, "c")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    total = cn.agg(
+        (F.sum(F.col("w") * (F.col("w") - 1) / 2) / 2).cast("long").alias("c")
+    ).collect()[0]["c"]
+    return _scalar_df(spark, "four_cycles", int(total or 0))
+
+
+FOUR_CYCLE_SQL = f"""
+WITH {EDGES_B_SQL}, {UND_B_SQL},
+cn AS (
+  SELECT e1.src AS u, e2.dst AS v, count(*) AS w
+  FROM und_b e1 JOIN und_b e2 ON e1.dst = e2.src
+  WHERE e1.src < e2.dst
+  GROUP BY e1.src, e2.dst
+)
+SELECT CAST(sum(w * (w - 1) / 2) / 2 AS BIGINT) AS four_cycles FROM cn
+"""
+
+
+def q_degree_assortativity(spark, sf_dir):
+    """Degree assortativity (Pearson r of endpoint degrees over the
+    symmetric edge list), computed from exact integer sums so the one
+    double-precision expression is bit-identical across engines; e6."""
+    ea = edges_a(spark, sf_dir)
+    und = (
+        ea.union(ea.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+    )
+    deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    j = (
+        und.join(deg.hint("shuffle_hash"), "src")
+        .withColumnRenamed("d", "dx")
+        .join(
+            deg.withColumnRenamed("src", "dst").withColumnRenamed("d", "dy")
+            .hint("shuffle_hash"),
+            "dst",
+        )
+    )
+    s = j.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("dx").alias("sx"), F.sum("dy").alias("sy"),
+        F.sum(F.col("dx") * F.col("dy")).alias("sxy"),
+        F.sum(F.col("dx") * F.col("dx")).alias("sxx"),
+        F.sum(F.col("dy") * F.col("dy")).alias("syy"),
+    ).collect()[0]
+    n, sx, sy = float(s["n"]), float(s["sx"]), float(s["sy"])
+    sxy, sxx, syy = float(s["sxy"]), float(s["sxx"]), float(s["syy"])
+    import math
+
+    r = (n * sxy - sx * sy) / (
+        math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy)
+    )
+    return _scalar_df(spark, "assortativity_e6", int(round(r * 1e6)))
+
+
+ASSORT_SQL = f"""
+WITH {EDGES_A_SQL}, {UND_A_SQL},
+deg AS (SELECT src, count(*) AS d FROM und_a GROUP BY src),
+j AS (
+  SELECT da.d AS dx, db.d AS dy
+  FROM und_a e JOIN deg da ON da.src = e.src JOIN deg db ON db.src = e.dst
+),
+s AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(dx) AS DOUBLE) AS sx, CAST(sum(dy) AS DOUBLE) AS sy,
+         CAST(sum(dx * dy) AS DOUBLE) AS sxy,
+         CAST(sum(dx * dx) AS DOUBLE) AS sxx,
+         CAST(sum(dy * dy) AS DOUBLE) AS syy
+  FROM j
+)
+SELECT CAST(round(1e6 * (n * sxy - sx * sy) /
+            (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))) AS BIGINT)
+       AS assortativity_e6
+FROM s
+"""
+
+
+WPR_WEIGHT_SQL = "(src * 7 + dst * 3) % 19 + 1"
+
+
+def q_weighted_pagerank5(spark, sf_dir):
+    """Edge-weighted PageRank, 5 fixed supersteps over weighted adjacency
+    blocks (contribution ∝ w/Σw); deterministic derived weights; e8."""
+    from .algos.pagerank import pagerank_weighted
+
+    ea = edges_a(spark, sf_dir).withColumn(
+        "weight",
+        ((F.col("src") * 7 + F.col("dst") * 3) % 19 + 1).cast("double"),
+    )
+    ranks = pagerank_weighted(
+        ea, vertices=verts(spark, V_A), num_iters=5, partitions=8
+    )
+    return ranks.select(
+        "id", F.round(F.col("rank") * 1e8).cast("long").alias("rank_e8")
+    )
+
+
+def _weighted_pagerank_sql(num_iters: int, V: int) -> str:
+    d = 0.85
+    parts = [
+        EDGES_A_SQL, VERTS_A_SQL,
+        f"we AS (SELECT src, dst, CAST({WPR_WEIGHT_SQL} AS DOUBLE) AS w FROM edges_a)",
+        "wout AS (SELECT src AS id, sum(w) AS w_out FROM we GROUP BY src)",
+        f"r0 AS (SELECT id, 1.0 / {V} AS rank FROM verts_a)",
+    ]
+    for i in range(1, num_iters + 1):
+        p = f"r{i - 1}"
+        parts.append(
+            f"""live{i} AS MATERIALIZED (
+                 SELECT coalesce(sum(r.rank), 0) AS s FROM {p} r
+                 JOIN wout o ON r.id = o.id)"""
+        )
+        parts.append(
+            f"""c{i} AS MATERIALIZED (
+                 SELECT e.dst AS id, sum(r.rank * e.w / o.w_out) AS contrib
+                 FROM we e JOIN {p} r ON e.src = r.id JOIN wout o ON e.src = o.id
+                 GROUP BY e.dst)"""
+        )
+        parts.append(
+            f"""r{i} AS MATERIALIZED (
+                 SELECT v.id,
+                        {(1.0 - d) / V} + {d} * (coalesce(c.contrib, 0)
+                            + (1.0 - l.s) / {V}) AS rank
+                 FROM verts_a v
+                 LEFT JOIN c{i} c ON v.id = c.id CROSS JOIN live{i} l)"""
+        )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT id, CAST(round(rank * 1e8) AS BIGINT) AS rank_e8 FROM r{num_iters}"
+    )
+
+
+WEIGHTED_PAGERANK5_SQL = _weighted_pagerank_sql(5, V_A)
+
+
+def q_dedup_clusters(spark, sf_dir):
+    """Near-duplicate CLUSTERS: connected components over the MinHash-LSH
+    duplicate-pair graph — the standard web-corpus dedup pipeline (pair
+    generation feeding a graph algorithm); cluster id = min doc_id."""
+    from . import dedup
+    from .algos import connected_components
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = dedup.minhash_lsh_pairs(
+        docs, num_hashes=16, bands=8, jaccard_threshold=0.5
+    )
+    e = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    vs = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    labels, _ = connected_components(e, vertices=vs, partitions=8)
+    return labels.select(
+        F.col("id").alias("doc_id"), F.col("component").cast("long").alias("cluster")
+    )
+
+
+def _dedup_clusters_sql() -> str:
+    from . import dedup
+
+    pairs_sql = dedup.minhash_lsh_pairs_sql(
+        num_hashes=16, bands=8, jaccard_threshold=0.5
+    )
+    return f"""
+WITH RECURSIVE pairs AS (SELECT id_a, id_b FROM ({pairs_sql}) t),
+du AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+dv AS (SELECT DISTINCT src AS id FROM du),
+reach(id, comp) AS (
+  SELECT id, id FROM dv
+  UNION
+  SELECT e.dst, r.comp FROM reach r JOIN du e ON e.src = r.id
+)
+SELECT id AS doc_id, CAST(min(comp) AS BIGINT) AS cluster FROM reach GROUP BY id
+"""
+
+
+def _register_round1b() -> None:
+    REGISTRY.update(
+        {
+            "bfs_distances": (q_bfs_distances, BFS_SQL),
+            "scc": (q_scc, SCC_SQL),
+            "k_core_3": (q_kcore3, KCORE3_SQL),
+            "jaccard_neighbors": (q_jaccard_neighbors, JACCARD_SQL),
+            "adamic_adar_topk": (q_adamic_adar_topk, ADAMIC_ADAR_SQL),
+            "four_cycle_count": (q_four_cycle_count, FOUR_CYCLE_SQL),
+            "degree_assortativity": (q_degree_assortativity, ASSORT_SQL),
+            "weighted_pagerank_5iter": (q_weighted_pagerank5, WEIGHTED_PAGERANK5_SQL),
+            "dedup_clusters": (q_dedup_clusters, _dedup_clusters_sql()),
+        }
+    )
+
+
+_register_round1b()
+
+
+def q_components_star(spark, sf_dir):
+    """Connected components via alternating large-star/small-star rounds
+    (O(log V) rounds — the large-diameter scale path); output identical to
+    `connected_components`, so it shares that oracle."""
+    from .algos.components import connected_components_star
+
+    labels = connected_components_star(
+        edges_b(spark, sf_dir), vertices=verts(spark, V_B), partitions=8
+    )
+    return labels.select("id", F.col("component").cast("long").alias("component"))
+
+
+REGISTRY["connected_components_star"] = (q_components_star, COMPONENTS_SQL)

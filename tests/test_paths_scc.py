@@ -1,0 +1,128 @@
+"""BFS distances, SCC, weighted PageRank, 4-cycles — exact-oracle tests
+(the reference's exact-counter oracle pattern,
+/root/reference/naive_implementation/, /root/reference/sampling/Graph.cpp:169-291)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from linkgraph import datagen, oracles
+
+
+@pytest.fixture(scope="module")
+def edge_rows():
+    return datagen.expected_edges(30)
+
+
+def test_bfs_matches_oracle(spark, edges30, edge_rows):
+    from linkgraph.algos.paths import bfs_distances
+
+    dist, metrics = bfs_distances(
+        edges30, sources=spark.createDataFrame([(0,)], "id long"), directed=False
+    )
+    got = {r["id"]: r["dist"] for r in dist.collect()}
+    want = oracles.bfs_oracle(edge_rows, [0], directed=False)
+    assert got == want
+    assert metrics[-1]["frontier"] == 0  # converged, not max_iter-truncated
+
+
+def test_bfs_directed_and_multisource(spark, edges30, edge_rows):
+    from linkgraph.algos.paths import bfs_distances
+
+    srcs = [0, 7]
+    dist, _ = bfs_distances(
+        edges30, sources=spark.createDataFrame([(s,) for s in srcs], "id long"),
+        directed=True,
+    )
+    got = {r["id"]: r["dist"] for r in dist.collect()}
+    want = oracles.bfs_oracle(edge_rows, srcs, directed=True)
+    assert got == want
+
+
+def test_scc_matches_tarjan(spark, edges30, edge_rows):
+    from linkgraph.algos.scc import strongly_connected_components
+
+    labels, _ = strongly_connected_components(edges30)
+    got = {r["id"]: r["scc"] for r in labels.collect()}
+    verts = {v for e in edge_rows for v in e}
+    want = {v: c for v, c in oracles.scc_oracle(30, edge_rows).items() if v in verts}
+    assert got == want
+
+
+def test_scc_hand_case(spark):
+    # two 3-cycles bridged by a one-way edge, plus a dangling chain
+    rows = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4), (4, 5), (5, 3), (5, 6), (6, 7)]
+    e = spark.createDataFrame(rows, "src long, dst long")
+    from linkgraph.algos.scc import strongly_connected_components
+
+    labels, _ = strongly_connected_components(e)
+    got = {r["id"]: r["scc"] for r in labels.collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 3, 4: 3, 5: 3, 6: 6, 7: 7}
+
+
+def test_weighted_pagerank_matches_oracle(spark, edges30, edge_rows):
+    from linkgraph.algos.pagerank import pagerank_weighted
+
+    we = edges30.withColumn(
+        "weight", ((F.col("src") * 7 + F.col("dst") * 3) % 19 + 1).cast("double")
+    )
+    ranks = pagerank_weighted(
+        we, vertices=spark.range(30).select("id"), num_iters=5
+    )
+    got = {r["id"]: r["rank"] for r in ranks.collect()}
+    wrows = [(s, d, float((s * 7 + d * 3) % 19 + 1)) for s, d in edge_rows]
+    want = oracles.weighted_pagerank_oracle(30, wrows, num_iters=5)
+    assert len(got) == 30
+    for v in range(30):
+        assert abs(got[v] - want[v]) < 1e-9
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_four_cycle_matches_oracle(spark, edges30, edge_rows):
+    from linkgraph.suite import q_four_cycle_count  # noqa: F401  (plan shape)
+
+    und = (
+        edges30.union(
+            edges30.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).distinct()
+    )
+    e1 = und.select(F.col("src").alias("u"), F.col("dst").alias("c"))
+    e2 = und.select(F.col("src").alias("c"), F.col("dst").alias("v"))
+    cn = (
+        e1.join(e2, "c").filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v").agg(F.count(F.lit(1)).alias("w"))
+    )
+    got = int(
+        cn.agg((F.sum(F.col("w") * (F.col("w") - 1) / 2) / 2).cast("long").alias("c"))
+        .collect()[0]["c"] or 0
+    )
+    assert got == oracles.four_cycle_oracle(edge_rows)
+
+
+def test_kcore_sql_round_budget(edge_rows):
+    # the unrolled KCORE3_SQL oracle has 24 peel rounds; the fixture and the
+    # sf0.001/sf0.01 derived graphs must peel to fixpoint well within that
+    assert oracles.kcore_peel_depth(edge_rows, 3) <= 24
+
+
+def test_cc_star_matches_propagation(spark, edges30, edge_rows):
+    from linkgraph.algos.components import (
+        connected_components,
+        connected_components_star,
+    )
+
+    vs = spark.range(30).select("id")
+    prop, _ = connected_components(edges30, vertices=vs)
+    star = connected_components_star(edges30, vertices=vs)
+    assert sorted(map(tuple, prop.collect())) == sorted(map(tuple, star.collect()))
+
+
+def test_cc_star_long_path_logarithmic_rounds(spark):
+    # a 200-vertex path: min-label propagation needs ~200 supersteps;
+    # alternating stars must collapse it in O(log V) rounds
+    n = 200
+    e = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], "src long, dst long")
+    from linkgraph.algos.components import connected_components_star
+
+    labels = connected_components_star(e, max_rounds=16)
+    got = {r["id"]: r["component"] for r in labels.collect()}
+    assert got == {i: 0 for i in range(n)}
