@@ -82,3 +82,148 @@ def bfs_distances(
 
     e.unpersist()
     return state, metrics
+
+
+def sssp_distances(
+    edges: DataFrame,
+    sources: DataFrame,
+    weight_col: str = "weight",
+    directed: bool = False,
+    max_iter: int = 100,
+    partitions: int | None = None,
+) -> tuple[DataFrame, list[dict]]:
+    """Single/multi-source shortest paths (Bellman–Ford relaxation).
+
+    Integer edge weights → exact long distances.  Per superstep: one
+    state ⋈ edges relaxation join + grouped min + compare-update, lineage
+    truncated; terminates when no distance improves (guaranteed: positive
+    weights).  Returns (dist(id, dist), metrics); unreached vertices absent.
+    """
+    spark = edges.sparkSession
+    P = int(partitions or spark.conf.get("spark.sql.shuffle.partitions"))
+
+    e = edges.select("src", "dst", F.col(weight_col).cast("long").alias("w"))
+    if not directed:
+        e = e.union(
+            edges.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst"),
+                F.col(weight_col).cast("long").alias("w"),
+            )
+        )
+    e = (
+        e.filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst").agg(F.min("w").alias("w"))  # parallel edges: keep min
+        .repartition(P, "src")
+        .persist()
+    )
+    e.count()
+
+    state = (
+        sources.select("id").distinct()
+        .select("id", F.lit(0).cast("long").alias("dist"))
+        .repartition(P, "id")
+        .localCheckpoint(eager=True)
+    )
+    metrics: list[dict] = []
+    for it in range(1, max_iter + 1):
+        t0 = time.time()
+        cand = (
+            e.join(state.withColumnRenamed("id", "src").hint("shuffle_hash"), "src")
+            .select(F.col("dst").alias("id"), (F.col("dist") + F.col("w")).alias("nd"))
+            .groupBy("id")
+            .agg(F.min("nd").alias("nd"))
+        )
+        merged = (
+            state.join(cand.hint("shuffle_hash"), "id", "full")
+            .select(
+                "id",
+                F.least("dist", "nd").alias("dist"),  # least() skips NULLs
+                (
+                    F.col("dist").isNull() | (F.col("nd") < F.col("dist"))
+                ).alias("_improved"),
+            )
+        )
+        new_state = (
+            merged.select("id", "dist").repartition(P, "id").localCheckpoint(eager=True)
+        )
+        improved = merged.filter(F.col("_improved")).count()
+        metrics.append({"iteration": it, "improved": improved,
+                        "seconds": time.time() - t0})
+        state = new_state
+        if improved == 0:
+            break
+    e.unpersist()
+    return state, metrics
+
+
+# deterministic-walk mixing constants (arbitrary primes; BIGINT-exact in
+# any engine, so the walk corpus is bit-reproducible across Spark and SQL)
+WALK_A, WALK_B, WALK_C = 7919, 104729, 1299709
+
+
+def random_walks(
+    edges: DataFrame,
+    starts: DataFrame,
+    length: int,
+    directed: bool = False,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic pseudo-random walk corpus (node2vec/DeepWalk input).
+
+    One walk per row of ``starts`` (column ``id``; walk_id = start id).  The
+    step from v picks neighbor index ``(walk_id*A + v*B + step*C) mod deg(v)``
+    over the dst-sorted adjacency — a hash-walk: reproducible bit-for-bit in
+    any engine (no RNG state), the distributed analogue of the reference's
+    seeded estimator sampling (/root/reference/src/ZGraphInstance.cpp:300-334,
+    seed broadcast /root/reference/src/Utilities.cpp:39-51).  Walks stop
+    early at sink vertices (no out-neighbors).  Returns
+    (walk_id, step, v) for steps 0..length.
+
+    Each step is one state ⋈ indexed-adjacency equi-join on (v, idx) —
+    V-row state against the (src, idx)-keyed adjacency; at web scale the
+    adjacency index is built once (one window per src) and reused by all
+    steps.
+    """
+    from pyspark.sql import Window
+
+    spark = edges.sparkSession
+    P = int(partitions or spark.conf.get("spark.sql.shuffle.partitions"))
+
+    e = edges.select("src", "dst")
+    if not directed:
+        e = e.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    e = e.filter(F.col("src") != F.col("dst")).dropDuplicates(["src", "dst"])
+    w = Window.partitionBy("src").orderBy("dst")
+    adj = (
+        e.select(
+            "src", "dst",
+            (F.row_number().over(w) - 1).alias("idx"),
+            F.count(F.lit(1)).over(Window.partitionBy("src")).alias("deg"),
+        )
+        .repartition(P, "src")
+        .persist()
+    )
+    adj.count()
+
+    cur = starts.select(
+        F.col("id").alias("walk_id"), F.lit(0).alias("step"), F.col("id").alias("v")
+    ).localCheckpoint(eager=True)
+    out = [cur]
+    for step in range(1, length + 1):
+        pick = (
+            F.col("walk_id") * WALK_A + F.col("v") * WALK_B + F.lit(step) * WALK_C
+        ) % F.col("deg")
+        cur = (
+            cur.join(adj.withColumnRenamed("src", "v").hint("shuffle_hash"), "v")
+            .filter(F.col("idx") == pick)
+            .select("walk_id", F.lit(step).alias("step"), F.col("dst").alias("v"))
+            .repartition(P, "v")
+            .localCheckpoint(eager=True)
+        )
+        out.append(cur)
+
+    res = out[0]
+    for df in out[1:]:
+        res = res.union(df)
+    adj.unpersist()
+    return res

@@ -135,24 +135,32 @@ def minhash_lsh_pairs(
         band_rows.append(
             F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws(",", *cols)).alias("bh"))
         )
-    banded = (
-        sig.filter(F.size("shingles") > 0)
-        .select("id", "shingles", F.explode(F.array(*band_rows)).alias("bb"))
-        .select("id", "shingles", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
-    )
-    a = banded.select(
-        F.col("band"), F.col("bh"), F.col("id").alias("id_a"),
-        F.col("shingles").alias("sh_a"),
-    )
-    b_ = banded.select(
-        F.col("band"), F.col("bh"), F.col("id").alias("id_b"),
-        F.col("shingles").alias("sh_b"),
-    )
-    cand = (
+    # band join on (id, band-hash) ONLY — the shingle arrays join in later,
+    # once per deduped candidate pair, instead of being replicated through
+    # the bands x matches explosion (the band join's shuffle shrinks from
+    # O(docs x bands x |shingles|) to O(docs x bands) rows of scalars)
+    sigp = sig.filter(F.size("shingles") > 0).persist()
+    banded = sigp.select(
+        "id", F.explode(F.array(*band_rows)).alias("bb")
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    a = banded.select("band", "bh", F.col("id").alias("id_a"))
+    b_ = banded.select("band", "bh", F.col("id").alias("id_b"))
+    cand_ids = (
         a.join(b_, ["band", "bh"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
+    )
+    sh = sigp.select("id", "shingles")
+    cand = (
+        cand_ids.join(
+            sh.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a")),
+            "id_a",
+        )
+        .join(
+            sh.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b")),
+            "id_b",
+        )
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_distinct(F.concat("sh_a", "sh_b")))

@@ -484,3 +484,76 @@ def kcore_peel_depth(edges: list[tuple[int, int]], k: int) -> int:
             for w in adj[v]:
                 adj[w].discard(v)
             del adj[v]
+
+
+def sssp_oracle(
+    edges: list[tuple[int, int, int]], sources: list[int], directed: bool = False
+) -> dict[int, int]:
+    """Dijkstra (integer weights) from the nearest source."""
+    import heapq
+
+    adj: dict[int, list[tuple[int, int]]] = defaultdict(list)
+    for s, d, w in edges:
+        if s == d:
+            continue
+        adj[s].append((d, w))
+        if not directed:
+            adj[d].append((s, w))
+    dist: dict[int, int] = {}
+    pq = [(0, s) for s in sources]
+    while pq:
+        du, u = heapq.heappop(pq)
+        if u in dist:
+            continue
+        dist[u] = du
+        for v, w in adj[u]:
+            if v not in dist:
+                heapq.heappush(pq, (du + w, v))
+    return dist
+
+
+def core_numbers_oracle(edges: list[tuple[int, int]]) -> dict[int, int]:
+    """Exact coreness by sequential min-degree peeling."""
+    und = _undirected_unique(edges)
+    adj: dict[int, set[int]] = defaultdict(set)
+    for a, b in und:
+        adj[a].add(b)
+        adj[b].add(a)
+    deg = {v: len(ns) for v, ns in adj.items()}
+    core: dict[int, int] = {}
+    k = 0
+    remaining = set(adj)
+    while remaining:
+        v = min(remaining, key=lambda x: (deg[x], x))
+        k = max(k, deg[v])
+        core[v] = k
+        remaining.discard(v)
+        for w in adj[v]:
+            if w in remaining:
+                deg[w] -= 1
+                adj[w].discard(v)
+    return core
+
+
+def hindex_rounds_oracle(edges: list[tuple[int, int]]) -> int:
+    """Rounds the synchronous H-index iteration needs to reach coreness
+    (budget check for the unrolled CORE_NUMBERS_SQL twin)."""
+    und = _undirected_unique(edges)
+    adj: dict[int, set[int]] = defaultdict(set)
+    for a, b in und:
+        adj[a].add(b)
+        adj[b].add(a)
+    core = {v: len(ns) for v, ns in adj.items()}
+    rounds = 0
+    while True:
+        new = {}
+        for v, ns in adj.items():
+            vals = sorted((core[u] for u in ns), reverse=True)
+            h = 0
+            for i, c in enumerate(vals, 1):
+                h = max(h, min(i, c))
+            new[v] = min(core[v], h)
+        rounds += 1
+        if new == core:
+            return rounds
+        core = new

@@ -1794,3 +1794,148 @@ def q_components_star(spark, sf_dir):
 
 
 REGISTRY["connected_components_star"] = (q_components_star, COMPONENTS_SQL)
+
+
+# symmetric integer weight for the undirected derived graph: identical for
+# (u,v) and (v,u), BIGINT-exact in both engines
+SYM_W = "((CASE WHEN src < dst THEN src ELSE dst END) * 7 + (CASE WHEN src < dst THEN dst ELSE src END) * 3) % 19 + 1"
+
+
+def q_sssp_distances(spark, sf_dir):
+    """Weighted single-source shortest paths from vertex 0 (Bellman–Ford
+    relaxation supersteps; integer weights → exact long distances)."""
+    from .algos.paths import sssp_distances
+
+    eb = edges_b(spark, sf_dir)
+    lo, hi = F.least("src", "dst"), F.greatest("src", "dst")
+    we = eb.withColumn("weight", (lo * 7 + hi * 3) % 19 + 1)
+    dist, _ = sssp_distances(
+        we, sources=spark.createDataFrame([(0,)], "id long"),
+        directed=False, partitions=8,
+    )
+    return dist.select("id", F.col("dist").cast("long").alias("dist"))
+
+
+def _sssp_sql(rounds: int) -> str:
+    parts = [
+        EDGES_B_SQL, UND_B_SQL,
+        f"we AS MATERIALIZED (SELECT src, dst, CAST({SYM_W} AS BIGINT) AS w FROM und_b)",
+        "d0 AS MATERIALIZED (SELECT CAST(0 AS BIGINT) AS id, CAST(0 AS BIGINT) AS dist)",
+    ]
+    for i in range(1, rounds + 1):
+        p = f"d{i - 1}"
+        parts.append(
+            f"""d{i} AS MATERIALIZED (
+                 SELECT id, min(dist) AS dist FROM (
+                   SELECT id, dist FROM {p}
+                   UNION ALL
+                   SELECT e.dst AS id, x.dist + e.w AS dist
+                   FROM we e JOIN {p} x ON e.src = x.id
+                 ) u GROUP BY id)"""
+        )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT id, dist FROM d{rounds}"
+    )
+
+
+SSSP_SQL = _sssp_sql(25)
+
+
+def q_random_walks(spark, sf_dir):
+    """Deterministic hash-walk corpus: 20 walks of length 8 over the
+    undirected derived graph — bit-reproducible in any engine (DeepWalk-
+    style training-data generation)."""
+    from .algos.paths import random_walks
+
+    walks = random_walks(
+        edges_b(spark, sf_dir),
+        starts=spark.createDataFrame([(i,) for i in range(20)], "id long"),
+        length=8, directed=False, partitions=8,
+    )
+    return walks.select(
+        F.col("walk_id").cast("long").alias("walk_id"),
+        F.col("step").cast("long").alias("step"),
+        F.col("v").cast("long").alias("v"),
+    )
+
+
+def _random_walks_sql(n_starts: int, length: int) -> str:
+    from .algos.paths import WALK_A, WALK_B, WALK_C
+
+    parts = [
+        EDGES_B_SQL, UND_B_SQL,
+        """adj AS MATERIALIZED (
+             SELECT src, dst,
+                    row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS idx,
+                    count(*) OVER (PARTITION BY src) AS deg
+             FROM und_b)""",
+        f"""w0 AS MATERIALIZED (
+             SELECT CAST(range AS BIGINT) AS walk_id, 0 AS step,
+                    CAST(range AS BIGINT) AS v
+             FROM range({n_starts}))""",
+    ]
+    for s in range(1, length + 1):
+        p = f"w{s - 1}"
+        parts.append(
+            f"""w{s} AS MATERIALIZED (
+                 SELECT c.walk_id, {s} AS step, a.dst AS v
+                 FROM {p} c JOIN adj a ON a.src = c.v
+                  AND a.idx = (c.walk_id * {WALK_A} + c.v * {WALK_B}
+                               + {s} * {WALK_C}) % a.deg)"""
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT walk_id, step, v FROM w{s}" for s in range(length + 1)
+    )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT CAST(walk_id AS BIGINT) AS walk_id, CAST(step AS BIGINT) AS step,"
+          f" CAST(v AS BIGINT) AS v FROM ({union}) t"
+    )
+
+
+RANDOM_WALKS_SQL = _random_walks_sql(20, 8)
+
+REGISTRY["sssp_distances"] = (q_sssp_distances, SSSP_SQL)
+REGISTRY["random_walks"] = (q_random_walks, RANDOM_WALKS_SQL)
+
+
+def q_core_numbers(spark, sf_dir):
+    """Full core decomposition (coreness per vertex) via synchronous H-index
+    iteration — exact vs sequential peeling; unrolled SQL twin."""
+    from .algos.kcore import core_numbers
+
+    core, _ = core_numbers(edges_b(spark, sf_dir), partitions=8)
+    return core.select("id", F.col("core").cast("long").alias("core"))
+
+
+def _core_numbers_sql(rounds: int) -> str:
+    parts = [
+        EDGES_B_SQL, UND_B_SQL,
+        "c0 AS MATERIALIZED (SELECT src AS id, count(*) AS core FROM und_b GROUP BY src)",
+    ]
+    for i in range(1, rounds + 1):
+        p = f"c{i - 1}"
+        parts.append(
+            f"""h{i} AS MATERIALIZED (
+                 SELECT src, max(CASE WHEN rn < nc THEN rn ELSE nc END) AS h FROM (
+                   SELECT e.src, c.core AS nc,
+                          row_number() OVER (PARTITION BY e.src
+                                             ORDER BY c.core DESC) AS rn
+                   FROM und_b e JOIN {p} c ON c.id = e.dst
+                 ) t GROUP BY src)"""
+        )
+        parts.append(
+            f"""c{i} AS MATERIALIZED (
+                 SELECT c.id, CASE WHEN h.h < c.core THEN h.h ELSE c.core END AS core
+                 FROM {p} c JOIN h{i} h ON h.src = c.id)"""
+        )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT id, CAST(core AS BIGINT) AS core FROM c{rounds}"
+    )
+
+
+CORE_NUMBERS_SQL = _core_numbers_sql(20)
+
+REGISTRY["core_numbers"] = (q_core_numbers, CORE_NUMBERS_SQL)

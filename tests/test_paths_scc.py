@@ -126,3 +126,53 @@ def test_cc_star_long_path_logarithmic_rounds(spark):
     labels = connected_components_star(e, max_rounds=16)
     got = {r["id"]: r["component"] for r in labels.collect()}
     assert got == {i: 0 for i in range(n)}
+
+
+def test_sssp_matches_dijkstra(spark, edges30, edge_rows):
+    from linkgraph.algos.paths import sssp_distances
+
+    lo = [(min(s, d), max(s, d)) for s, d in edge_rows]
+    wrows = [(s, d, (a * 7 + b * 3) % 19 + 1) for (s, d), (a, b) in zip(edge_rows, lo)]
+    we = spark.createDataFrame(wrows, "src long, dst long, weight long")
+    dist, metrics = sssp_distances(
+        we, sources=spark.createDataFrame([(0,)], "id long"), directed=False
+    )
+    got = {r["id"]: r["dist"] for r in dist.collect()}
+    want = oracles.sssp_oracle(wrows, [0], directed=False)
+    assert got == want
+    assert metrics[-1]["improved"] == 0  # true fixpoint, not max_iter cutoff
+    # the unrolled SSSP_SQL oracle has 25 relaxation rounds — converging in
+    # fewer supersteps than that here guards the SQL twin's round budget
+    assert len(metrics) <= 25
+
+
+def test_random_walks_deterministic_and_valid(spark, edges30, edge_rows):
+    from linkgraph.algos.paths import random_walks
+
+    starts = spark.createDataFrame([(i,) for i in range(5)], "id long")
+    w1 = sorted(map(tuple, random_walks(edges30, starts, length=6).collect()))
+    w2 = sorted(map(tuple, random_walks(edges30, starts, length=6).collect()))
+    assert w1 == w2  # bit-reproducible
+    # every consecutive (v_t, v_{t+1}) must be a real undirected edge
+    und = {(s, d) for s, d in edge_rows} | {(d, s) for s, d in edge_rows}
+    by_walk: dict = {}
+    for wid, step, v in w1:
+        by_walk.setdefault(wid, {})[step] = v
+    hops = 0
+    for wid, path in by_walk.items():
+        assert path[0] == wid
+        for t in range(1, max(path) + 1):
+            assert (path[t - 1], path[t]) in und
+            hops += 1
+    assert hops > 0
+
+
+def test_core_numbers_matches_peeling(spark, edges30, edge_rows):
+    from linkgraph.algos.kcore import core_numbers
+
+    core, metrics = core_numbers(edges30)
+    got = {r["id"]: r["core"] for r in core.collect()}
+    assert got == oracles.core_numbers_oracle(edge_rows)
+    assert metrics[-1]["dropped"] == 0
+    # the unrolled CORE_NUMBERS_SQL twin runs 20 H-index rounds
+    assert oracles.hindex_rounds_oracle(edge_rows) <= 20
