@@ -227,3 +227,72 @@ def random_walks(
         res = res.union(df)
     adj.unpersist()
     return res
+
+
+def closeness_centrality(
+    edges: DataFrame,
+    sources: DataFrame,
+    directed: bool = False,
+    max_iter: int = 100,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Exact closeness centrality for a source sample, one superstep loop.
+
+    All sources run their BFS **concurrently** through a composite-key
+    frontier ``(s, v)`` — per-superstep state is bounded by |S|·V rows and
+    the loop still terminates in max-eccentricity supersteps, so sampling
+    S sources costs one loop, not |S| loops (the standard approximation
+    path for centrality at web scale: sample sources, aggregate).
+
+    Returns (s, reached, total_dist, closeness_e6) with
+    closeness = (reached-1) / total_dist (0 when no vertex is reached),
+    e6-quantized from exact integers — engine-independent.
+    """
+    spark = edges.sparkSession
+    P = int(partitions or spark.conf.get("spark.sql.shuffle.partitions"))
+
+    e = edges.select("src", "dst")
+    if not directed:
+        e = e.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    e = (
+        e.filter(F.col("src") != F.col("dst"))
+        .dropDuplicates(["src", "dst"])
+        .repartition(P, "src")
+        .persist()
+    )
+    e.count()
+
+    state = (
+        sources.select(F.col("id").alias("s")).distinct()
+        .select("s", F.col("s").alias("v"), F.lit(0).cast("long").alias("dist"))
+        .repartition(P, "v")
+        .localCheckpoint(eager=True)
+    )
+    frontier = state
+    for it in range(1, max_iter + 1):
+        nxt = (
+            e.join(frontier.withColumnRenamed("v", "src").hint("shuffle_hash"), "src")
+            .select("s", F.col("dst").alias("v"))
+            .dropDuplicates(["s", "v"])
+            .join(state.select("s", "v").hint("shuffle_hash"), ["s", "v"], "left_anti")
+            .select("s", "v", F.lit(it).cast("long").alias("dist"))
+            .repartition(P, "v")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.count() == 0:
+            break
+        state = state.union(nxt).repartition(P, "v").localCheckpoint(eager=True)
+        frontier = nxt
+    e.unpersist()
+
+    agg = state.groupBy("s").agg(
+        (F.count(F.lit(1)) - 1).alias("reached"),
+        F.sum("dist").alias("total_dist"),
+    )
+    return agg.select(
+        "s", "reached", "total_dist",
+        F.when(
+            F.col("total_dist") > 0,
+            F.round(F.col("reached") * F.lit(1e6) / F.col("total_dist")).cast("long"),
+        ).otherwise(F.lit(0).cast("long")).alias("closeness_e6"),
+    )

@@ -1939,3 +1939,38 @@ def _core_numbers_sql(rounds: int) -> str:
 CORE_NUMBERS_SQL = _core_numbers_sql(20)
 
 REGISTRY["core_numbers"] = (q_core_numbers, CORE_NUMBERS_SQL)
+
+
+CLOSENESS_SOURCES = tuple(range(10))
+
+
+def q_closeness_centrality(spark, sf_dir):
+    """Exact closeness for a 10-source sample — all sources advance through
+    one composite-key BFS loop (the sampled-centrality scale pattern)."""
+    from .algos.paths import closeness_centrality
+
+    return closeness_centrality(
+        edges_b(spark, sf_dir),
+        sources=spark.createDataFrame([(s,) for s in CLOSENESS_SOURCES], "id long"),
+        directed=False, partitions=8,
+    ).select("s", "reached", "total_dist", "closeness_e6")
+
+
+CLOSENESS_SQL = f"""
+WITH RECURSIVE {EDGES_B_SQL}, {UND_B_SQL},
+srcs AS (SELECT CAST(range AS BIGINT) AS s FROM range({len(CLOSENESS_SOURCES)})),
+walk(s, v, d) AS (
+  SELECT s, s AS v, 0 AS d FROM srcs
+  UNION
+  SELECT w.s, e.dst, w.d + 1 FROM walk w JOIN und_b e ON e.src = w.v WHERE w.d < 40
+),
+dist AS (SELECT s, v, min(d) AS d FROM walk GROUP BY s, v)
+SELECT s, CAST(count(*) - 1 AS BIGINT) AS reached,
+       CAST(sum(d) AS BIGINT) AS total_dist,
+       CAST(CASE WHEN sum(d) > 0
+                 THEN round((count(*) - 1) * 1e6 / sum(d)) ELSE 0 END AS BIGINT)
+         AS closeness_e6
+FROM dist GROUP BY s
+"""
+
+REGISTRY["closeness_centrality"] = (q_closeness_centrality, CLOSENESS_SQL)

@@ -176,3 +176,18 @@ def test_core_numbers_matches_peeling(spark, edges30, edge_rows):
     assert metrics[-1]["dropped"] == 0
     # the unrolled CORE_NUMBERS_SQL twin runs 20 H-index rounds
     assert oracles.hindex_rounds_oracle(edge_rows) <= 20
+
+
+def test_closeness_matches_bfs_oracle(spark, edges30, edge_rows):
+    from linkgraph.algos.paths import closeness_centrality
+
+    res = closeness_centrality(
+        edges30, sources=spark.createDataFrame([(s,) for s in (0, 3, 9)], "id long")
+    ).collect()
+    got = {r["s"]: (r["reached"], r["total_dist"], r["closeness_e6"]) for r in res}
+    for s in (0, 3, 9):
+        d = oracles.bfs_oracle(edge_rows, [s])
+        reached = len(d) - 1
+        tot = sum(d.values())
+        cl = round(reached * 1e6 / tot) if tot > 0 else 0
+        assert got[s] == (reached, tot, cl)
