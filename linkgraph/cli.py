@@ -2,8 +2,9 @@
 tools/submit_job.py <job> ...`` (north rule's launch mode), or locally
 ``python -m linkgraph.cli <job> ...``.
 
-Jobs: ingest (pages -> edge table), pagerank, components, labelprop,
-triangles.  Inputs/outputs go through the io.py seam, so each accepts a
+Jobs: ingest (pages -> edge table), pagerank, components,
+components-star, labelprop, triangles, scc, bfs, sssp, corenums,
+closeness, walks.  Inputs/outputs go through the io.py seam, so each accepts a
 Parquet path or an Iceberg/catalog table name.
 
 Under spark-submit the cluster's master/conf are respected (the builder
@@ -43,7 +44,9 @@ def _spark(args) -> SparkSession:
 def main(argv: list[str] | None = None) -> dict:
     p = argparse.ArgumentParser(prog="linkgraph")
     p.add_argument("job", choices=["ingest", "pagerank", "components",
-                                   "labelprop", "triangles"])
+                                   "components-star", "labelprop", "triangles",
+                                   "scc", "bfs", "sssp", "corenums",
+                                   "closeness", "walks"])
     p.add_argument("--input", required=True,
                    help="pages table (ingest) or edge table (algorithms); "
                         "parquet path or catalog table name")
@@ -55,6 +58,11 @@ def main(argv: list[str] | None = None) -> dict:
     p.add_argument("--max-iter", type=int, default=100)
     p.add_argument("--metrics-out", default=None,
                    help="write per-superstep metrics JSON here")
+    p.add_argument("--sources", default="0",
+                   help="comma-separated source vertex ids (bfs/sssp/closeness)")
+    p.add_argument("--weight-col", default="weight")
+    p.add_argument("--directed", action="store_true")
+    p.add_argument("--walk-length", type=int, default=10)
     args = p.parse_args(argv)
     spark = _spark(args)
     P = args.partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
@@ -98,6 +106,55 @@ def main(argv: list[str] | None = None) -> dict:
                 max_iter=min(args.max_iter, 20),
             )
             summary["iterations"] = len(metrics)
+        elif args.job == "components-star":
+            from .algos.components import connected_components_star
+
+            out = connected_components_star(edges, partitions=P)
+            metrics = []
+        elif args.job == "scc":
+            from .algos.scc import strongly_connected_components
+
+            out, metrics = strongly_connected_components(edges, partitions=P)
+            summary["rounds"] = len(metrics)
+        elif args.job in ("bfs", "sssp", "closeness"):
+            from .algos import paths as _paths
+
+            srcs = spark.createDataFrame(
+                [(int(x),) for x in args.sources.split(",")], "id long"
+            )
+            if args.job == "bfs":
+                out, metrics = _paths.bfs_distances(
+                    edges, srcs, directed=args.directed, partitions=P,
+                    max_iter=args.max_iter,
+                )
+            elif args.job == "sssp":
+                out, metrics = _paths.sssp_distances(
+                    edges, srcs, weight_col=args.weight_col,
+                    directed=args.directed, partitions=P,
+                    max_iter=args.max_iter,
+                )
+            else:
+                out = _paths.closeness_centrality(
+                    edges, srcs, directed=args.directed, partitions=P,
+                    max_iter=args.max_iter,
+                )
+                metrics = []
+            if metrics:
+                summary["iterations"] = len(metrics)
+        elif args.job == "corenums":
+            from .algos.kcore import core_numbers
+
+            out, metrics = core_numbers(edges, partitions=P)
+            summary["rounds"] = len(metrics)
+        elif args.job == "walks":
+            from .algos.paths import random_walks
+
+            srcs = spark.createDataFrame(
+                [(int(x),) for x in args.sources.split(",")], "id long"
+            )
+            out = random_walks(edges, srcs, length=args.walk_length,
+                               directed=args.directed, partitions=P)
+            metrics = []
         else:  # triangles
             from .algos.triangles import triangle_count
 

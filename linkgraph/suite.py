@@ -1974,3 +1974,79 @@ FROM dist GROUP BY s
 """
 
 REGISTRY["closeness_centrality"] = (q_closeness_centrality, CLOSENESS_SQL)
+
+
+def q_modularity(spark, sf_dir):
+    """Modularity of the 3-iteration label-propagation clustering — computed
+    integer-exactly: Q = Σ_c (e_c·2m − d_c²) / (2m)², one double division at
+    the end (engine-independent), e6-quantized."""
+    from .algos import label_propagation
+
+    eb = edges_b(spark, sf_dir)
+    labels, _ = label_propagation(
+        eb, vertices=verts(spark, V_B), max_iter=3, partitions=8
+    )
+    und = (
+        eb.union(eb.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+    )
+    lab = labels.select(F.col("id"), F.col("label"))
+    deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    m2 = und.count()  # = 2m (symmetric rows)
+    ec = (
+        und.join(lab.withColumnRenamed("id", "src")
+                 .withColumnRenamed("label", "ls"), "src")
+        .join(lab.withColumnRenamed("id", "dst")
+              .withColumnRenamed("label", "ld"), "dst")
+        .filter(F.col("ls") == F.col("ld"))
+        .groupBy(F.col("ls").alias("c"))
+        .agg(F.count(F.lit(1)).alias("e"))
+    )
+    dc = (
+        lab.join(deg.withColumnRenamed("src", "id"), "id", "left")
+        .na.fill({"d": 0})
+        .groupBy(F.col("label").alias("c"))
+        .agg(F.sum("d").alias("dsum"))
+    )
+    num = (
+        dc.join(ec, "c", "left")
+        .na.fill({"e": 0})
+        .agg(
+            F.sum(
+                F.col("e") * F.lit(m2) - F.col("dsum") * F.col("dsum")
+            ).alias("num")
+        )
+        .collect()[0]["num"]
+    )
+    q = float(num) / float(m2 * m2) if m2 else 0.0
+    return _scalar_df(spark, "modularity_e6", int(round(q * 1e6)))
+
+
+MODULARITY_SQL = f"""
+WITH lp AS ({_labelprop_sql(3)}),
+{EDGES_B_SQL},
+mu AS (
+  SELECT src, dst FROM edges_b
+  UNION
+  SELECT dst AS src, src AS dst FROM edges_b
+),
+mdeg AS (SELECT src, count(*) AS d FROM mu GROUP BY src),
+m2 AS (SELECT count(*) AS m2 FROM mu),
+ec AS (
+  SELECT l1.label AS c, count(*) AS e
+  FROM mu e JOIN lp l1 ON l1.id = e.src JOIN lp l2 ON l2.id = e.dst
+  WHERE l1.label = l2.label
+  GROUP BY l1.label
+),
+dc AS (
+  SELECT l.label AS c, sum(coalesce(d.d, 0)) AS dsum
+  FROM lp l LEFT JOIN mdeg d ON d.src = l.id
+  GROUP BY l.label
+)
+SELECT CAST(round(1e6 * CAST(sum(coalesce(ec.e, 0) * m2.m2 - dc.dsum * dc.dsum) AS DOUBLE)
+            / CAST(m2.m2 * m2.m2 AS DOUBLE)) AS BIGINT) AS modularity_e6
+FROM dc LEFT JOIN ec ON ec.c = dc.c CROSS JOIN m2
+GROUP BY m2.m2
+"""
+
+REGISTRY["modularity"] = (q_modularity, MODULARITY_SQL)

@@ -66,3 +66,35 @@ def test_cli_triangles(spark, tmp_path, edges30):
     s = cli.main(["triangles", "--input", p])
     assert s["triangles"] == oracles.triangle_count_oracle(
         datagen.expected_edges(30))
+
+
+def test_cli_new_graph_jobs(spark, tmp_path, edges30):
+    p = str(tmp_path / "e2.parquet")
+    edges30.write.mode("overwrite").parquet(p)
+    rows = datagen.expected_edges(30)
+
+    s = cli.main(["scc", "--input", p])
+    assert s["rounds"] >= 1
+    s = cli.main(["bfs", "--input", p, "--sources", "0",
+                  "--output", str(tmp_path / "bfs.parquet")])
+    got = {r["id"]: r["dist"]
+           for r in lgio.read_table(spark, str(tmp_path / "bfs.parquet")).collect()}
+    assert got == oracles.bfs_oracle(rows, [0])
+    s = cli.main(["corenums", "--input", p])
+    assert s["rounds"] >= 1
+    s = cli.main(["walks", "--input", p, "--sources", "0,1,2",
+                  "--walk-length", "4",
+                  "--output", str(tmp_path / "walks.parquet")])
+    w = lgio.read_table(spark, str(tmp_path / "walks.parquet")).collect()
+    assert {r["walk_id"] for r in w} == {0, 1, 2}
+    s = cli.main(["closeness", "--input", p, "--sources", "0,5",
+                  "--output", str(tmp_path / "cl.parquet")])
+    cl = lgio.read_table(spark, str(tmp_path / "cl.parquet")).collect()
+    assert {r["s"] for r in cl} == {0, 5}
+    s = cli.main(["components-star", "--input", p,
+                  "--output", str(tmp_path / "ccs.parquet")])
+    labs = {r["id"]: r["component"]
+            for r in lgio.read_table(spark, str(tmp_path / "ccs.parquet")).collect()}
+    comp = oracles.components_oracle(30, rows)
+    verts = {v for e in rows for v in e}
+    assert labs == {v: int(comp[v]) for v in verts}
