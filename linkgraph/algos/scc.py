@@ -179,6 +179,9 @@ def strongly_connected_components(
         if active_v.count() == 0:
             break
 
+    if not done_parts:  # empty vertex set
+        out = spark.createDataFrame([], "id long, scc long")
+        return out, metrics
     out = done_parts[0]
     for p in done_parts[1:]:
         out = out.union(p)

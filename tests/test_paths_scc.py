@@ -191,3 +191,34 @@ def test_closeness_matches_bfs_oracle(spark, edges30, edge_rows):
         tot = sum(d.values())
         cl = round(reached * 1e6 / tot) if tot > 0 else 0
         assert got[s] == (reached, tot, cl)
+
+
+def test_edge_cases_empty_and_isolated(spark):
+    from linkgraph.algos.components import connected_components_star
+    from linkgraph.algos.kcore import core_numbers
+    from linkgraph.algos.paths import bfs_distances, closeness_centrality
+    from linkgraph.algos.scc import strongly_connected_components
+
+    empty = spark.createDataFrame([], "src long, dst long")
+    one_v = spark.createDataFrame([(42,)], "id long")
+
+    labels, _ = strongly_connected_components(empty, vertices=one_v)
+    assert [tuple(r) for r in labels.collect()] == [(42, 42)]
+    labels, _ = strongly_connected_components(
+        empty, vertices=spark.createDataFrame([], "id long")
+    )
+    assert labels.collect() == []
+
+    star = connected_components_star(empty, vertices=one_v)
+    assert [tuple(r) for r in star.collect()] == [(42, 42)]
+
+    # BFS from a source disconnected from everything: just the source
+    e = spark.createDataFrame([(1, 2)], "src long, dst long")
+    dist, _ = bfs_distances(e, sources=one_v)
+    assert [tuple(r) for r in dist.collect()] == [(42, 0)]
+
+    cl = closeness_centrality(e, sources=one_v).collect()
+    assert [tuple(r) for r in cl] == [(42, 0, 0, 0)]
+
+    core, _ = core_numbers(e)
+    assert sorted(tuple(r) for r in core.collect()) == [(1, 1), (2, 1)]
