@@ -2050,3 +2050,90 @@ GROUP BY m2.m2
 """
 
 REGISTRY["modularity"] = (q_modularity, MODULARITY_SQL)
+
+
+def q_pricing_rollup(spark, sf_dir):
+    """ROLLUP aggregation over (returnflag, linestatus) — subtotal + grand
+    total rows; exact integer measures for engine-independent hashing."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("(all)")).alias("l_returnflag"),
+            F.coalesce("l_linestatus", F.lit("(all)")).alias("l_linestatus"),
+            "n_rows", "sum_qty",
+        )
+    )
+
+
+PRICING_ROLLUP_SQL = """
+SELECT coalesce(l_returnflag, '(all)') AS l_returnflag,
+       coalesce(l_linestatus, '(all)') AS l_linestatus,
+       count(*) AS n_rows,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def q_customers_without_orders(spark, sf_dir):
+    """Anti-join: customers with no URGENT-priority order, counted per
+    nation (broadcast dimension join on the nation name)."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return (
+        c.join(urgent, "c_custkey", "left_anti")
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+CUSTOMERS_WITHOUT_ORDERS_SQL = """
+SELECT n.n_name, count(*) AS n_customers
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+GROUP BY n.n_name
+"""
+
+
+def q_order_priority_counts(spark, sf_dir):
+    """TPC-H Q4 shape: order counts per priority for orders having at least
+    one lineitem shipped >30 days after the order date — a CORRELATED
+    EXISTS, executed as a theta semi-join on (orderkey, date condition)."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    cond = (o["o_orderkey"] == li["l_orderkey"]) & (
+        li["l_shipdate"] > F.date_add(F.col("o_orderdate"), 30)
+    )
+    return (
+        o.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+ORDER_PRIORITY_SQL = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+GROUP BY o_orderpriority
+"""
+
+REGISTRY["pricing_rollup"] = (q_pricing_rollup, PRICING_ROLLUP_SQL)
+REGISTRY["customers_without_orders"] = (
+    q_customers_without_orders, CUSTOMERS_WITHOUT_ORDERS_SQL,
+)
+REGISTRY["order_priority_counts"] = (q_order_priority_counts, ORDER_PRIORITY_SQL)
