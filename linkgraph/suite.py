@@ -2137,3 +2137,61 @@ REGISTRY["customers_without_orders"] = (
     q_customers_without_orders, CUSTOMERS_WITHOUT_ORDERS_SQL,
 )
 REGISTRY["order_priority_counts"] = (q_order_priority_counts, ORDER_PRIORITY_SQL)
+
+
+def q_degree_histogram(spark, sf_dir):
+    """Log2-bucketed degree distribution of the undirected derived graph —
+    the power-law sanity check every link-graph pipeline ships."""
+    ea = edges_a(spark, sf_dir)
+    und = (
+        ea.union(ea.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+    )
+    deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    return (
+        deg.select(F.floor(F.log2("d")).cast("long").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_vertices"))
+    )
+
+
+DEGREE_HISTOGRAM_SQL = f"""
+WITH {EDGES_A_SQL}, {UND_A_SQL},
+deg AS (SELECT src, count(*) AS d FROM und_a GROUP BY src)
+SELECT CAST(floor(log2(d)) AS BIGINT) AS bucket, count(*) AS n_vertices
+FROM deg GROUP BY 1
+"""
+
+
+def q_event_transition_counts(spark, sf_dir):
+    """Per-user event-type transition graph (Markov edge counts): lag()
+    window over the time-ordered event stream, then grouped count — the
+    sequential-pattern shape (clickstream → transition matrix)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            "user_id",
+            F.lag("event_type").over(w).alias("prev_type"),
+            F.col("event_type").alias("next_type"),
+        )
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+
+
+EVENT_TRANSITION_SQL = """
+SELECT prev_type, next_type, count(*) AS n_transitions FROM (
+  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type,
+         event_type AS next_type
+  FROM events
+) t WHERE prev_type IS NOT NULL
+GROUP BY prev_type, next_type
+"""
+
+REGISTRY["degree_histogram"] = (q_degree_histogram, DEGREE_HISTOGRAM_SQL)
+REGISTRY["event_transition_counts"] = (
+    q_event_transition_counts, EVENT_TRANSITION_SQL,
+)
