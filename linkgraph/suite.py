@@ -2195,3 +2195,49 @@ REGISTRY["degree_histogram"] = (q_degree_histogram, DEGREE_HISTOGRAM_SQL)
 REGISTRY["event_transition_counts"] = (
     q_event_transition_counts, EVENT_TRANSITION_SQL,
 )
+
+
+def q_butterfly_count(spark, sf_dir):
+    """Bipartite butterfly (2x2 biclique) count over the customer–part
+    purchase graph: Σ over customer pairs of C(|common parts|, 2) — the
+    bipartite analogue of rectangle counting (co-purchase density)."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    bip = (
+        o.filter(F.col("o_orderkey") % 20 == 0)
+        .select("o_orderkey", "o_custkey")
+        .join(li.select("l_orderkey", "l_partkey"),
+              F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    e1 = bip.select(F.col("c").alias("c1"), "p")
+    e2 = bip.select(F.col("c").alias("c2"), "p")
+    wedge = (
+        e1.join(e2, "p")
+        .filter(F.col("c1") < F.col("c2"))
+        .groupBy("c1", "c2")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    total = wedge.agg(
+        F.sum(F.col("w") * (F.col("w") - 1) / 2).cast("long").alias("b")
+    ).collect()[0]["b"]
+    return _scalar_df(spark, "butterflies", int(total or 0))
+
+
+BUTTERFLY_SQL = """
+WITH bip AS (
+  SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+  WHERE o.o_orderkey % 20 = 0
+),
+wedge AS (
+  SELECT a.c AS c1, b.c AS c2, count(*) AS w
+  FROM bip a JOIN bip b ON a.p = b.p
+  WHERE a.c < b.c
+  GROUP BY a.c, b.c
+)
+SELECT CAST(sum(w * (w - 1) / 2) AS BIGINT) AS butterflies FROM wedge
+"""
+
+REGISTRY["butterfly_count"] = (q_butterfly_count, BUTTERFLY_SQL)
