@@ -210,13 +210,20 @@ def connected_components_star(
         )
 
     sig = _sig(e)
+    converged = False
     for _ in range(max_rounds):
         e = _star(e, large=True)
         e = _star(e, large=False)
         new_sig = _sig(e)
         if new_sig == sig:
+            converged = True
             break
         sig = new_sig
+    if not converged:
+        # labeling a non-star graph would silently return garbage
+        raise RuntimeError(
+            f"connected_components_star: no fixpoint within {max_rounds} rounds"
+        )
 
     # fixpoint: star forest — every edge points child -> center (min id);
     # component(u) = min neighbor if smaller than u else u

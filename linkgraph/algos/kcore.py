@@ -114,11 +114,19 @@ def core_numbers(
             .select("id", F.least("core", "h").alias("core"),
                     (F.col("h") < F.col("core")).alias("_drop"))
         )
-        dropped = new_core.filter(F.col("_drop")).count()
+        # drop-count rides the checkpoint job — the H-index window sort
+        # (the engine's only sorting loop) runs ONCE per round
+        from pyspark.sql import Observation
+
+        obs = Observation(f"hidx_{rnd}")
         core = (
-            new_core.select("id", "core").repartition(P, "id")
+            new_core.repartition(P, "id")
+            .observe(obs, F.coalesce(
+                F.sum(F.col("_drop").cast("long")), F.lit(0)).alias("c"))
             .localCheckpoint(eager=True)
+            .select("id", "core")
         )
+        dropped = int(obs.get["c"])
         metrics.append({"round": rnd, "dropped": dropped, "seconds": time.time() - t0})
         if dropped == 0:
             break

@@ -469,10 +469,13 @@ def pagerank_weighted(
 
     Weighted-adjacency blocks ``(src, dsts array, ws array, w_out)`` packed
     once (one E-row grouping shuffle), pinned on src; per superstep only the
-    V-row rank state shuffles + one map-side-combined grouped sum — same
-    shape as :func:`pagerank`.  Dangling mass (Σw = 0 vertices) is
-    redistributed uniformly; ranks sum to 1.  Returns ranks(id, rank) after
-    exactly ``num_iters`` supersteps (the oracle-comparison mode).
+    V-row rank state shuffles + one map-side-combined grouped sum, with the
+    mass sum fused into the checkpoint job (Observation) and the dangling
+    correction folded lazily into the next superstep — the same single-job
+    superstep shape as :func:`pagerank`.  Vertices whose outgoing weights
+    sum to 0 (including all-zero-weight edges) are DANGLING: their blocks
+    are dropped and their mass redistributes uniformly, so ranks always sum
+    to 1.  Returns ranks(id, rank) after exactly ``num_iters`` supersteps.
     """
     spark = edges.sparkSession
     P = int(partitions or spark.conf.get("spark.sql.shuffle.partitions"))
@@ -494,28 +497,21 @@ def pagerank_weighted(
             F.collect_list("w").alias("ws"),
             F.sum("w").alias("w_out"),
         )
+        .filter(F.col("w_out") > 0)  # Σw == 0 → dangling, not a NaN factory
         .repartition(P, "src")
         .persist()
     )
     blocks.count()
 
     ranks = v.select("id", (F.lit(1.0) / V).alias("rank")).localCheckpoint(eager=True)
-    for _ in range(num_iters):
-        # dangling mass: 1 − Σ rank over srcs with outgoing weight (tiny agg)
-        live = (
-            ranks.join(
-                blocks.select(F.col("src").alias("id")).hint("shuffle_hash"),
-                "id", "left_semi",
-            )
-            .agg(F.sum("rank").alias("s"))
-            .collect()[0]["s"]
-            or 0.0
+    corr = 0.0  # lazy uniform dangling correction, folded in next superstep
+    for it in range(num_iters):
+        corr_df = spark.createDataFrame([(float(corr),)], "corr double")
+        src_ranks = ranks.crossJoin(F.broadcast(corr_df)).select(
+            F.col("id").alias("src"), (F.col("rank") + F.col("corr")).alias("rank")
         )
-        dm = 1.0 - live
         contribs = (
-            blocks.join(
-                ranks.withColumnRenamed("id", "src").hint("shuffle_hash"), "src"
-            )
+            blocks.join(src_ranks.hint("shuffle_hash"), "src")
             .select(
                 F.explode(F.arrays_zip("dsts", "ws")).alias("z"),
                 (F.col("rank") / F.col("w_out")).alias("r_per_w"),
@@ -527,20 +523,21 @@ def pagerank_weighted(
             .groupBy("id")
             .agg(F.sum("contrib").alias("contrib"))
         )
-        ranks = (
-            v.join(contribs.hint("shuffle_hash"), "id", "left")
-            .select(
-                "id",
-                (
-                    F.lit((1.0 - damping) / V)
-                    + F.lit(damping)
-                    * (F.coalesce("contrib", F.lit(0.0)) + F.lit(dm / V))
-                ).alias("rank"),
-            )
-            .repartition(P, "id")
-            .localCheckpoint(eager=True)
-        )
+        raw_new = v.join(contribs.hint("shuffle_hash"), "id", "left").select(
+            "id",
+            (
+                F.lit((1.0 - damping) / V)
+                + F.lit(damping) * F.coalesce("contrib", F.lit(0.0))
+            ).alias("rank"),
+        ).repartition(P, "id")
+        obs = Observation(f"wmass_{it}")
+        raw_new = raw_new.observe(obs, F.sum("rank").alias("s"))
+        ranks = raw_new.localCheckpoint(eager=True)
+        S = float(obs.get["s"])
+        # Σ raw' = 1 - damping * dangling_mass  =>  per-vertex share:
+        corr = (1.0 - S) / V
 
+    out = ranks.select("id", (F.col("rank") + F.lit(corr)).alias("rank"))
     v.unpersist()
     blocks.unpersist()
-    return ranks
+    return out

@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import time
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 
@@ -143,10 +143,18 @@ def sssp_distances(
                 ).alias("_improved"),
             )
         )
+        # improved-count rides the checkpoint job (Observation) — the
+        # relaxation join + grouped min run ONCE per superstep
+        obs = Observation(f"sssp_{it}")
         new_state = (
-            merged.select("id", "dist").repartition(P, "id").localCheckpoint(eager=True)
+            merged.select("id", "dist", "_improved")
+            .repartition(P, "id")
+            .observe(obs, F.coalesce(
+                F.sum(F.col("_improved").cast("long")), F.lit(0)).alias("c"))
+            .localCheckpoint(eager=True)
+            .select("id", "dist")
         )
-        improved = merged.filter(F.col("_improved")).count()
+        improved = int(obs.get["c"])
         metrics.append({"iteration": it, "improved": improved,
                         "seconds": time.time() - t0})
         state = new_state

@@ -77,9 +77,9 @@ def strongly_connected_components(
             n_trim = trimmed.count()
             if n_trim == 0:
                 break
-            done_parts.append(
-                _ckpt(trimmed.select("id", F.col("id").alias("scc")), P, "id")
-            )
+            # trimmed has 2-step lineage over checkpointed inputs — append
+            # it lazily (no per-peel-layer checkpoint job)
+            done_parts.append(trimmed.select("id", F.col("id").alias("scc")))
             active_v = _ckpt(
                 active_v.join(trimmed.hint("shuffle_hash"), "id", "left_anti"), P, "id"
             )

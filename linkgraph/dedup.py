@@ -165,10 +165,15 @@ def minhash_lsh_pairs(
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_distinct(F.concat("sh_a", "sh_b")))
     jac = inter.cast("double") / union
-    return (
+    out = (
         cand.select("id_a", "id_b", F.round(jac * 1e6).cast("long").alias("jaccard_e6"))
         .filter(F.col("jaccard_e6") >= int(jaccard_threshold * 1e6))
+        # materialize the (small) verified-pair set so the signature cache
+        # can be released now instead of pinning executor storage forever
+        .localCheckpoint(eager=True)
     )
+    sigp.unpersist()
+    return out
 
 
 def minhash_lsh_pairs_sql(

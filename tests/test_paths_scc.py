@@ -222,3 +222,32 @@ def test_edge_cases_empty_and_isolated(spark):
 
     core, _ = core_numbers(e)
     assert sorted(tuple(r) for r in core.collect()) == [(1, 1), (2, 1)]
+
+
+def test_weighted_pagerank_zero_weight_is_dangling(spark):
+    # vertex 0's only edge has weight 0 => its mass must redistribute
+    # uniformly (not vanish); ranks still sum to 1
+    from linkgraph.algos.pagerank import pagerank_weighted
+
+    e = spark.createDataFrame(
+        [(0, 1, 0.0), (1, 2, 2.0), (2, 1, 1.0)], "src long, dst long, weight double"
+    )
+    ranks = pagerank_weighted(e, vertices=spark.range(3).select("id"), num_iters=4)
+    got = {r["id"]: r["rank"] for r in ranks.collect()}
+    want = oracles.weighted_pagerank_oracle(
+        3, [(1, 2, 2.0), (2, 1, 1.0)], num_iters=4
+    )  # the zero-weight edge contributes nothing; 0 is dangling
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    for v in range(3):
+        assert abs(got[v] - want[v]) < 1e-9
+
+
+def test_cc_star_raises_when_truncated(spark):
+    import pytest as _pytest
+
+    n = 64
+    e = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], "src long, dst long")
+    from linkgraph.algos.components import connected_components_star
+
+    with _pytest.raises(RuntimeError, match="no fixpoint"):
+        connected_components_star(e, max_rounds=1)
