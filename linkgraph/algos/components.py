@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from ..ckpt import CheckpointManager
+from .gcommon import norm_edges
 from .pagerank import adjacency_blocks
 
 
@@ -165,14 +166,7 @@ def connected_components_star(
         )
     v = vertices.select("id").repartition(P, "id").persist()
 
-    e = (
-        edges.select("src", "dst")
-        .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .filter(F.col("src") != F.col("dst"))
-        .dropDuplicates(["src", "dst"])
-        .repartition(P, "src")
-        .localCheckpoint(eager=True)
-    )
+    e = norm_edges(edges, P, materialize="checkpoint")
 
     def _sig(df: DataFrame) -> tuple:
         r = df.agg(

@@ -15,6 +15,8 @@ import time
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .gcommon import norm_edges
+
 
 def kcore_vertices(
     edges: DataFrame,
@@ -77,15 +79,7 @@ def core_numbers(
     spark = edges.sparkSession
     P = int(partitions or spark.conf.get("spark.sql.shuffle.partitions"))
 
-    sym = (
-        edges.select("src", "dst")
-        .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .filter(F.col("src") != F.col("dst"))
-        .dropDuplicates(["src", "dst"])
-        .repartition(P, "src")
-        .persist()
-    )
-    sym.count()
+    sym = norm_edges(edges, P)
 
     core = (
         sym.groupBy("src").agg(F.count(F.lit(1)).alias("core"))

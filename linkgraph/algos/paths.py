@@ -22,6 +22,8 @@ import time
 from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
+from .gcommon import norm_edges
+
 
 def bfs_distances(
     edges: DataFrame,
@@ -38,16 +40,7 @@ def bfs_distances(
     spark = edges.sparkSession
     P = int(partitions or spark.conf.get("spark.sql.shuffle.partitions"))
 
-    e = edges.select("src", "dst")
-    if not directed:
-        e = e.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    e = (
-        e.filter(F.col("src") != F.col("dst"))
-        .dropDuplicates(["src", "dst"])
-        .repartition(P, "src")
-        .persist()
-    )
-    e.count()  # pin the pinned-partitioning edge table once, reuse every superstep
+    e = norm_edges(edges, P, directed=directed)
 
     state = (
         sources.select("id").distinct()
@@ -197,10 +190,7 @@ def random_walks(
     spark = edges.sparkSession
     P = int(partitions or spark.conf.get("spark.sql.shuffle.partitions"))
 
-    e = edges.select("src", "dst")
-    if not directed:
-        e = e.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    e = e.filter(F.col("src") != F.col("dst")).dropDuplicates(["src", "dst"])
+    e = norm_edges(edges, P, directed=directed, materialize="none")
     w = Window.partitionBy("src").orderBy("dst")
     adj = (
         e.select(
@@ -259,16 +249,7 @@ def closeness_centrality(
     spark = edges.sparkSession
     P = int(partitions or spark.conf.get("spark.sql.shuffle.partitions"))
 
-    e = edges.select("src", "dst")
-    if not directed:
-        e = e.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    e = (
-        e.filter(F.col("src") != F.col("dst"))
-        .dropDuplicates(["src", "dst"])
-        .repartition(P, "src")
-        .persist()
-    )
-    e.count()
+    e = norm_edges(edges, P, directed=directed)
 
     state = (
         sources.select(F.col("id").alias("s")).distinct()
