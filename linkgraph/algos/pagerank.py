@@ -207,8 +207,15 @@ def pagerank(
     lineage_truncate_every: int = 1,
     block_size: int | None = None,
     dst_buckets: int | None = None,
+    initial_ranks: DataFrame | None = None,
 ) -> tuple[DataFrame, list[dict]]:
     """Run PageRank; returns (ranks(id, rank), per-iteration metrics).
+
+    ``initial_ranks`` (id, rank) warm-starts the iteration — the
+    incremental-recompute path after small graph updates: converged ranks
+    of the previous graph version reach tol in a fraction of the cold-start
+    supersteps.  New vertices default to 1/V; the vector is L1-normalized
+    so the mass invariant (Σrank = 1) holds regardless of drift.
 
     ``num_iters`` forces an exact iteration count (no convergence check) —
     used for fixed-iteration oracle comparisons; otherwise iterate until
@@ -250,6 +257,18 @@ def pagerank(
         ranks_raw = ranks_raw.repartition(P, "id").localCheckpoint(eager=True)
         metrics = ckpt.history()
         start_iter = last + 1
+    elif initial_ranks is not None:
+        # warm start: left-join onto the vertex set (new vertices get 1/V),
+        # then L1-normalize so Σrank = 1 exactly
+        warm = v.join(
+            initial_ranks.select("id", F.col("rank").alias("_r0")), "id", "left"
+        ).select("id", F.coalesce("_r0", F.lit(1.0 / V)).alias("rank"))
+        total = float(warm.agg(F.sum("rank").alias("s")).collect()[0]["s"]) or 1.0
+        ranks_raw = (
+            warm.select("id", (F.col("rank") / total).alias("rank"))
+            .repartition(P, "id")
+            .localCheckpoint(eager=True)
+        )
     else:
         ranks_raw = v.select("id", (F.lit(1.0) / V).alias("rank")).localCheckpoint(
             eager=True

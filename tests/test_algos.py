@@ -199,3 +199,18 @@ def test_kcore_matches_oracle(spark, edges30):
     for k in (2, 3, 4):
         got = {r["id"] for r in kcore_vertices(edges30, k, partitions=8).collect()}
         assert got == oracles.kcore_oracle(EDGES, k)
+
+
+def test_pagerank_warm_start(spark, edges30, vertices30):
+    from linkgraph.algos.pagerank import pagerank
+
+    cold, cold_m = pagerank(edges30, vertices=vertices30, tol=1e-10, max_iter=200)
+    # warm-start from the converged vector: must converge almost immediately
+    warm, warm_m = pagerank(
+        edges30, vertices=vertices30, tol=1e-10, max_iter=200, initial_ranks=cold
+    )
+    assert len(warm_m) < len(cold_m) / 2
+    got_c = {r["id"]: r["rank"] for r in cold.collect()}
+    got_w = {r["id"]: r["rank"] for r in warm.collect()}
+    for i in range(30):
+        assert abs(got_c[i] - got_w[i]) < 1e-8
