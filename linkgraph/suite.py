@@ -1953,7 +1953,7 @@ def q_closeness_centrality(spark, sf_dir):
         edges_b(spark, sf_dir),
         sources=spark.createDataFrame([(s,) for s in CLOSENESS_SOURCES], "id long"),
         directed=False, partitions=8,
-    ).select("s", "reached", "total_dist", "closeness_e6")
+    ).select("s", "reached", "total_dist", "closeness_e6", "harmonic_e6")
 
 
 CLOSENESS_SQL = f"""
@@ -1969,7 +1969,9 @@ SELECT s, CAST(count(*) - 1 AS BIGINT) AS reached,
        CAST(sum(d) AS BIGINT) AS total_dist,
        CAST(CASE WHEN sum(d) > 0
                  THEN round((count(*) - 1) * 1e6 / sum(d)) ELSE 0 END AS BIGINT)
-         AS closeness_e6
+         AS closeness_e6,
+       CAST(sum(CASE WHEN d > 0 THEN CAST(round(1e6 / d) AS BIGINT) ELSE 0 END)
+            AS BIGINT) AS harmonic_e6
 FROM dist GROUP BY s
 """
 
