@@ -277,6 +277,7 @@ def closeness_centrality(
     agg = state.groupBy("s").agg(
         (F.count(F.lit(1)) - 1).alias("reached"),
         F.sum("dist").alias("total_dist"),
+        F.max("dist").alias("ecc"),  # eccentricity within the reachable set
         # harmonic centrality Σ 1/d, quantized PER TERM (integer sum — no
         # float-accumulation order dependence between engines)
         F.sum(
@@ -291,5 +292,5 @@ def closeness_centrality(
             F.col("total_dist") > 0,
             F.round(F.col("reached") * F.lit(1e6) / F.col("total_dist")).cast("long"),
         ).otherwise(F.lit(0).cast("long")).alias("closeness_e6"),
-        "harmonic_e6",
+        "harmonic_e6", "ecc",
     )

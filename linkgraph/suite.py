@@ -1953,7 +1953,7 @@ def q_closeness_centrality(spark, sf_dir):
         edges_b(spark, sf_dir),
         sources=spark.createDataFrame([(s,) for s in CLOSENESS_SOURCES], "id long"),
         directed=False, partitions=8,
-    ).select("s", "reached", "total_dist", "closeness_e6", "harmonic_e6")
+    ).select("s", "reached", "total_dist", "closeness_e6", "harmonic_e6", "ecc")
 
 
 CLOSENESS_SQL = f"""
@@ -1971,7 +1971,8 @@ SELECT s, CAST(count(*) - 1 AS BIGINT) AS reached,
                  THEN round((count(*) - 1) * 1e6 / sum(d)) ELSE 0 END AS BIGINT)
          AS closeness_e6,
        CAST(sum(CASE WHEN d > 0 THEN CAST(round(1e6 / d) AS BIGINT) ELSE 0 END)
-            AS BIGINT) AS harmonic_e6
+            AS BIGINT) AS harmonic_e6,
+       CAST(max(d) AS BIGINT) AS ecc
 FROM dist GROUP BY s
 """
 
@@ -2243,3 +2244,18 @@ SELECT CAST(sum(w * (w - 1) / 2) AS BIGINT) AS butterflies FROM wedge
 """
 
 REGISTRY["butterfly_count"] = (q_butterfly_count, BUTTERFLY_SQL)
+
+
+def q_pagerank_top20(spark, sf_dir):
+    """Top-20 vertices by 5-iteration PageRank — deterministic total order
+    (rank_e8 desc, id): the ranking/limit stage over an iterative result."""
+    ranks = q_pagerank5(spark, sf_dir)
+    return ranks.orderBy(F.col("rank_e8").desc(), "id").limit(20)
+
+
+PAGERANK_TOP20_SQL = (
+    "WITH pr AS (" + PAGERANK5_SQL + ")\n"
+    "SELECT id, rank_e8 FROM pr ORDER BY rank_e8 DESC, id LIMIT 20"
+)
+
+REGISTRY["pagerank_top20"] = (q_pagerank_top20, PAGERANK_TOP20_SQL)

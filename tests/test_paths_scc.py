@@ -185,14 +185,14 @@ def test_closeness_matches_bfs_oracle(spark, edges30, edge_rows):
         edges30, sources=spark.createDataFrame([(s,) for s in (0, 3, 9)], "id long")
     ).collect()
     got = {r["s"]: (r["reached"], r["total_dist"], r["closeness_e6"],
-                    r["harmonic_e6"]) for r in res}
+                    r["harmonic_e6"], r["ecc"]) for r in res}
     for s in (0, 3, 9):
         d = oracles.bfs_oracle(edge_rows, [s])
         reached = len(d) - 1
         tot = sum(d.values())
         cl = round(reached * 1e6 / tot) if tot > 0 else 0
         harm = sum(round(1e6 / x) for x in d.values() if x > 0)
-        assert got[s] == (reached, tot, cl, harm)
+        assert got[s] == (reached, tot, cl, harm, max(d.values()))
 
 
 def test_edge_cases_empty_and_isolated(spark):
@@ -220,7 +220,7 @@ def test_edge_cases_empty_and_isolated(spark):
     assert [tuple(r) for r in dist.collect()] == [(42, 0)]
 
     cl = closeness_centrality(e, sources=one_v).collect()
-    assert [tuple(r) for r in cl] == [(42, 0, 0, 0, 0)]
+    assert [tuple(r) for r in cl] == [(42, 0, 0, 0, 0, 0)]
 
     core, _ = core_numbers(e)
     assert sorted(tuple(r) for r in core.collect()) == [(1, 1), (2, 1)]
