@@ -227,6 +227,107 @@ def random_walks(
     return res
 
 
+def stress_centrality(
+    edges: DataFrame,
+    sources: DataFrame,
+    directed: bool = False,
+    max_iter: int = 100,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Stress centrality (Shimbel) for a source sample — the integer-exact
+    Brandes two-pass, distributed.
+
+    Forward pass: composite-key multi-source BFS carrying per-(s, v) the
+    number of shortest paths ``sigma`` (level-synchronous sum over the
+    frontier — the σ recurrence of Brandes'01).  Backward pass, level by
+    decreasing level over the shortest-path DAG:
+    ``c(v) = Σ_{w ∈ succ(v)} (1 + c(w))`` — the number of shortest-path
+    *suffixes* leaving v; then ``stress(v) = Σ_s σ(s,v)·c(s,v)``, the count
+    of shortest paths from sampled sources passing THROUGH v.  This is the
+    betweenness dependency recursion with the σ(s,t) division dropped, so
+    every quantity stays a BIGINT — no float accumulation order to disagree
+    on between engines (betweenness itself needs fractional δ; stress is
+    its exact-integer sibling and ranks hubs the same way in practice).
+
+    Scale: both passes are frontier ⋈ edges supersteps over state bounded
+    by |S|·V rows, pinned on ``partitions``; 2·diameter supersteps total.
+    Sampling sources is the standard web-scale centrality approximation
+    (same shape as the reference's sampled estimators,
+    /root/reference/src/ZGraphInstance.cpp:257-297).  Returns
+    (id, stress) for vertices with stress > 0.
+    """
+    spark = edges.sparkSession
+    P = int(partitions or spark.conf.get("spark.sql.shuffle.partitions"))
+
+    e = norm_edges(edges, P, directed=directed)
+
+    lvl = (
+        sources.select(F.col("id").alias("s")).distinct()
+        .select("s", F.col("s").alias("v"), F.lit(1).cast("long").alias("sig"))
+        .repartition(P, "v")
+        .localCheckpoint(eager=True)
+    )
+    levels = [lvl]
+    settled = lvl.select("s", "v").localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        nxt = (
+            e.join(lvl.withColumnRenamed("v", "src").hint("shuffle_hash"), "src")
+            .select("s", F.col("dst").alias("v"), "sig")
+            .join(settled.hint("shuffle_hash"), ["s", "v"], "left_anti")
+            .groupBy("s", "v")
+            .agg(F.sum("sig").alias("sig"))
+            .repartition(P, "v")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.count() == 0:
+            break
+        levels.append(nxt)
+        settled = (
+            settled.union(nxt.select("s", "v"))
+            .repartition(P, "v")
+            .localCheckpoint(eager=True)
+        )
+        lvl = nxt
+
+    # backward: deepest level has no successors (c = 0); walk levels up,
+    # summing (1 + c) over DAG successors (neighbors one level deeper)
+    out = [levels[-1].select("s", "v", "sig", F.lit(0).cast("long").alias("cv"))]
+    c = out[0].select("s", "v", "cv")
+    for l in range(len(levels) - 2, -1, -1):
+        agg = (
+            levels[l].select("s", "v")
+            .join(e.withColumnRenamed("src", "v").hint("shuffle_hash"), "v")
+            .join(
+                c.select("s", F.col("v").alias("dst"), "cv").hint("shuffle_hash"),
+                ["s", "dst"],
+            )
+            .groupBy("s", "v")
+            .agg(F.sum(F.lit(1) + F.col("cv")).alias("cv"))
+        )
+        cur = (
+            levels[l].join(agg.hint("shuffle_hash"), ["s", "v"], "left")
+            .select(
+                "s", "v", "sig",
+                F.coalesce("cv", F.lit(0)).cast("long").alias("cv"),
+            )
+            .repartition(P, "v")
+            .localCheckpoint(eager=True)
+        )
+        out.append(cur)
+        c = cur.select("s", "v", "cv")
+    e.unpersist()
+
+    res = out[0]
+    for df in out[1:]:
+        res = res.union(df)
+    return (
+        res.filter(F.col("v") != F.col("s"))  # endpoints are not interior
+        .groupBy(F.col("v").alias("id"))
+        .agg(F.sum(F.col("sig") * F.col("cv")).alias("stress"))
+        .filter(F.col("stress") > 0)
+    )
+
+
 def closeness_centrality(
     edges: DataFrame,
     sources: DataFrame,

@@ -371,6 +371,48 @@ def bfs_oracle(
     return dist
 
 
+def stress_oracle(
+    edges: list[tuple[int, int]], sources: list[int], directed: bool = False
+) -> dict[int, int]:
+    """Exact Brandes stress: Σ_s σ(s,v)·c(v) with c(v)=Σ_succ(1+c(w)).
+
+    Adjacency is a SET: parallel/reciprocal duplicate input edges are one
+    simple edge (matching the engine's normalized edge table) — unlike BFS
+    distance, σ and c are sensitive to edge multiplicity."""
+    adj: dict[int, set[int]] = defaultdict(set)
+    for s, d in edges:
+        if s == d:
+            continue
+        adj[s].add(d)
+        if not directed:
+            adj[d].add(s)
+    stress: dict[int, int] = defaultdict(int)
+    for s in sources:
+        dist = {s: 0}
+        sigma = {s: 1}
+        order = [s]
+        q = deque([s])
+        while q:
+            u = q.popleft()
+            for w in adj[u]:
+                if w not in dist:
+                    dist[w] = dist[u] + 1
+                    sigma[w] = 0
+                    order.append(w)
+                    q.append(w)
+                if dist[w] == dist[u] + 1:
+                    sigma[w] += sigma[u]
+        c: dict[int, int] = defaultdict(int)
+        for v in reversed(order):
+            for w in adj[v]:
+                if dist.get(w) == dist[v] + 1:
+                    c[v] += 1 + c[w]
+        for v in order:
+            if v != s:
+                stress[v] += sigma[v] * c[v]
+    return {v: x for v, x in stress.items() if x > 0}
+
+
 def scc_oracle(num_vertices: int, edges: list[tuple[int, int]]) -> dict[int, int]:
     """Iterative Tarjan SCC; label = min vertex id in the component."""
     adj: dict[int, list[int]] = defaultdict(list)

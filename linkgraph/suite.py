@@ -2246,6 +2246,72 @@ SELECT CAST(sum(w * (w - 1) / 2) AS BIGINT) AS butterflies FROM wedge
 REGISTRY["butterfly_count"] = (q_butterfly_count, BUTTERFLY_SQL)
 
 
+STRESS_SOURCES = tuple(range(10))
+STRESS_LEVELS = 12  # ≥ max source eccentricity of edges_b at every sf (7 at
+                    # sf0.001, 3 at sf0.01, 2 at sf0.1 — measured; see
+                    # tests/test_paths_scc.py budget test)
+
+
+def q_stress_centrality(spark, sf_dir):
+    """Brandes stress centrality for a 10-source sample — integer-exact
+    forward σ + backward suffix-count passes (betweenness's BIGINT sibling)."""
+    from .algos.paths import stress_centrality
+
+    return stress_centrality(
+        edges_b(spark, sf_dir),
+        sources=spark.createDataFrame([(s,) for s in STRESS_SOURCES], "id long"),
+        directed=False, partitions=8,
+    )
+
+
+def _stress_sql(levels: int) -> str:
+    parts = [
+        EDGES_B_SQL, UND_B_SQL,
+        f"srcs AS (SELECT CAST(range AS BIGINT) AS s FROM range({len(STRESS_SOURCES)}))",
+        "lvl0 AS MATERIALIZED (SELECT s, s AS v, CAST(1 AS BIGINT) AS sig FROM srcs)",
+        "set0 AS MATERIALIZED (SELECT s, v FROM lvl0)",
+    ]
+    for i in range(1, levels + 1):
+        parts.append(
+            f"""lvl{i} AS MATERIALIZED (
+  SELECT p.s, e.dst AS v, CAST(sum(p.sig) AS BIGINT) AS sig
+  FROM lvl{i - 1} p JOIN und_b e ON e.src = p.v
+  WHERE NOT EXISTS (SELECT 1 FROM set{i - 1} st WHERE st.s = p.s AND st.v = e.dst)
+  GROUP BY p.s, e.dst)"""
+        )
+        parts.append(
+            f"set{i} AS MATERIALIZED (SELECT s, v FROM set{i - 1} "
+            f"UNION ALL SELECT s, v FROM lvl{i})"
+        )
+    parts.append(
+        f"c{levels} AS MATERIALIZED "
+        f"(SELECT s, v, sig, CAST(0 AS BIGINT) AS cv FROM lvl{levels})"
+    )
+    for i in range(levels - 1, -1, -1):
+        parts.append(
+            f"""c{i} AS MATERIALIZED (
+  SELECT p.s, p.v, p.sig, COALESCE(x.cv, 0) AS cv
+  FROM lvl{i} p LEFT JOIN (
+    SELECT p2.s, p2.v, CAST(sum(1 + cn.cv) AS BIGINT) AS cv
+    FROM lvl{i} p2 JOIN und_b e ON e.src = p2.v
+    JOIN c{i + 1} cn ON cn.s = p2.s AND cn.v = e.dst
+    GROUP BY p2.s, p2.v) x ON x.s = p.s AND x.v = p.v)"""
+        )
+    union = " UNION ALL ".join(
+        f"SELECT s, v, sig, cv FROM c{i}" for i in range(levels + 1)
+    )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT v AS id, CAST(sum(sig * cv) AS BIGINT) AS stress"
+        + f"\nFROM ({union}) WHERE v <> s GROUP BY v HAVING sum(sig * cv) > 0"
+    )
+
+
+STRESS_SQL = _stress_sql(STRESS_LEVELS)
+
+REGISTRY["stress_centrality"] = (q_stress_centrality, STRESS_SQL)
+
+
 def q_pagerank_top20(spark, sf_dir):
     """Top-20 vertices by 5-iteration PageRank — deterministic total order
     (rank_e8 desc, id): the ranking/limit stage over an iterative result."""
@@ -2259,3 +2325,82 @@ PAGERANK_TOP20_SQL = (
 )
 
 REGISTRY["pagerank_top20"] = (q_pagerank_top20, PAGERANK_TOP20_SQL)
+
+
+def q_incremental_pagerank(spark, sf_dir):
+    """Incremental PageRank over an edge-delta batch: converge 5 iterations
+    on the base graph (~90% of edges), then ingest the remaining edges and
+    warm-start 3 more iterations from the previous vector (L1-renormalized)
+    — the cheap-recompute path for a continuously-crawled link graph."""
+    from .algos import pagerank
+
+    full = edges_a(spark, sf_dir)
+    base = full.filter((F.col("src") * 5 + F.col("dst")) % 10 != 7)
+    base_ranks, _ = pagerank(
+        base, vertices=verts(spark, V_A), num_iters=5, partitions=16
+    )
+    ranks, _ = pagerank(
+        full, vertices=verts(spark, V_A), num_iters=3, partitions=16,
+        initial_ranks=base_ranks,
+    )
+    return ranks.select(
+        "id", F.round(F.col("rank") * 1e8).cast("long").alias("rank_e8")
+    )
+
+
+def _pr_iters_sql(parts: list, prefix: str, edges_name: str, outd_name: str,
+                  start_name: str, n: int, v: int) -> str:
+    """Append n damped-iteration CTEs (dangling mass + contribution + update)
+    starting from rank vector ``start_name``; returns the final CTE name."""
+    d = 0.85
+    prev = start_name
+    for i in range(1, n + 1):
+        parts.append(
+            f"""{prefix}d{i} AS MATERIALIZED (SELECT coalesce(sum(r.rank), 0) AS dm
+      FROM {prev} r LEFT JOIN {outd_name} o ON r.id = o.id WHERE o.id IS NULL)"""
+        )
+        parts.append(
+            f"""{prefix}c{i} AS MATERIALIZED (SELECT e.dst AS id, sum(r.rank / o.od) AS contrib
+      FROM {edges_name} e JOIN {prev} r ON e.src = r.id
+      JOIN {outd_name} o ON e.src = o.id GROUP BY e.dst)"""
+        )
+        parts.append(
+            f"""{prefix}r{i} AS MATERIALIZED (SELECT vv.id,
+      {(1.0 - d) / v!r} + {d} * (coalesce(c.contrib, 0) + dd.dm / {v}) AS rank
+      FROM verts_a vv LEFT JOIN {prefix}c{i} c ON vv.id = c.id
+      CROSS JOIN {prefix}d{i} dd)"""
+        )
+        prev = f"{prefix}r{i}"
+    return prev
+
+
+def _incremental_pagerank_sql() -> str:
+    parts = [
+        EDGES_A_SQL, VERTS_A_SQL,
+        "base_e AS MATERIALIZED "
+        "(SELECT src, dst FROM edges_a WHERE (src * 5 + dst) % 10 <> 7)",
+        "boutd AS MATERIALIZED (SELECT src AS id, CAST(count(*) AS DOUBLE) AS od "
+        "FROM base_e GROUP BY src)",
+        f"br0 AS (SELECT id, 1.0/{V_A} AS rank FROM verts_a)",
+    ]
+    last = _pr_iters_sql(parts, "b", "base_e", "boutd", "br0", 5, V_A)
+    parts.append(f"tot AS MATERIALIZED (SELECT sum(rank) AS t FROM {last})")
+    parts.append(
+        "foutd AS MATERIALIZED (SELECT src AS id, CAST(count(*) AS DOUBLE) AS od "
+        "FROM edges_a GROUP BY src)"
+    )
+    # warm start: L1-normalize the base vector (mirrors pagerank(initial_ranks=))
+    parts.append(
+        f"fr0 AS MATERIALIZED (SELECT r.id, r.rank / tt.t AS rank "
+        f"FROM {last} r CROSS JOIN tot tt)"
+    )
+    last = _pr_iters_sql(parts, "f", "edges_a", "foutd", "fr0", 3, V_A)
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT id, CAST(round(rank * 100000000) AS BIGINT) AS rank_e8 FROM {last}"
+    )
+
+
+INCREMENTAL_PAGERANK_SQL = _incremental_pagerank_sql()
+
+REGISTRY["incremental_pagerank"] = (q_incremental_pagerank, INCREMENTAL_PAGERANK_SQL)

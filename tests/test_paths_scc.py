@@ -104,6 +104,33 @@ def test_kcore_sql_round_budget(edge_rows):
     assert oracles.kcore_peel_depth(edge_rows, 3) <= 24
 
 
+def test_stress_matches_brandes_oracle(spark, edges30, edge_rows):
+    from linkgraph.algos.paths import stress_centrality
+
+    srcs = [0, 3, 9, 17]
+    res = stress_centrality(
+        edges30, sources=spark.createDataFrame([(s,) for s in srcs], "id long")
+    )
+    got = {r["id"]: r["stress"] for r in res.collect()}
+    assert got == oracles.stress_oracle(edge_rows, srcs)
+
+
+def test_stress_directed_and_isolated(spark, edges30, edge_rows):
+    from linkgraph.algos.paths import stress_centrality
+
+    res = stress_centrality(
+        edges30, sources=spark.createDataFrame([(0,), (5,)], "id long"),
+        directed=True,
+    )
+    got = {r["id"]: r["stress"] for r in res.collect()}
+    assert got == oracles.stress_oracle(edge_rows, [0, 5], directed=True)
+
+    # source absent from the edge set: nothing is interior to any path
+    e = spark.createDataFrame([(1, 2)], "src long, dst long")
+    only = stress_centrality(e, sources=spark.createDataFrame([(42,)], "id long"))
+    assert only.count() == 0
+
+
 def test_cc_star_matches_propagation(spark, edges30, edge_rows):
     from linkgraph.algos.components import (
         connected_components,
