@@ -2404,3 +2404,60 @@ def _incremental_pagerank_sql() -> str:
 INCREMENTAL_PAGERANK_SQL = _incremental_pagerank_sql()
 
 REGISTRY["incremental_pagerank"] = (q_incremental_pagerank, INCREMENTAL_PAGERANK_SQL)
+
+
+def q_hyperball_ball3(spark, sf_dir):
+    """HyperBall radius-3 ball-size estimate per vertex — HLL register
+    max-merge supersteps with BIGINT-exact register math, so the sketch
+    itself (not just its inputs) is value-checked against the SQL twin."""
+    from .algos.hyperball import hyperball
+
+    return hyperball(
+        edges_b(spark, sf_dir), vertices=verts(spark, V_B),
+        radius=3, directed=False, partitions=8,
+    )
+
+
+def _hyperball_sql(radius: int) -> str:
+    from .algos.hyperball import EST_NUM_E6, HASH_A, HASH_B, HASH_MOD
+
+    rho_case = (
+        "CASE "
+        + " ".join(
+            f"WHEN (m >> 4) % {1 << k} = {1 << (k - 1)} THEN {k}"
+            for k in range(1, 17)
+        )
+        + " ELSE 17 END"
+    )
+    parts = [
+        EDGES_B_SQL, UND_B_SQL, VERTS_B_SQL,
+        f"hbm AS (SELECT id AS v, (id * {HASH_A} + {HASH_B}) % {HASH_MOD} AS m "
+        "FROM verts_b)",
+        f"hb0 AS MATERIALIZED (SELECT v, CAST(m % 16 AS BIGINT) AS j, "
+        f"CAST({rho_case} AS BIGINT) AS r FROM hbm)",
+    ]
+    for t in range(1, radius + 1):
+        parts.append(
+            f"""hb{t} AS MATERIALIZED (
+  SELECT v, j, max(r) AS r FROM (
+    SELECT e.src AS v, p.j, p.r FROM und_b e JOIN hb{t - 1} p ON p.v = e.dst
+    UNION ALL SELECT v, j, r FROM hb{t - 1}) u GROUP BY v, j)"""
+        )
+    # registers are sparse rows here (absent j ⇒ M_j = 0 ⇒ term 2^32);
+    # the engine's dense 16-column layout computes the identical sum
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"""
+SELECT v AS id,
+       CAST(sum(4294967296 >> r) + (16 - count(*)) * 4294967296 AS BIGINT)
+         AS sum_int,
+       CAST(round({EST_NUM_E6!r} /
+            (sum(4294967296 >> r) + (16 - count(*)) * 4294967296)) AS BIGINT)
+         AS ball_e6
+FROM hb{radius} GROUP BY v"""
+    )
+
+
+HYPERBALL_SQL = _hyperball_sql(3)
+
+REGISTRY["hyperball_ball3"] = (q_hyperball_ball3, HYPERBALL_SQL)

@@ -131,6 +131,43 @@ def test_stress_directed_and_isolated(spark, edges30, edge_rows):
     assert only.count() == 0
 
 
+def test_hyperball_registers_match_exact_ball(spark, edges30, edge_rows):
+    """After r max-merge supersteps the HLL registers must equal the
+    registers of the EXACT radius-r ball (max is idempotent+monotone) —
+    so the whole sketch, not just a sample, is oracle-checked."""
+    import math
+    from collections import defaultdict
+
+    from linkgraph.algos.hyperball import (
+        EST_NUM_E6, HASH_A, HASH_B, HASH_MOD, NUM_REGISTERS, hyperball,
+    )
+
+    res = {
+        r["id"]: (r["sum_int"], r["ball_e6"])
+        for r in hyperball(edges30, vertices=spark.range(30), radius=2).collect()
+    }
+    adj = defaultdict(set)
+    for s, d in edge_rows:
+        if s != d:
+            adj[s].add(d)
+            adj[d].add(s)
+    for v in range(30):
+        ball, frontier = {v}, {v}
+        for _ in range(2):
+            frontier = {w for u in frontier for w in adj[u]} - ball
+            ball |= frontier
+        regs = [0] * NUM_REGISTERS
+        for u in ball:
+            m = (u * HASH_A + HASH_B) % HASH_MOD
+            mm = m >> 4
+            rho = 17 if mm == 0 else (mm & -mm).bit_length()  # 1 + tz
+            j = m % NUM_REGISTERS
+            regs[j] = max(regs[j], rho)
+        sum_int = sum((1 << 32) >> r for r in regs)
+        ball_e6 = math.floor(EST_NUM_E6 / sum_int + 0.5)  # HALF_UP like F.round
+        assert res[v] == (sum_int, ball_e6), v
+
+
 def test_cc_star_matches_propagation(spark, edges30, edge_rows):
     from linkgraph.algos.components import (
         connected_components,
