@@ -413,6 +413,43 @@ def stress_oracle(
     return {v: x for v, x in stress.items() if x > 0}
 
 
+def louvain_sync_oracle(
+    edges: list[tuple[int, int]], num_vertices: int, num_rounds: int = 4
+) -> dict[int, int]:
+    """Sequential replication of the synchronous Louvain-style update:
+    score(v→C) = 2m·k_{v,C} − deg_v·(Σtot(C) − deg_v·[C = cur]), argmax
+    with min-label tie-break, all vertices updated simultaneously."""
+    adj: dict[int, set[int]] = defaultdict(set)
+    for s, d in edges:
+        if s == d:
+            continue
+        adj[s].add(d)
+        adj[d].add(s)
+    deg = {v: len(adj[v]) for v in range(num_vertices)}
+    m2 = sum(deg.values())
+    label = {v: v for v in range(num_vertices)}
+    for _ in range(num_rounds):
+        tot: dict[int, int] = defaultdict(int)
+        for v in range(num_vertices):
+            tot[label[v]] += deg[v]
+        new = {}
+        for v in range(num_vertices):
+            kvc: dict[int, int] = defaultdict(int)
+            kvc[label[v]] += 0  # current community is always a candidate
+            for u in adj[v]:
+                kvc[label[u]] += 1
+            best = None
+            for c, k in kvc.items():
+                score = m2 * k - deg[v] * (
+                    tot[c] - (deg[v] if c == label[v] else 0)
+                )
+                if best is None or (score, -c) > best[0]:
+                    best = ((score, -c), c)
+            new[v] = best[1]
+        label = new
+    return label
+
+
 def scc_oracle(num_vertices: int, edges: list[tuple[int, int]]) -> dict[int, int]:
     """Iterative Tarjan SCC; label = min vertex id in the component."""
     adj: dict[int, list[int]] = defaultdict(list)

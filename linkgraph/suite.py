@@ -2461,3 +2461,68 @@ FROM hb{radius} GROUP BY v"""
 HYPERBALL_SQL = _hyperball_sql(3)
 
 REGISTRY["hyperball_ball3"] = (q_hyperball_ball3, HYPERBALL_SQL)
+
+
+def q_louvain_sync4(spark, sf_dir):
+    """Synchronous Louvain-style clustering, 4 rounds — integer-exact
+    modularity-gain scores with min-label tie-break (deterministic across
+    engines; quality measured by the separate modularity query)."""
+    from .algos.louvain import louvain_sync
+
+    return louvain_sync(
+        edges_b(spark, sf_dir), vertices=verts(spark, V_B),
+        num_rounds=4, partitions=8,
+    )
+
+
+def _louvain_sql(num_rounds: int) -> str:
+    parts = [
+        EDGES_B_SQL, UND_B_SQL, VERTS_B_SQL,
+        "ldeg AS MATERIALIZED (SELECT src AS id, CAST(count(*) AS BIGINT) AS deg "
+        "FROM und_b GROUP BY src)",
+        "lm2 AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS m2 FROM und_b)",
+        "lv0 AS MATERIALIZED (SELECT id, id AS label FROM verts_b)",
+    ]
+    for r in range(1, num_rounds + 1):
+        p = f"lv{r - 1}"
+        parts.append(
+            f"tot{r} AS MATERIALIZED (SELECT l.label, CAST(sum(d.deg) AS BIGINT) "
+            f"AS tot FROM {p} l JOIN ldeg d ON d.id = l.id GROUP BY l.label)"
+        )
+        parts.append(
+            f"kvc{r} AS MATERIALIZED (SELECT e.src AS id, l.label AS clab, "
+            f"CAST(count(*) AS BIGINT) AS kvc FROM und_b e "
+            f"JOIN {p} l ON l.id = e.dst GROUP BY e.src, l.label)"
+        )
+        parts.append(
+            f"cand{r} AS MATERIALIZED (SELECT id, clab, CAST(sum(kvc) AS BIGINT) "
+            f"AS kvc FROM (SELECT id, clab, kvc FROM kvc{r} "
+            f"UNION ALL SELECT id, label AS clab, 0 FROM {p}) u GROUP BY id, clab)"
+        )
+        parts.append(
+            f"""scored{r} AS MATERIALIZED (
+  SELECT c.id, c.clab,
+         (SELECT m2 FROM lm2) * c.kvc
+         - COALESCE(d.deg, 0) * (COALESCE(t.tot, 0)
+             - CASE WHEN c.clab = l.label THEN COALESCE(d.deg, 0) ELSE 0 END)
+           AS score
+  FROM cand{r} c
+  JOIN {p} l ON l.id = c.id
+  LEFT JOIN ldeg d ON d.id = c.id
+  LEFT JOIN tot{r} t ON t.label = c.clab)"""
+        )
+        parts.append(
+            f"""lv{r} AS MATERIALIZED (SELECT id, clab AS label FROM (
+  SELECT id, clab, row_number() OVER (PARTITION BY id
+         ORDER BY score DESC, clab ASC) AS rn
+  FROM scored{r}) z WHERE rn = 1)"""
+        )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT id, label FROM lv{num_rounds}"
+    )
+
+
+LOUVAIN_SQL = _louvain_sql(4)
+
+REGISTRY["louvain_sync4"] = (q_louvain_sync4, LOUVAIN_SQL)

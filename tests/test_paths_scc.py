@@ -168,6 +168,16 @@ def test_hyperball_registers_match_exact_ball(spark, edges30, edge_rows):
         assert res[v] == (sum_int, ball_e6), v
 
 
+def test_louvain_sync_matches_oracle(spark, edges30, edge_rows):
+    from linkgraph.algos.louvain import louvain_sync
+
+    res = louvain_sync(edges30, vertices=spark.range(30), num_rounds=3)
+    got = {r["id"]: r["label"] for r in res.collect()}
+    assert got == oracles.louvain_sync_oracle(edge_rows, 30, num_rounds=3)
+    # communities are non-trivial: fewer labels than vertices on this fixture
+    assert len(set(got.values())) < 30
+
+
 def test_cc_star_matches_propagation(spark, edges30, edge_rows):
     from linkgraph.algos.components import (
         connected_components,
