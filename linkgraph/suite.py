@@ -2526,3 +2526,18 @@ def _louvain_sql(num_rounds: int) -> str:
 LOUVAIN_SQL = _louvain_sql(4)
 
 REGISTRY["louvain_sync4"] = (q_louvain_sync4, LOUVAIN_SQL)
+
+
+def q_collocations_top20(spark, sf_dir):
+    """Top-20 bigram collocations by Dice coefficient (integer-exact counts,
+    e6-quantized score, total order) — corpus collocation extraction for a
+    training-data pipeline."""
+    from . import text
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return text.collocations_topk(d, min_count=5, k=20)
+
+
+from . import text as _text
+
+REGISTRY["collocations_top20"] = (q_collocations_top20, _text.collocations_sql())

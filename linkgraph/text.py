@@ -88,6 +88,84 @@ def bpe_token_stats(docs: DataFrame, text_col: str = "text",
     )
 
 
+def collocations_topk(docs: DataFrame, text_col: str = "text",
+                      min_count: int = 5, k: int = 20) -> DataFrame:
+    """Top-k bigram collocations by Dice coefficient over the corpus.
+
+    Dice(w1, w2) = 2·c(w1w2) / (c(w1) + c(w2)) — the integer-exact
+    collocation measure (PMI needs N² products that overflow BIGINT at
+    corpus scale; Dice's single division of exact counts is
+    engine-deterministic).  Emitted e6-quantized with a total order
+    (dice desc, w1, w2), so top-k is unambiguous.
+
+    Scale: bigrams come from an arrays_zip of two slices (no per-token
+    self-join); the unigram table is broadcast (min-support keeps the
+    candidate pairs bounded; a web-scale corpus would pre-filter the
+    vocabulary by the same support threshold before the broadcast).
+    """
+    w = tokens(F.col(text_col))
+    t = docs.filter(F.length(F.trim(F.col(text_col))) > 0).select(w.alias("w"))
+    uni = (
+        t.select(F.explode("w").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    pairs = (
+        t.filter(F.size("w") >= 2)
+        .select(
+            F.explode(
+                F.arrays_zip(
+                    F.slice("w", 1, F.size("w") - 1).alias("w1"),
+                    F.slice("w", 2, F.size("w") - 1).alias("w2"),
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+    cnt = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("cxy"))
+        .filter(F.col("cxy") >= min_count)
+    )
+    return (
+        cnt.join(
+            F.broadcast(uni.select(F.col("tok").alias("w1"), F.col("c").alias("c1"))),
+            "w1",
+        )
+        .join(
+            F.broadcast(uni.select(F.col("tok").alias("w2"), F.col("c").alias("c2"))),
+            "w2",
+        )
+        .select(
+            "w1", "w2", F.col("cxy").cast("long").alias("cxy"),
+            F.round(F.lit(2e6) * F.col("cxy") / (F.col("c1") + F.col("c2")))
+            .cast("long")
+            .alias("dice_e6"),
+        )
+        .orderBy(F.col("dice_e6").desc(), "w1", "w2")
+        .limit(k)
+    )
+
+
+def collocations_sql(table: str = "documents", text_expr: str = "text",
+                     min_count: int = 5, k: int = 20) -> str:
+    return rf"""
+WITH t AS (
+  SELECT regexp_split_to_array(trim(lower({text_expr})), '\s+') AS w
+  FROM {table} WHERE length(trim({text_expr})) > 0),
+toks AS (SELECT unnest(w) AS tok FROM t),
+uni AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY tok),
+big AS (SELECT unnest(list_zip(w[:len(w)-1], w[2:])) AS p FROM t WHERE len(w) >= 2),
+cnt AS (SELECT p[1] AS w1, p[2] AS w2, CAST(count(*) AS BIGINT) AS cxy
+        FROM big GROUP BY 1, 2)
+SELECT b.w1, b.w2, b.cxy,
+       CAST(round(2e6 * b.cxy / (u1.c + u2.c)) AS BIGINT) AS dice_e6
+FROM cnt b JOIN uni u1 ON u1.tok = b.w1 JOIN uni u2 ON u2.tok = b.w2
+WHERE b.cxy >= {min_count}
+ORDER BY dice_e6 DESC, w1, w2 LIMIT {k}
+"""
+
+
 def bpe_token_stats_sql(table: str = "documents", text_expr: str = "text",
                         id_expr: str = "doc_id") -> str:
     toks = f"regexp_extract_all({text_expr}, '{BPE_RE}')"

@@ -163,3 +163,19 @@ def test_ivf_topk_recall_and_exactness(spark):
         if exact_top[qid] & {r["neighbor_id"] for r in by_q.get(qid, [])}
     )
     assert hits >= 3
+
+
+def test_collocations_dice(spark):
+    # "b c" appears 6x; c(b)=7 (6 in "b c" + 1 alone), c(c)=6.
+    # dice = 2*6/(7+6) = 12/13; e6-quantized = round(12e6/13) = 923077.
+    rows = [(i, "a b c d") for i in range(6)] + [(6, "b x"), (7, "z z")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["w1"], r["w2"]): r for r in
+           text.collocations_topk(df, min_count=5, k=20).collect()}
+    assert ("b", "c") in got
+    r = got[("b", "c")]
+    assert r["cxy"] == 6 and r["dice_e6"] == round(2e6 * 6 / (7 + 6))
+    # min_count=5 filters the 1x and 2x bigrams ("b x", "z z" etc.)
+    assert ("b", "x") not in got and ("z", "z") not in got
+    # every surviving bigram meets min support
+    assert all(v["cxy"] >= 5 for v in got.values())
