@@ -234,3 +234,86 @@ def connected_components_star(
     out = labels.localCheckpoint(eager=True)
     v.unpersist()
     return out
+
+
+def bowtie_regions(
+    edges: DataFrame,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Broder bow-tie decomposition of the directed web graph.
+
+    Classifies every edge-participating vertex into the classic regions
+    (Broder et al., "Graph structure in the Web", WWW 2000):
+
+      * ``core`` — the largest SCC (ties broken by min SCC label),
+      * ``in``   — reaches the core but is not in it,
+      * ``out``  — reachable from the core but not in it,
+      * ``tendril`` — in the core's weakly connected component but in
+        none of the above (tendrils + tubes),
+      * ``disc`` — weakly disconnected from the core.
+
+    Composition of the engine's SCC (Orzan coloring) and frontier BFS:
+    OUT = forward BFS from the core, IN = forward BFS over reversed
+    edges, the WCC test = undirected BFS — each O(frontier) per
+    superstep, state hash-partitioned on id.  Because in∩out = core by
+    SCC maximality, the CASE ordering is unambiguous.
+
+    New web-graph capability relative to the reference (undirected-only,
+    /root/reference/src/Graph.cpp:295-310).
+    """
+    from .paths import bfs_distances
+    from .scc import strongly_connected_components
+
+    spark = edges.sparkSession
+    P = int(partitions or spark.conf.get("spark.sql.shuffle.partitions"))
+
+    e = (
+        edges.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .dropDuplicates(["src", "dst"])
+        .repartition(P, "src")
+        .persist()
+    )
+    verts = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .repartition(P, "id")
+        .persist()
+    )
+
+    labels, _ = strongly_connected_components(e, vertices=verts, partitions=P)
+    top = (
+        labels.groupBy("scc")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("scc").asc())
+        .limit(1)
+        .collect()[0]["scc"]
+    )
+    core = (
+        labels.filter(F.col("scc") == F.lit(top)).select("id")
+        .repartition(P, "id").persist()
+    )
+
+    fwd, _ = bfs_distances(e, sources=core, directed=True, partitions=P)
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    bwd, _ = bfs_distances(rev, sources=core, directed=True, partitions=P)
+    wcc, _ = bfs_distances(e, sources=core, directed=False, partitions=P)
+
+    flag = lambda df, name: df.select("id", F.lit(True).alias(name))  # noqa: E731
+    out = (
+        verts.join(flag(core, "is_core"), "id", "left")
+        .join(flag(bwd.select("id"), "in_bwd"), "id", "left")
+        .join(flag(fwd.select("id"), "in_fwd"), "id", "left")
+        .join(flag(wcc.select("id"), "in_wcc"), "id", "left")
+        .select(
+            "id",
+            F.when(F.coalesce("is_core", F.lit(False)), "core")
+            .when(F.coalesce("in_bwd", F.lit(False)), "in")
+            .when(F.coalesce("in_fwd", F.lit(False)), "out")
+            .when(F.coalesce("in_wcc", F.lit(False)), "tendril")
+            .otherwise("disc")
+            .alias("region"),
+        )
+    )
+    return out

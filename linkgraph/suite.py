@@ -2541,3 +2541,145 @@ def q_collocations_top20(spark, sf_dir):
 from . import text as _text
 
 REGISTRY["collocations_top20"] = (q_collocations_top20, _text.collocations_sql())
+
+
+def q_tfidf_top3(spark, sf_dir):
+    """Top-3 TF-IDF terms per document (per-term-quantized idf, exact
+    BIGINT scores, window top-k) — feature extraction for a training-data
+    pipeline."""
+    from . import text
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return text.tfidf_topk(d, k=3)
+
+
+REGISTRY["tfidf_top3"] = (q_tfidf_top3, _text.tfidf_sql(k=3))
+
+
+def q_reciprocity(spark, sf_dir):
+    """Link reciprocity of the directed derived graph: the fraction of
+    edges (u,v) whose reverse (v,u) also exists — a standard web-graph
+    shape statistic (exact counts, e6-quantized ratio)."""
+    e = edges_a(spark, sf_dir)
+    recip = e.join(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst")),
+        ["src", "dst"],
+        "left_semi",
+    )
+    return (
+        e.agg(F.count(F.lit(1)).alias("n_edges"))
+        .crossJoin(recip.agg(F.count(F.lit(1)).alias("n_recip")))
+        .select(
+            F.col("n_edges").cast("long").alias("n_edges"),
+            F.col("n_recip").cast("long").alias("n_recip"),
+            F.round(F.lit(1e6) * F.col("n_recip") / F.col("n_edges"))
+            .cast("long")
+            .alias("reciprocity_e6"),
+        )
+    )
+
+
+RECIPROCITY_SQL = f"""
+WITH {EDGES_A_SQL},
+r AS (SELECT count(*) AS c FROM edges_a e
+      JOIN edges_a x ON x.src = e.dst AND x.dst = e.src),
+n AS (SELECT count(*) AS c FROM edges_a)
+SELECT CAST(n.c AS BIGINT) AS n_edges, CAST(r.c AS BIGINT) AS n_recip,
+       CAST(round(1e6 * r.c / n.c) AS BIGINT) AS reciprocity_e6
+FROM n, r
+"""
+
+REGISTRY["reciprocity"] = (q_reciprocity, RECIPROCITY_SQL)
+
+
+def q_bowtie(spark, sf_dir):
+    """Broder bow-tie decomposition of the directed derived graph:
+    core / in / out / tendril / disc per vertex (SCC + three BFS
+    reachability passes; transitive-closure recursive-CTE SQL twin)."""
+    from .algos.components import bowtie_regions
+
+    return bowtie_regions(edges_b(spark, sf_dir), partitions=8)
+
+
+BOWTIE_SQL = f"""
+WITH RECURSIVE {EDGES_B_SQL}, {UND_B_SQL},
+vb AS (SELECT DISTINCT id FROM (
+  SELECT src AS id FROM edges_b UNION ALL SELECT dst AS id FROM edges_b)),
+reach(u, v) AS (
+  SELECT id AS u, id AS v FROM vb
+  UNION
+  SELECT r.u, e.dst FROM reach r JOIN edges_b e ON e.src = r.v
+),
+scc AS (
+  SELECT r1.u AS id, min(r1.v) AS scc
+  FROM reach r1 JOIN reach r2 ON r1.u = r2.v AND r1.v = r2.u
+  GROUP BY r1.u
+),
+core AS (
+  SELECT id FROM scc WHERE scc = (
+    SELECT scc FROM scc GROUP BY scc ORDER BY count(*) DESC, scc ASC LIMIT 1)
+),
+fwd AS (SELECT DISTINCT r.v AS id FROM reach r JOIN core c ON r.u = c.id),
+bwd AS (SELECT DISTINCT r.u AS id FROM reach r JOIN core c ON r.v = c.id),
+wreach(id) AS (
+  SELECT id FROM core
+  UNION
+  SELECT e.dst FROM wreach w JOIN und_b e ON e.src = w.id
+)
+SELECT vb.id,
+  CASE WHEN c.id IS NOT NULL THEN 'core'
+       WHEN b.id IS NOT NULL THEN 'in'
+       WHEN f.id IS NOT NULL THEN 'out'
+       WHEN w.id IS NOT NULL THEN 'tendril'
+       ELSE 'disc' END AS region
+FROM vb
+LEFT JOIN core c ON c.id = vb.id
+LEFT JOIN bwd b ON b.id = vb.id
+LEFT JOIN fwd f ON f.id = vb.id
+LEFT JOIN wreach w ON w.id = vb.id
+"""
+
+REGISTRY["bowtie_regions"] = (q_bowtie, BOWTIE_SQL)
+
+
+def q_ktruss5(spark, sf_dir):
+    """5-truss of the undirected derived graph (every edge in ≥3
+    triangles within the subgraph) by iterative support peeling;
+    unrolled-peel SQL twin."""
+    from .algos.ktruss import ktruss_edges
+
+    e, _ = ktruss_edges(edges_b(spark, sf_dir), k=5, partitions=8)
+    return e.select(F.col("a").cast("long").alias("a"),
+                    F.col("b").cast("long").alias("b"))
+
+
+def _ktruss_sql(k: int, rounds: int) -> str:
+    # MATERIALIZED is load-bearing (see _kcore_sql): e{i} is referenced by
+    # three join sides of the next round's wedge+closure plan.
+    # Round budget validated empirically: sf0.01 needs 14 rounds at k=5
+    # (sf0.001 collapses to empty in 2, sf0.1 is already a 5-truss).
+    parts = [
+        EDGES_B_SQL,
+        "e0 AS MATERIALIZED (SELECT DISTINCT least(src,dst) AS a, "
+        "greatest(src,dst) AS b FROM edges_b)",
+    ]
+    for i in range(1, rounds + 1):
+        p = f"e{i - 1}"
+        parts.append(f"""t{i} AS MATERIALIZED (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM {p} e1 JOIN {p} e2 ON e1.a = e2.a AND e1.b < e2.b
+  WHERE EXISTS (SELECT 1 FROM {p} e3 WHERE e3.a = e1.b AND e3.b = e2.b))""")
+        parts.append(f"""s{i} AS MATERIALIZED (
+  SELECT a, b, count(*) AS supp FROM (
+    SELECT x AS a, y AS b FROM t{i}
+    UNION ALL SELECT x AS a, z AS b FROM t{i}
+    UNION ALL SELECT y AS a, z AS b FROM t{i}) GROUP BY a, b)""")
+        parts.append(f"""e{i} AS MATERIALIZED (
+  SELECT e.a, e.b FROM {p} e JOIN s{i} s ON s.a = e.a AND s.b = e.b
+  WHERE s.supp >= {k - 2})""")
+    return "WITH " + ",\n".join(parts) + f"\nSELECT a, b FROM e{rounds}"
+
+
+KTRUSS5_SQL = _ktruss_sql(5, 20)
+
+REGISTRY["ktruss_5"] = (q_ktruss5, KTRUSS5_SQL)

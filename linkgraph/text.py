@@ -166,6 +166,76 @@ ORDER BY dice_e6 DESC, w1, w2 LIMIT {k}
 """
 
 
+def tfidf_topk(docs: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id", k: int = 3) -> DataFrame:
+    """Top-k TF-IDF terms per document: (doc_id, term, tf, score).
+
+    idf is quantized PER TERM before the product — idf_e6 =
+    round(1e6·ln(N/df)) of exact integer counts, score = tf·idf_e6 —
+    so every value is an exact BIGINT product (no float accumulation;
+    the one ln/round is a single IEEE double expression both engines
+    evaluate identically, the adamic_adar precedent).  Ties break on
+    term asc for a total order.
+
+    Scale: tf is one (doc, term) groupBy; df one term groupBy over the
+    distinct pairs (map-side combinable); the df table joins back on the
+    term key (broadcast-able once min-df pruning bounds the vocabulary).
+    The top-k window partitions by doc_id — V-doc parallelism, no
+    global sort.
+    """
+    from pyspark.sql import Window
+
+    base = (
+        docs.filter(F.length(F.trim(F.col(text_col))) > 0)
+        .select(F.col(id_col).alias("doc_id"),
+                F.explode(tokens(F.col(text_col))).alias("term"))
+    )
+    tf = base.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = base.select("doc_id").distinct().count()
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        tf.join(df_, "term")
+        .select(
+            "doc_id", "term", F.col("tf").cast("long").alias("tf"),
+            (
+                F.col("tf")
+                * F.round(F.lit(1e6) * F.log(F.lit(float(n_docs)) / F.col("df")))
+                .cast("long")
+            ).alias("score"),
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("doc_id", "term", "tf", "score",
+                F.col("rnk").cast("long").alias("rnk"))
+    )
+
+
+def tfidf_sql(table: str = "documents", text_expr: str = "text",
+              id_expr: str = "doc_id", k: int = 3) -> str:
+    return rf"""
+WITH base AS (
+  SELECT {id_expr} AS doc_id,
+         unnest(regexp_split_to_array(trim(lower({text_expr})), '\s+')) AS term
+  FROM {table} WHERE length(trim({text_expr})) > 0),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+       FROM base GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+n AS (SELECT count(DISTINCT doc_id) AS n FROM base),
+scored AS (
+  SELECT t.doc_id, t.term, t.tf,
+         t.tf * CAST(round(1e6 * ln(CAST(n.n AS DOUBLE) / d.df)) AS BIGINT)
+           AS score
+  FROM tf t JOIN df d ON t.term = d.term, n)
+SELECT doc_id, term, tf, score, rnk FROM (
+  SELECT *, CAST(row_number() OVER (
+      PARTITION BY doc_id ORDER BY score DESC, term ASC) AS BIGINT) AS rnk
+  FROM scored) WHERE rnk <= {k}
+"""
+
+
 def bpe_token_stats_sql(table: str = "documents", text_expr: str = "text",
                         id_expr: str = "doc_id") -> str:
     toks = f"regexp_extract_all({text_expr}, '{BPE_RE}')"

@@ -327,3 +327,52 @@ def test_cc_star_raises_when_truncated(spark):
 
     with _pytest.raises(RuntimeError, match="no fixpoint"):
         connected_components_star(e, max_rounds=1)
+
+
+def test_ktruss_matches_peel_oracle(spark, edges30, edge_rows):
+    from linkgraph.algos.ktruss import ktruss_edges
+
+    got_e, metrics = ktruss_edges(edges30, k=4)
+    got = {(r["a"], r["b"]) for r in got_e.collect()}
+
+    E = {(min(a, b), max(a, b)) for a, b in edge_rows if a != b}
+    while True:
+        adj = {}
+        for a, b in E:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        keep = {
+            (a, b) for a, b in E if len(adj[a] & adj[b]) >= 2
+        }
+        if keep == E:
+            break
+        E = keep
+    assert got == E
+    assert metrics[-1]["removed"] == 0  # reached the fixpoint
+
+
+def test_ktruss_hand_case(spark):
+    # K4 on {0,1,2,3} survives k=4; the pendant triangle (3,4,5) does not
+    rows = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3),
+            (3, 4), (4, 5), (3, 5)]
+    e = spark.createDataFrame(rows, "src long, dst long")
+    from linkgraph.algos.ktruss import ktruss_edges
+
+    got_e, _ = ktruss_edges(e, k=4)
+    got = {(r["a"], r["b"]) for r in got_e.collect()}
+    assert got == {(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)}
+
+
+def test_bowtie_hand_case(spark):
+    # in (10) -> core 3-cycle (0,1,2) -> out (20->21); tendril (30) hangs
+    # off the in-vertex (10->30: unreachable from core, cannot reach it);
+    # 40->41 weakly disconnected
+    rows = [(10, 0), (0, 1), (1, 2), (2, 0), (2, 20), (20, 21),
+            (10, 30), (40, 41)]
+    e = spark.createDataFrame(rows, "src long, dst long")
+    from linkgraph.algos.components import bowtie_regions
+
+    got = {r["id"]: r["region"] for r in bowtie_regions(e).collect()}
+    assert got == {0: "core", 1: "core", 2: "core", 10: "in",
+                   20: "out", 21: "out", 30: "tendril",
+                   40: "disc", 41: "disc"}

@@ -179,3 +179,19 @@ def test_collocations_dice(spark):
     assert ("b", "x") not in got and ("z", "z") not in got
     # every surviving bigram meets min support
     assert all(v["cxy"] >= 5 for v in got.values())
+
+
+def test_tfidf_topk(spark):
+    import math
+
+    rows = [(0, "apple banana apple"), (1, "banana cherry"), (2, "cherry durian")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["doc_id"], r["rnk"]): r for r in text.tfidf_topk(df, k=2).collect()}
+    idf = lambda dfreq: round(1e6 * math.log(3 / dfreq))
+    # d0: apple tf=2 df=1 beats banana tf=1 df=2
+    assert got[(0, 1)]["term"] == "apple"
+    assert got[(0, 1)]["score"] == 2 * idf(1)
+    assert got[(0, 2)]["term"] == "banana"
+    assert got[(0, 2)]["score"] == 1 * idf(2)
+    # d2: durian (df=1) over cherry (df=2)
+    assert got[(2, 1)]["term"] == "durian" and got[(2, 2)]["term"] == "cherry"
