@@ -2683,3 +2683,155 @@ def _ktruss_sql(k: int, rounds: int) -> str:
 KTRUSS5_SQL = _ktruss_sql(5, 20)
 
 REGISTRY["ktruss_5"] = (q_ktruss5, KTRUSS5_SQL)
+
+
+def q_luby_mis(spark, sf_dir):
+    """Maximal independent set (Luby, deterministic hash priorities) on
+    the undirected derived graph; 8-round unrolled SQL twin."""
+    from .algos.mis import maximal_independent_set
+
+    mis, _ = maximal_independent_set(edges_b(spark, sf_dir), partitions=8)
+    return mis.select(F.col("id").cast("long").alias("id"))
+
+
+def _luby_sql(rounds: int) -> str:
+    # Round budget validated empirically: 3 rounds at sf0.001, 2 at
+    # sf0.01/sf0.1; 8 gives margin.  MATERIALIZED: a{i}/u{i} feed three
+    # references each in round i+1.
+    from .algos.mis import PRI_A, PRI_B, PRI_M
+
+    pri = lambda c: f"(({c} * {PRI_A} + {PRI_B}) % {PRI_M})"  # noqa: E731
+    parts = [
+        EDGES_B_SQL, UND_B_SQL,
+        "u0 AS MATERIALIZED (SELECT src, dst FROM und_b)",
+        "a0 AS MATERIALIZED (SELECT DISTINCT src AS id FROM und_b)",
+        "m0 AS (SELECT CAST(NULL AS BIGINT) AS id WHERE FALSE)",
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(f"""nm{i} AS MATERIALIZED (
+  SELECT src AS id, min({pri("dst")}) AS nmin FROM u{i - 1} GROUP BY src)""")
+        parts.append(f"""w{i} AS MATERIALIZED (
+  SELECT a.id FROM a{i - 1} a LEFT JOIN nm{i} n ON n.id = a.id
+  WHERE n.nmin IS NULL OR {pri("a.id")} < n.nmin)""")
+        parts.append(f"""a{i} AS MATERIALIZED (
+  SELECT id FROM a{i - 1}
+  WHERE id NOT IN (SELECT id FROM w{i})
+    AND id NOT IN (SELECT u.dst FROM u{i - 1} u JOIN w{i} w ON u.src = w.id))""")
+        parts.append(f"""u{i} AS MATERIALIZED (
+  SELECT u.src, u.dst FROM u{i - 1} u
+  JOIN a{i} x ON u.src = x.id JOIN a{i} y ON u.dst = y.id)""")
+        parts.append(
+            f"m{i} AS (SELECT id FROM m{i - 1} UNION ALL SELECT id FROM w{i})"
+        )
+    return "WITH " + ",\n".join(parts) + f"\nSELECT id FROM m{rounds}"
+
+
+LUBY_SQL = _luby_sql(8)
+
+REGISTRY["luby_mis"] = (q_luby_mis, LUBY_SQL)
+
+
+def q_katz_4iter(spark, sf_dir):
+    """Katz centrality, 4 e6-quantized supersteps (α=0.15) over the
+    directed derived graph; 4-step unrolled SQL twin."""
+    from .algos.katz import katz_centrality
+
+    return katz_centrality(edges_a(spark, sf_dir), alpha=0.15, iters=4,
+                           partitions=8)
+
+
+def _katz_sql(alpha: float, iters: int) -> str:
+    parts = [
+        EDGES_A_SQL,
+        "va AS MATERIALIZED (SELECT DISTINCT id FROM ("
+        "SELECT src AS id FROM edges_a UNION ALL SELECT dst AS id FROM edges_a))",
+        "x0 AS MATERIALIZED (SELECT id, CAST(1000000 AS BIGINT) AS x FROM va)",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(f"""c{i} AS MATERIALIZED (
+  SELECT e.dst AS id, sum(x.x) AS s
+  FROM edges_a e JOIN x{i - 1} x ON x.id = e.src GROUP BY e.dst)""")
+        parts.append(f"""x{i} AS MATERIALIZED (
+  SELECT v.id,
+         1000000 + CAST(round({alpha} * coalesce(c.s, 0)) AS BIGINT) AS x
+  FROM va v LEFT JOIN c{i} c ON c.id = v.id)""")
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT id, x AS katz_e6 FROM x{iters}"
+    )
+
+
+KATZ_SQL = _katz_sql(0.15, 4)
+
+REGISTRY["katz_4iter"] = (q_katz_4iter, KATZ_SQL)
+
+
+def q_two_hop_sizes(spark, sf_dir):
+    """Exact 2-hop neighborhood size per vertex (friend-of-friend count)
+    over the undirected derived graph — the classic audience-estimation
+    query; wedge self-join + distinct aggregation."""
+    ea = edges_a(spark, sf_dir)
+    und = (
+        ea.union(ea.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .repartition(8, "src")
+        .persist()
+    )
+    two = und.alias("e1").join(
+        und.select(F.col("src").alias("mid"), F.col("dst").alias("w"))
+        .alias("e2"),
+        F.col("e1.dst") == F.col("mid"),
+    ).select(F.col("e1.src").alias("src"), F.col("w").alias("dst"))
+    return (
+        und.select("src", "dst").union(two)
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .groupBy(F.col("src").alias("id"))
+        .agg(F.count(F.lit(1)).alias("n2hop"))
+        .select("id", F.col("n2hop").cast("long").alias("n2hop"))
+    )
+
+
+TWO_HOP_SQL = f"""
+WITH {EDGES_A_SQL}, {UND_A_SQL},
+r AS (
+  SELECT src, dst FROM und_a
+  UNION
+  SELECT e1.src, e2.dst FROM und_a e1 JOIN und_a e2 ON e1.dst = e2.src
+)
+SELECT src AS id, CAST(count(*) AS BIGINT) AS n2hop
+FROM r WHERE src <> dst GROUP BY src
+"""
+
+REGISTRY["two_hop_sizes"] = (q_two_hop_sizes, TWO_HOP_SQL)
+
+
+def q_train_test_split(spark, sf_dir):
+    """Deterministic stratified train/test split of the documents table:
+    arithmetic-hash 80/20 per doc, counts per (lang, split) — the
+    training-data partitioning primitive (no RNG, reproducible in any
+    engine)."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    split = F.when(
+        (F.col("doc_id") * 2654435761) % 1000 < 800, "train"
+    ).otherwise("test")
+    return (
+        d.select("lang", split.alias("split"), "n_chars")
+        .groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+    )
+
+
+TRAIN_TEST_SQL = """
+SELECT lang,
+       CASE WHEN (doc_id * 2654435761) % 1000 < 800
+            THEN 'train' ELSE 'test' END AS split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents GROUP BY 1, 2
+"""
+
+REGISTRY["train_test_split"] = (q_train_test_split, TRAIN_TEST_SQL)

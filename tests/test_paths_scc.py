@@ -376,3 +376,48 @@ def test_bowtie_hand_case(spark):
     assert got == {0: "core", 1: "core", 2: "core", 10: "in",
                    20: "out", 21: "out", 30: "tendril",
                    40: "disc", 41: "disc"}
+
+
+def test_luby_mis_matches_sequential(spark, edges30, edge_rows):
+    from linkgraph.algos.mis import PRI_A, PRI_B, PRI_M, maximal_independent_set
+
+    mis_df, metrics = maximal_independent_set(edges30)
+    got = {r["id"] for r in mis_df.collect()}
+
+    und = {}
+    for a, b in edge_rows:
+        if a != b:
+            und.setdefault(a, set()).add(b)
+            und.setdefault(b, set()).add(a)
+    pri = lambda v: (v * PRI_A + PRI_B) % PRI_M
+    active, want = set(und), set()
+    while active:
+        s = {v for v in active
+             if all(pri(v) < pri(u) for u in und[v] if u in active)}
+        want |= s
+        active -= s | {u for v in s for u in und[v]}
+    assert got == want
+    # independence + maximality, asserted directly
+    assert all(u not in got for v in got for u in und.get(v, ()))
+    assert all(v in got or (und.get(v) and got & und[v]) for v in und)
+    assert metrics[-1]["active"] == 0
+
+
+def test_katz_matches_numpy(spark, edges30, edge_rows):
+    from linkgraph.algos.katz import katz_centrality
+
+    got = {r["id"]: r["katz_e6"]
+           for r in katz_centrality(edges30, alpha=0.15, iters=4).collect()}
+
+    E = {(a, b) for a, b in edge_rows if a != b}
+    verts = sorted({v for e in E for v in e})
+    x = {v: 1_000_000 for v in verts}
+    for _ in range(4):
+        s = {v: 0 for v in verts}
+        for a, b in E:
+            s[b] += x[a]
+        # same half-up rounding as both engines
+        import decimal
+        x = {v: 1_000_000 + int(decimal.Decimal(0.15 * s[v]).quantize(
+            0, rounding=decimal.ROUND_HALF_UP)) for v in verts}
+    assert got == x
