@@ -395,3 +395,54 @@ def closeness_centrality(
         ).otherwise(F.lit(0).cast("long")).alias("closeness_e6"),
         "harmonic_e6", "ecc",
     )
+
+
+def distance_histogram(
+    edges: DataFrame,
+    sources: DataFrame,
+    directed: bool = False,
+    max_iter: int = 100,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Exact pairwise-distance histogram (dist, n_pairs) for the sampled
+    sources — the neighbourhood-function input for diameter / effective
+    diameter (the exact counterpart of HyperANF; the engine's HyperBall
+    sketch is the approximate path at web scale).
+
+    Same composite-key (s, v) multi-source BFS loop as
+    closeness_centrality: |S|·V bounded state, max-eccentricity
+    supersteps, O(frontier) work per superstep.  Self-pairs (d=0) are
+    excluded.
+    """
+    spark = edges.sparkSession
+    P = int(partitions or spark.conf.get("spark.sql.shuffle.partitions"))
+
+    e = norm_edges(edges, P, directed=directed)
+
+    state = (
+        sources.select(F.col("id").alias("s")).distinct()
+        .select("s", F.col("s").alias("v"), F.lit(0).cast("long").alias("dist"))
+        .repartition(P, "v")
+        .localCheckpoint(eager=True)
+    )
+    frontier = state
+    for it in range(1, max_iter + 1):
+        nxt = (
+            e.join(frontier.withColumnRenamed("v", "src").hint("shuffle_hash"), "src")
+            .select("s", F.col("dst").alias("v"))
+            .dropDuplicates(["s", "v"])
+            .join(state.select("s", "v").hint("shuffle_hash"), ["s", "v"], "left_anti")
+            .select("s", "v", F.lit(it).cast("long").alias("dist"))
+            .repartition(P, "v")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.count() == 0:
+            break
+        state = state.union(nxt).repartition(P, "v").localCheckpoint(eager=True)
+        frontier = nxt
+    e.unpersist()
+    return (
+        state.filter(F.col("dist") > 0)
+        .groupBy("dist")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )

@@ -2835,3 +2835,171 @@ FROM documents GROUP BY 1, 2
 """
 
 REGISTRY["train_test_split"] = (q_train_test_split, TRAIN_TEST_SQL)
+
+
+def q_rmat_degree_histogram(spark, sf_dir):
+    """Deterministic R-MAT benchmark-graph generator (50k edge draws, 2^12
+    vertices) + out-degree log2 histogram — the in-engine synthetic-graph
+    path for scale testing (edge i is a pure integer function of i:
+    embarrassingly parallel, zero shuffle to generate)."""
+    from .datagen import rmat_edges
+
+    e = (
+        rmat_edges(spark, 50_000, 12, partitions=8)
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    return (
+        deg.groupBy(
+            F.floor(F.log2("d")).cast("long").alias("bucket")
+        )
+        .agg(F.count(F.lit(1)).alias("n_vertices"),
+             F.sum("d").cast("long").alias("n_edges"))
+    )
+
+
+def _rmat_hist_sql() -> str:
+    from .datagen import rmat_edges_sql
+
+    return f"""
+WITH gen AS ({rmat_edges_sql(50_000, 12)}),
+e AS (SELECT DISTINCT src, dst FROM gen WHERE src <> dst),
+deg AS (SELECT src, count(*) AS d FROM e GROUP BY src)
+SELECT CAST(floor(log2(d)) AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_vertices,
+       CAST(sum(d) AS BIGINT) AS n_edges
+FROM deg GROUP BY 1
+"""
+
+
+REGISTRY["rmat_degree_histogram"] = (q_rmat_degree_histogram, _rmat_hist_sql())
+
+
+def q_effective_diameter(spark, sf_dir):
+    """Exact diameter + effective diameter (d90) of the undirected derived
+    graph from the all-sources distance histogram (the exact counterpart
+    of the HyperBall/HyperANF sketch; integer-exact percentile rule
+    10·cum ≥ 9·total)."""
+    from .algos.paths import distance_histogram
+
+    eb = edges_b(spark, sf_dir)
+    vb = (
+        eb.select(F.col("src").alias("id"))
+        .union(eb.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    hist = distance_histogram(eb, sources=vb, directed=False, partitions=8)
+    w_cum = Window.orderBy("dist").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy()
+    return (
+        hist.select(
+            "dist", "n_pairs",
+            F.sum("n_pairs").over(w_cum).alias("cum"),
+            F.sum("n_pairs").over(w_all).alias("tot"),
+        )
+        .agg(
+            F.max("dist").cast("long").alias("diameter"),
+            F.min(
+                F.when(10 * F.col("cum") >= 9 * F.col("tot"), F.col("dist"))
+            ).cast("long").alias("eff_diam_d90"),
+            F.max("tot").cast("long").alias("n_pairs"),
+        )
+    )
+
+
+EFF_DIAM_SQL = f"""
+WITH RECURSIVE {EDGES_B_SQL}, {UND_B_SQL},
+vb AS (SELECT DISTINCT id FROM (
+  SELECT src AS id FROM edges_b UNION ALL SELECT dst AS id FROM edges_b)),
+walk(s, v, d) AS (
+  SELECT id AS s, id AS v, 0 AS d FROM vb
+  UNION
+  SELECT w.s, e.dst, w.d + 1 FROM walk w JOIN und_b e ON e.src = w.v
+  WHERE w.d < 40
+),
+dists AS (SELECT s, v, min(d) AS dist FROM walk GROUP BY s, v HAVING min(d) > 0),
+hist AS (SELECT dist, count(*) AS n_pairs FROM dists GROUP BY dist),
+c AS (SELECT dist, n_pairs,
+             sum(n_pairs) OVER (ORDER BY dist) AS cum,
+             sum(n_pairs) OVER () AS tot
+      FROM hist)
+SELECT CAST(max(dist) AS BIGINT) AS diameter,
+       CAST(min(CASE WHEN 10 * cum >= 9 * tot THEN dist END) AS BIGINT)
+         AS eff_diam_d90,
+       CAST(max(tot) AS BIGINT) AS n_pairs
+FROM c
+"""
+
+REGISTRY["effective_diameter"] = (q_effective_diameter, EFF_DIAM_SQL)
+
+
+def q_lp_conductance(spark, sf_dir):
+    """Conductance φ(c) = cut(c) / min(vol(c), 2m−vol(c)) of every
+    3-iteration label-propagation community (integer-exact cut/volume,
+    e6-quantized ratio) — the community-quality metric complementing
+    modularity."""
+    from .algos import label_propagation
+
+    eb = edges_b(spark, sf_dir)
+    labels, _ = label_propagation(
+        eb, vertices=verts(spark, V_B), max_iter=3, partitions=8
+    )
+    und = (
+        eb.union(eb.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+    )
+    lab = labels.select("id", "label")
+    m2 = und.count()
+    sides = (
+        und.join(lab.withColumnRenamed("id", "src")
+                 .withColumnRenamed("label", "ls"), "src")
+        .join(lab.withColumnRenamed("id", "dst")
+              .withColumnRenamed("label", "ld"), "dst")
+    )
+    per_c = (
+        sides.groupBy(F.col("ls").alias("c"))
+        .agg(
+            F.count(F.lit(1)).alias("vol"),
+            F.sum((F.col("ls") != F.col("ld")).cast("long")).alias("cut"),
+        )
+        .filter((F.col("vol") > 0) & (F.lit(m2) - F.col("vol") > 0))
+    )
+    return per_c.select(
+        F.col("c").cast("long").alias("c"),
+        F.col("cut").cast("long").alias("cut"),
+        F.col("vol").cast("long").alias("vol"),
+        F.round(
+            F.lit(1e6) * F.col("cut")
+            / F.least(F.col("vol"), F.lit(m2) - F.col("vol"))
+        ).cast("long").alias("conductance_e6"),
+    )
+
+
+LP_CONDUCTANCE_SQL = f"""
+WITH lp AS ({_labelprop_sql(3)}),
+{EDGES_B_SQL},
+mu AS (
+  SELECT src, dst FROM edges_b
+  UNION
+  SELECT dst AS src, src AS dst FROM edges_b
+),
+m2 AS (SELECT count(*) AS m2 FROM mu),
+sides AS (
+  SELECT l1.label AS ls, l2.label AS ld
+  FROM mu e JOIN lp l1 ON l1.id = e.src JOIN lp l2 ON l2.id = e.dst
+),
+per_c AS (
+  SELECT ls AS c, count(*) AS vol,
+         sum(CASE WHEN ls <> ld THEN 1 ELSE 0 END) AS cut
+  FROM sides GROUP BY ls
+)
+SELECT CAST(c AS BIGINT) AS c, CAST(cut AS BIGINT) AS cut,
+       CAST(vol AS BIGINT) AS vol,
+       CAST(round(1e6 * cut / least(vol, m2.m2 - vol)) AS BIGINT)
+         AS conductance_e6
+FROM per_c CROSS JOIN m2
+WHERE vol > 0 AND m2.m2 - vol > 0
+"""
+
+REGISTRY["lp_conductance"] = (q_lp_conductance, LP_CONDUCTANCE_SQL)

@@ -421,3 +421,36 @@ def test_katz_matches_numpy(spark, edges30, edge_rows):
         x = {v: 1_000_000 + int(decimal.Decimal(0.15 * s[v]).quantize(
             0, rounding=decimal.ROUND_HALF_UP)) for v in verts}
     assert got == x
+
+
+def test_rmat_spark_matches_python_oracle(spark):
+    from linkgraph import datagen
+
+    got = [(r["src"], r["dst"])
+           for r in datagen.rmat_edges(spark, 2000, 10).orderBy("src", "dst")
+           .collect()]
+    want = sorted(datagen.rmat_edge(i, 10) for i in range(2000))
+    assert got == want
+    # R-MAT skew: the hottest source owns a large share of edge draws
+    from collections import Counter
+    deg = Counter(s for s, _ in want)
+    assert max(deg.values()) > 50  # heavy hub, as the quadrant split implies
+
+
+def test_distance_histogram_matches_bfs(spark, edges30, edge_rows):
+    from linkgraph.algos.paths import distance_histogram
+
+    srcs = sorted({v for e in edge_rows for v in e})
+    hist = {
+        r["dist"]: r["n_pairs"]
+        for r in distance_histogram(
+            edges30, spark.createDataFrame([(s,) for s in srcs], "id long")
+        ).collect()
+    }
+    from collections import Counter
+    want = Counter()
+    for s in srcs:
+        for v, d in oracles.bfs_oracle(edge_rows, [s], directed=False).items():
+            if d > 0:
+                want[d] += 1
+    assert hist == dict(want)
