@@ -3003,3 +3003,114 @@ WHERE vol > 0 AND m2.m2 - vol > 0
 """
 
 REGISTRY["lp_conductance"] = (q_lp_conductance, LP_CONDUCTANCE_SQL)
+
+
+def q_salsa_3iter(spark, sf_dir):
+    """SALSA hub/authority scores, 3 e6-quantized degree-normalized
+    supersteps over the directed derived graph; unrolled SQL twin."""
+    from .algos.salsa import salsa
+
+    return salsa(edges_a(spark, sf_dir), num_iters=3, partitions=8)
+
+
+def _salsa_sql(iters: int) -> str:
+    parts = [
+        EDGES_A_SQL,
+        "sod AS MATERIALIZED (SELECT src, count(*) AS od FROM edges_a GROUP BY src)",
+        "sidg AS MATERIALIZED (SELECT dst, count(*) AS idg FROM edges_a GROUP BY dst)",
+        "sva AS MATERIALIZED (SELECT DISTINCT id FROM ("
+        "SELECT src AS id FROM edges_a UNION ALL SELECT dst AS id FROM edges_a))",
+        "s0 AS MATERIALIZED (SELECT id, CAST(1000000 AS BIGINT) AS h, "
+        "CAST(1000000 AS BIGINT) AS a FROM sva)",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(f"""sa{i} AS MATERIALIZED (
+  SELECT e.dst AS id, CAST(sum(CAST(round(s.h / o.od) AS BIGINT)) AS BIGINT) AS a
+  FROM edges_a e JOIN s{i - 1} s ON s.id = e.src JOIN sod o ON o.src = e.src
+  GROUP BY e.dst)""")
+        parts.append(f"""sm{i} AS MATERIALIZED (
+  SELECT v.id, s.h, coalesce(a.a, 0) AS a
+  FROM sva v JOIN s{i - 1} s ON s.id = v.id LEFT JOIN sa{i} a ON a.id = v.id)""")
+        parts.append(f"""sh{i} AS MATERIALIZED (
+  SELECT e.src AS id, CAST(sum(CAST(round(s.a / d.idg) AS BIGINT)) AS BIGINT) AS h
+  FROM edges_a e JOIN sm{i} s ON s.id = e.dst JOIN sidg d ON d.dst = e.dst
+  GROUP BY e.src)""")
+        parts.append(f"""s{i} AS MATERIALIZED (
+  SELECT v.id, coalesce(h.h, 0) AS h, s.a
+  FROM sva v JOIN sm{i} s ON s.id = v.id LEFT JOIN sh{i} h ON h.id = v.id)""")
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT id, h AS hub_e6, a AS auth_e6 FROM s{iters}"
+    )
+
+
+SALSA_SQL = _salsa_sql(3)
+
+REGISTRY["salsa_3iter"] = (q_salsa_3iter, SALSA_SQL)
+
+
+def q_bipartite_components(spark, sf_dir):
+    """Per-component bipartiteness (odd-cycle detection) of the undirected
+    derived graph: BFS-parity 2-coloring from each component's min-label
+    root — component is bipartite iff no edge joins same-parity levels.
+    Composition of the CC and multi-source-BFS loops."""
+    from .algos.components import connected_components
+    from .algos.paths import bfs_distances
+
+    eb = edges_b(spark, sf_dir)
+    labels, _ = connected_components(eb, partitions=8)
+    roots = labels.select(F.col("component").alias("id")).distinct()
+    dist, _ = bfs_distances(eb, sources=roots, directed=False, partitions=8)
+    par = dist.select("id", (F.col("dist") % 2).alias("par"))
+    und = (
+        eb.union(eb.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+    )
+    bad = (
+        und.join(par.withColumnRenamed("id", "src")
+                 .withColumnRenamed("par", "ps"), "src")
+        .join(par.withColumnRenamed("id", "dst")
+              .withColumnRenamed("par", "pd"), "dst")
+        .filter(F.col("ps") == F.col("pd"))
+        .join(labels.withColumnRenamed("id", "src"), "src")
+        .select("component")
+        .distinct()
+    )
+    return (
+        roots.select(F.col("id").alias("component"))
+        .join(bad.withColumn("b", F.lit(True)), "component", "left")
+        .select(
+            F.col("component").cast("long").alias("component"),
+            F.col("b").isNull().alias("is_bipartite"),
+        )
+    )
+
+
+BIPARTITE_SQL = f"""
+WITH RECURSIVE {EDGES_B_SQL}, {UND_B_SQL},
+vb AS (SELECT DISTINCT id FROM (
+  SELECT src AS id FROM edges_b UNION ALL SELECT dst AS id FROM edges_b)),
+wreach(u, v) AS (
+  SELECT id AS u, id AS v FROM vb
+  UNION
+  SELECT w.u, e.dst FROM wreach w JOIN und_b e ON e.src = w.v
+),
+comp AS (SELECT u AS id, min(v) AS component FROM wreach GROUP BY u),
+roots AS (SELECT DISTINCT component AS id FROM comp),
+walk(id, d) AS (
+  SELECT id, 0 AS d FROM roots
+  UNION
+  SELECT e.dst, w.d + 1 FROM walk w JOIN und_b e ON e.src = w.id WHERE w.d < 40
+),
+par AS (SELECT id, min(d) % 2 AS par FROM walk GROUP BY id),
+bad AS (
+  SELECT DISTINCT c.component
+  FROM und_b e JOIN par p1 ON p1.id = e.src JOIN par p2 ON p2.id = e.dst
+  JOIN comp c ON c.id = e.src
+  WHERE p1.par = p2.par
+)
+SELECT CAST(r.id AS BIGINT) AS component, b.component IS NULL AS is_bipartite
+FROM roots r LEFT JOIN bad b ON b.component = r.id
+"""
+
+REGISTRY["bipartite_components"] = (q_bipartite_components, BIPARTITE_SQL)

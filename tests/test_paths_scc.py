@@ -454,3 +454,62 @@ def test_distance_histogram_matches_bfs(spark, edges30, edge_rows):
             if d > 0:
                 want[d] += 1
     assert hist == dict(want)
+
+
+def test_salsa_matches_python_oracle(spark, edges30, edge_rows):
+    from linkgraph.algos.salsa import salsa
+
+    got = {r["id"]: (r["hub_e6"], r["auth_e6"])
+           for r in salsa(edges30, num_iters=3).collect()}
+
+    E = sorted({(a, b) for a, b in edge_rows if a != b})
+    verts = sorted({v for e in E for v in e})
+    od, idg = {}, {}
+    for a, b in E:
+        od[a] = od.get(a, 0) + 1
+        idg[b] = idg.get(b, 0) + 1
+    import decimal
+    rnd = lambda x: int(decimal.Decimal(x).quantize(
+        0, rounding=decimal.ROUND_HALF_UP))
+    h = {v: 1_000_000 for v in verts}
+    a_ = {v: 1_000_000 for v in verts}
+    for _ in range(3):
+        na = {v: 0 for v in verts}
+        for s, d in E:
+            na[d] += rnd(h[s] / od[s])
+        a_ = na
+        nh = {v: 0 for v in verts}
+        for s, d in E:
+            nh[s] += rnd(a_[d] / idg[d])
+        h = nh
+    assert got == {v: (h[v], a_[v]) for v in verts}
+
+
+def test_bipartite_hand_cases(spark):
+    from linkgraph.suite import q_bipartite_components  # noqa: F401 (shape)
+    from linkgraph.algos.components import connected_components
+    from linkgraph.algos.paths import bfs_distances
+
+    # even cycle (bipartite) + odd cycle (not) + path (bipartite)
+    rows = [(0, 1), (1, 2), (2, 3), (3, 0),            # C4 -> bipartite
+            (10, 11), (11, 12), (12, 10),              # C3 -> odd cycle
+            (20, 21), (21, 22)]                        # path -> bipartite
+    e = spark.createDataFrame(rows, "src long, dst long")
+    labels, _ = connected_components(e)
+    roots = labels.select(F.col("component").alias("id")).distinct()
+    dist, _ = bfs_distances(e, sources=roots, directed=False)
+    par = dist.select("id", (F.col("dist") % 2).alias("par"))
+    und = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct()
+    bad = (
+        und.join(par.withColumnRenamed("id", "src").withColumnRenamed("par", "ps"), "src")
+        .join(par.withColumnRenamed("id", "dst").withColumnRenamed("par", "pd"), "dst")
+        .filter(F.col("ps") == F.col("pd"))
+        .join(labels.withColumnRenamed("id", "src"), "src")
+        .select("component").distinct()
+    )
+    got = {
+        r["component"]: r["b"] is None
+        for r in roots.select(F.col("id").alias("component"))
+        .join(bad.withColumn("b", F.lit(True)), "component", "left").collect()
+    }
+    assert got == {0: True, 10: False, 20: True}
