@@ -3114,3 +3114,50 @@ FROM roots r LEFT JOIN bad b ON b.component = r.id
 """
 
 REGISTRY["bipartite_components"] = (q_bipartite_components, BIPARTITE_SQL)
+
+
+PPR_SEEDS = (0, 17, 42)
+
+
+def q_multi_seed_ppr(spark, sf_dir):
+    """Batch personalized PageRank for 3 seeds concurrently (sparse
+    composite-key state, e6-quantized push, bit-equal across engines);
+    4-step unrolled SQL twin."""
+    from .algos.pprmulti import multi_seed_ppr
+
+    return multi_seed_ppr(edges_a(spark, sf_dir), seeds=list(PPR_SEEDS),
+                          damping=0.85, num_iters=4, partitions=8)
+
+
+def _multi_ppr_sql(seeds: tuple[int, ...], damping: float, iters: int) -> str:
+    teleport = int(round((1.0 - damping) * 1_000_000))
+    seed_rows = ", ".join(f"({s})" for s in sorted(seeds))
+    parts = [
+        EDGES_A_SQL,
+        f"seeds(s) AS (VALUES {seed_rows})",
+        "pod AS MATERIALIZED (SELECT src, count(*) AS od FROM edges_a GROUP BY src)",
+        "p0 AS MATERIALIZED (SELECT CAST(s AS BIGINT) AS s, CAST(s AS BIGINT) AS v, "
+        "CAST(1000000 AS BIGINT) AS r FROM seeds)",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(f"""pc{i} AS MATERIALIZED (
+  SELECT p.s, e.dst AS v,
+         CAST(sum(CAST(round({damping} * p.r / o.od) AS BIGINT)) AS BIGINT) AS c
+  FROM p{i - 1} p JOIN edges_a e ON e.src = p.v JOIN pod o ON o.src = p.v
+  GROUP BY p.s, e.dst)""")
+        parts.append(f"""p{i} AS MATERIALIZED (
+  SELECT coalesce(c.s, t.s) AS s, coalesce(c.v, t.v) AS v,
+         coalesce(c.c, 0)
+           + CASE WHEN t.s IS NOT NULL THEN {teleport} ELSE 0 END AS r
+  FROM pc{i} c FULL JOIN (
+    SELECT CAST(s AS BIGINT) AS s, CAST(s AS BIGINT) AS v FROM seeds) t
+    ON t.s = c.s AND t.v = c.v)""")
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT s, v, CAST(r AS BIGINT) AS rank_e6 FROM p{iters} WHERE r > 0"
+    )
+
+
+MULTI_PPR_SQL = _multi_ppr_sql(PPR_SEEDS, 0.85, 4)
+
+REGISTRY["multi_seed_ppr"] = (q_multi_seed_ppr, MULTI_PPR_SQL)

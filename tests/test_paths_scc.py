@@ -513,3 +513,33 @@ def test_bipartite_hand_cases(spark):
         .join(bad.withColumn("b", F.lit(True)), "component", "left").collect()
     }
     assert got == {0: True, 10: False, 20: True}
+
+
+def test_multi_seed_ppr_matches_python(spark, edges30, edge_rows):
+    import decimal
+    from linkgraph.algos.pprmulti import multi_seed_ppr
+
+    seeds = [0, 5]
+    got = {(r["s"], r["v"]): r["rank_e6"]
+           for r in multi_seed_ppr(edges30, seeds, num_iters=3).collect()}
+
+    E = sorted({(a, b) for a, b in edge_rows if a != b})
+    od = {}
+    for a, _ in E:
+        od[a] = od.get(a, 0) + 1
+    rnd = lambda x: int(decimal.Decimal(x).quantize(
+        0, rounding=decimal.ROUND_HALF_UP))
+    state = {(s, s): 1_000_000 for s in seeds}
+    for _ in range(3):
+        nxt = {}
+        for (s, u), r in state.items():
+            for a, b in E:
+                if a == u:
+                    nxt[(s, b)] = nxt.get((s, b), 0) + rnd(0.85 * r / od[u])
+        for s in seeds:
+            nxt[(s, s)] = nxt.get((s, s), 0) + 150_000
+        state = nxt
+    want = {k: v for k, v in state.items() if v > 0}
+    assert got == want
+    # sparse: far fewer rows than |S| x V
+    assert len(got) < 2 * 30
