@@ -200,3 +200,37 @@ def stream_ingest_edges(
     )
     q.awaitTermination()
     return spark.table(sink_table)
+
+
+def stream_distinct_users(
+    spark: SparkSession,
+    events_dir: str,
+    sink_table: str = "stream_distinct_users",
+) -> DataFrame:
+    """Streaming exact distinct-user count per event type — chained
+    stateful operators: ``dropDuplicates`` on (user_id, event_type)
+    (the streaming dedup state, first-occurrence-wins) feeding a grouped
+    count.  Drained with availableNow over many micro-batches, the result
+    must equal the batch COUNT(DISTINCT user_id) GROUP BY event_type —
+    which is exactly how the suite oracle checks it.
+
+    At scale the dedup state is hash-partitioned on the composite key in
+    the per-partition state store (RocksDB-backed) — the streaming twin
+    of the engine's exact_dedup batch operator.
+    """
+    stream = _events_stream(spark, events_dir).select("user_id", "event_type")
+    dedup = stream.dropDuplicates(["user_id", "event_type"])
+    agg = dedup.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_distinct_users")
+    )
+    ckpt = tempfile.mkdtemp(prefix="lg_stream_ckpt_")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink_table)
+        .outputMode("complete")
+        .option("checkpointLocation", os.path.join(ckpt, "distinct"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink_table)

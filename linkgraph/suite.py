@@ -3161,3 +3161,22 @@ def _multi_ppr_sql(seeds: tuple[int, ...], damping: float, iters: int) -> str:
 MULTI_PPR_SQL = _multi_ppr_sql(PPR_SEEDS, 0.85, 4)
 
 REGISTRY["multi_seed_ppr"] = (q_multi_seed_ppr, MULTI_PPR_SQL)
+
+
+def q_stream_distinct_users(spark, sf_dir):
+    """Streaming exact distinct-user count per event type (chained
+    stateful dropDuplicates → grouped count, availableNow drain) — must
+    equal the batch COUNT(DISTINCT …) oracle."""
+    from . import streaming
+
+    return streaming.stream_distinct_users(
+        spark, f"{sf_dir}/events.parquet", sink_table="q_stream_distinct"
+    )
+
+
+STREAM_DISTINCT_SQL = """
+SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct_users
+FROM events GROUP BY event_type
+"""
+
+REGISTRY["stream_distinct_users"] = (q_stream_distinct_users, STREAM_DISTINCT_SQL)

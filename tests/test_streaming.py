@@ -64,3 +64,22 @@ def test_stream_ingest_matches_batch(spark, tmp_path):
     )
     exp = {r["src_url"]: r["n"] for r in batch.collect()}
     assert got == exp
+
+
+def test_stream_distinct_users_equals_batch(spark, events):
+    from pyspark.sql import functions as F
+    from linkgraph import streaming
+
+    got = {
+        r["event_type"]: r["n_distinct_users"]
+        for r in streaming.stream_distinct_users(
+            spark, f"{SF}/events.parquet", sink_table="t_distinct"
+        ).collect()
+    }
+    exp = {
+        r["event_type"]: r["n"]
+        for r in events.groupBy("event_type")
+        .agg(F.countDistinct("user_id").cast("long").alias("n"))
+        .collect()
+    }
+    assert got == exp
