@@ -3180,3 +3180,52 @@ FROM events GROUP BY event_type
 """
 
 REGISTRY["stream_distinct_users"] = (q_stream_distinct_users, STREAM_DISTINCT_SQL)
+
+
+def q_condensation_levels(spark, sf_dir):
+    """Topological levels of the SCC condensation DAG of the directed
+    derived graph (level = longest path from source components) —
+    the web-graph hierarchy; transitive-closure SCC + unrolled
+    max-relaxation SQL twin."""
+    from .algos.scc import condensation_levels
+
+    return condensation_levels(edges_b(spark, sf_dir), partitions=8)
+
+
+def _cond_levels_sql(rounds: int) -> str:
+    # Relaxation depth ≤ 6 on every derived graph (measured); 12 = margin.
+    parts = [f"""reach(u, v) AS (
+  SELECT id AS u, id AS v FROM cvb
+  UNION
+  SELECT r.u, e.dst FROM reach r JOIN edges_b e ON e.src = r.v
+)""", """cscc AS (
+  SELECT r1.u AS id, min(r1.v) AS scc
+  FROM reach r1 JOIN reach r2 ON r1.u = r2.v AND r1.v = r2.u
+  GROUP BY r1.u
+)""", "csizes AS (SELECT scc, count(*) AS n_vertices FROM cscc GROUP BY scc)",
+        """ccond AS MATERIALIZED (
+  SELECT DISTINCT a.scc AS src, b.scc AS dst
+  FROM edges_b e JOIN cscc a ON a.id = e.src JOIN cscc b ON b.id = e.dst
+  WHERE a.scc <> b.scc
+)""", "l0 AS (SELECT scc AS id, CAST(0 AS BIGINT) AS lvl FROM csizes)"]
+    for i in range(1, rounds + 1):
+        parts.append(f"""l{i} AS MATERIALIZED (
+  SELECT l.id, greatest(l.lvl, coalesce(u.nl, 0)) AS lvl
+  FROM l{i - 1} l LEFT JOIN (
+    SELECT e.dst AS id, max(p.lvl) + 1 AS nl
+    FROM ccond e JOIN l{i - 1} p ON p.id = e.src GROUP BY e.dst) u
+  ON u.id = l.id)""")
+    return (
+        f"WITH RECURSIVE {EDGES_B_SQL},\n"
+        "cvb AS (SELECT DISTINCT id FROM (\n"
+        "  SELECT src AS id FROM edges_b UNION ALL SELECT dst AS id FROM edges_b)),\n"
+        + ",\n".join(parts)
+        + f"""
+SELECT l.id AS scc, l.lvl AS level, CAST(s.n_vertices AS BIGINT) AS n_vertices
+FROM l{rounds} l JOIN csizes s ON s.scc = l.id"""
+    )
+
+
+COND_LEVELS_SQL = _cond_levels_sql(12)
+
+REGISTRY["condensation_levels"] = (q_condensation_levels, COND_LEVELS_SQL)

@@ -543,3 +543,14 @@ def test_multi_seed_ppr_matches_python(spark, edges30, edge_rows):
     assert got == want
     # sparse: far fewer rows than |S| x V
     assert len(got) < 2 * 30
+
+
+def test_condensation_levels_hand_case(spark):
+    from linkgraph.algos.scc import condensation_levels
+
+    # 3-cycle {0,1,2} -> 3 -> 2-cycle {4,5}; isolated-source 7 -> 3
+    rows = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4), (4, 5), (5, 4), (7, 3)]
+    e = spark.createDataFrame(rows, "src long, dst long")
+    got = {r["scc"]: (r["level"], r["n_vertices"])
+           for r in condensation_levels(e).collect()}
+    assert got == {0: (0, 3), 7: (0, 1), 3: (1, 1), 4: (2, 2)}
