@@ -3229,3 +3229,57 @@ FROM l{rounds} l JOIN csizes s ON s.scc = l.id"""
 COND_LEVELS_SQL = _cond_levels_sql(12)
 
 REGISTRY["condensation_levels"] = (q_condensation_levels, COND_LEVELS_SQL)
+
+
+def q_maximal_matching(spark, sf_dir):
+    """Greedy maximal matching (local-min edge priorities, total-order
+    struct keys, bit-reproducible) on the undirected derived graph;
+    14-round unrolled SQL twin."""
+    from .algos.matching import maximal_matching
+
+    m, _ = maximal_matching(edges_b(spark, sf_dir), partitions=8)
+    return m.select(F.col("a").cast("long").alias("a"),
+                    F.col("b").cast("long").alias("b"))
+
+
+def _matching_sql(rounds: int) -> str:
+    # Measured fixpoint: 4 rounds at sf0.001, 6 at sf0.01, 8 at sf0.1;
+    # 14 = margin.  Struct min is lexicographic in DuckDB exactly as in
+    # Spark, so the (p, a, b) key gives the identical total order.
+    from .algos.matching import PRI_A, PRI_B, PRI_M
+
+    key = (f"{{'p': (((a * {PRI_A} + b) % {PRI_M}) * {PRI_A} + {PRI_B}) "
+           f"% {PRI_M}, 'ka': a, 'kb': b}}")
+    parts = [
+        EDGES_B_SQL,
+        "g0 AS MATERIALIZED (SELECT DISTINCT least(src,dst) AS a, "
+        "greatest(src,dst) AS b FROM edges_b)",
+        "acc0 AS (SELECT CAST(NULL AS BIGINT) AS a, CAST(NULL AS BIGINT) AS b "
+        "WHERE FALSE)",
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"ke{i} AS MATERIALIZED (SELECT a, b, {key} AS key FROM g{i - 1})"
+        )
+        parts.append(f"""vm{i} AS MATERIALIZED (
+  SELECT v, min(key) AS mk FROM (
+    SELECT a AS v, key FROM ke{i} UNION ALL SELECT b AS v, key FROM ke{i})
+  GROUP BY v)""")
+        parts.append(f"""w{i} AS MATERIALIZED (
+  SELECT k.a, k.b FROM ke{i} k
+  JOIN vm{i} x ON x.v = k.a AND x.mk = k.key
+  JOIN vm{i} y ON y.v = k.b AND y.mk = k.key)""")
+        parts.append(f"""g{i} AS MATERIALIZED (
+  SELECT e.a, e.b FROM g{i - 1} e
+  WHERE e.a NOT IN (SELECT a FROM w{i} UNION ALL SELECT b FROM w{i})
+    AND e.b NOT IN (SELECT a FROM w{i} UNION ALL SELECT b FROM w{i}))""")
+        parts.append(
+            f"acc{i} AS (SELECT a, b FROM acc{i - 1} "
+            f"UNION ALL SELECT a, b FROM w{i})"
+        )
+    return "WITH " + ",\n".join(parts) + f"\nSELECT a, b FROM acc{rounds}"
+
+
+MATCHING_SQL = _matching_sql(14)
+
+REGISTRY["maximal_matching"] = (q_maximal_matching, MATCHING_SQL)

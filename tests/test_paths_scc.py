@@ -554,3 +554,35 @@ def test_condensation_levels_hand_case(spark):
     got = {r["scc"]: (r["level"], r["n_vertices"])
            for r in condensation_levels(e).collect()}
     assert got == {0: (0, 3), 7: (0, 1), 3: (1, 1), 4: (2, 2)}
+
+
+def test_maximal_matching_valid_and_matches_sequential(spark, edges30, edge_rows):
+    from linkgraph.algos.matching import (
+        PRI_A, PRI_B, PRI_M, maximal_matching,
+    )
+
+    m, metrics = maximal_matching(edges30)
+    got = {(r["a"], r["b"]) for r in m.collect()}
+
+    E = {(min(a, b), max(a, b)) for a, b in edge_rows if a != b}
+    pri = lambda a, b: ((a * PRI_A + b) % PRI_M * PRI_A + PRI_B) % PRI_M
+    key = lambda e: (pri(*e), e[0], e[1])
+    rem, want = set(E), set()
+    while rem:
+        best = {}
+        for e in rem:
+            for v in e:
+                if v not in best or key(e) < best[v]:
+                    best[v] = key(e)
+        winners = {e for e in rem if key(e) == best[e[0]] == best[e[1]]}
+        if not winners:
+            break
+        want |= winners
+        mv = {v for e in winners for v in e}
+        rem = {e for e in rem if e[0] not in mv and e[1] not in mv}
+    assert got == want
+    # validity: no vertex matched twice
+    used = [v for e in got for v in e]
+    assert len(used) == len(set(used))
+    # maximality: every remaining edge touches a matched vertex
+    assert all(a in set(used) or b in set(used) for a, b in E)
