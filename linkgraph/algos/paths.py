@@ -446,3 +446,119 @@ def distance_histogram(
         .groupBy("dist")
         .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
+
+
+def betweenness_centrality(
+    edges: DataFrame,
+    sources: DataFrame,
+    directed: bool = False,
+    max_iter: int = 100,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Fractional betweenness centrality (Brandes'01) for a source sample,
+    with the dependency accumulation quantized to e6-scaled BIGINTs so the
+    result is bit-equal across engines.
+
+    Forward pass: the same composite-key (s, v) level-synchronous BFS as
+    ``stress_centrality``, carrying exact shortest-path counts ``sigma``.
+    Backward pass, level by decreasing level over the shortest-path DAG,
+    computes the Brandes dependency
+    ``delta(v) = sum_{w in succ(v)} sigma(v)/sigma(w) * (1 + delta(w))``
+    with ``delta`` stored as ``dv = round(delta * 1e6)``: each term is ONE
+    IEEE-double expression evaluated from exact integers —
+    ``round(double(sigma_v) * double(1e6 + dv_w) / double(sigma_w))`` —
+    then summed as BIGINTs, so there is no float accumulation order for
+    engines to disagree on (per-term-quantization recipe shared with the
+    engine's Katz / SALSA / Adamic-Adar operators).
+
+    ``betweenness_e6(v) = sum_s dv_s(v)`` over the sampled sources, v != s
+    (source-sampled betweenness, Brandes-Pich'07 — the standard web-scale
+    approximation; exact when ``sources`` is all vertices).  Completes the
+    centrality family next to its exact-integer sibling
+    ``stress_centrality`` (reference oracle pattern:
+    /root/reference/naive_implementation/ exact counters).
+
+    Scale: identical plan shape to ``stress_centrality`` — 2*diameter
+    frontier⋈edges supersteps, |S|*V-bounded state, shuffle-hash joins
+    pinned on ``partitions``, lineage truncated per superstep.
+    """
+    spark = edges.sparkSession
+    P = int(partitions or spark.conf.get("spark.sql.shuffle.partitions"))
+
+    e = norm_edges(edges, P, directed=directed)
+
+    lvl = (
+        sources.select(F.col("id").alias("s")).distinct()
+        .select("s", F.col("s").alias("v"), F.lit(1).cast("long").alias("sig"))
+        .repartition(P, "v")
+        .localCheckpoint(eager=True)
+    )
+    levels = [lvl]
+    settled = lvl.select("s", "v").localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        nxt = (
+            e.join(lvl.withColumnRenamed("v", "src").hint("shuffle_hash"), "src")
+            .select("s", F.col("dst").alias("v"), "sig")
+            .join(settled.hint("shuffle_hash"), ["s", "v"], "left_anti")
+            .groupBy("s", "v")
+            .agg(F.sum("sig").alias("sig"))
+            .repartition(P, "v")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.count() == 0:
+            break
+        levels.append(nxt)
+        settled = (
+            settled.union(nxt.select("s", "v"))
+            .repartition(P, "v")
+            .localCheckpoint(eager=True)
+        )
+        lvl = nxt
+
+    # backward: deepest level has delta = 0; one quantized term per DAG
+    # successor, summed exactly
+    out = [levels[-1].select("s", "v", "sig", F.lit(0).cast("long").alias("dv"))]
+    c = out[0].select("s", "v", "sig", "dv")
+    for l in range(len(levels) - 2, -1, -1):
+        term = F.round(
+            F.col("sig").cast("double")
+            * (F.lit(1000000).cast("long") + F.col("dvw")).cast("double")
+            / F.col("sigw").cast("double")
+        ).cast("long")
+        agg = (
+            levels[l]
+            .join(e.withColumnRenamed("src", "v").hint("shuffle_hash"), "v")
+            .join(
+                c.select(
+                    "s",
+                    F.col("v").alias("dst"),
+                    F.col("sig").alias("sigw"),
+                    F.col("dv").alias("dvw"),
+                ).hint("shuffle_hash"),
+                ["s", "dst"],
+            )
+            .groupBy("s", "v")
+            .agg(F.sum(term).alias("dv"))
+        )
+        cur = (
+            levels[l].join(agg.hint("shuffle_hash"), ["s", "v"], "left")
+            .select(
+                "s", "v", "sig",
+                F.coalesce("dv", F.lit(0)).cast("long").alias("dv"),
+            )
+            .repartition(P, "v")
+            .localCheckpoint(eager=True)
+        )
+        out.append(cur)
+        c = cur.select("s", "v", "sig", "dv")
+    e.unpersist()
+
+    res = out[0]
+    for df in out[1:]:
+        res = res.union(df)
+    return (
+        res.filter(F.col("v") != F.col("s"))
+        .groupBy(F.col("v").alias("id"))
+        .agg(F.sum("dv").alias("betweenness_e6"))
+        .filter(F.col("betweenness_e6") > 0)
+    )

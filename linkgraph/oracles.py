@@ -7,6 +7,7 @@ the exact counters on induced subgraphs in /root/reference/sampling/Graph.cpp:16
 
 from __future__ import annotations
 
+import math
 from collections import Counter, defaultdict, deque
 from math import comb
 
@@ -636,3 +637,112 @@ def hindex_rounds_oracle(edges: list[tuple[int, int]]) -> int:
         if new == core:
             return rounds
         core = new
+
+
+def betweenness_oracle(
+    edges: list[tuple[int, int]], sources: list[int], directed: bool = False
+) -> dict[int, int]:
+    """Quantized Brandes betweenness mirroring the engine's arithmetic:
+    delta stored as e6 BIGINT, each dependency term rounded HALF_UP from
+    one IEEE-double expression before exact integer summation."""
+    adj: dict[int, set[int]] = defaultdict(set)
+    for s, d in edges:
+        if s == d:
+            continue
+        adj[s].add(d)
+        if not directed:
+            adj[d].add(s)
+    bc: dict[int, int] = defaultdict(int)
+    for s in sources:
+        dist = {s: 0}
+        sigma = {s: 1}
+        order = [s]
+        q = deque([s])
+        while q:
+            u = q.popleft()
+            for w in adj[u]:
+                if w not in dist:
+                    dist[w] = dist[u] + 1
+                    sigma[w] = 0
+                    order.append(w)
+                    q.append(w)
+                if dist[w] == dist[u] + 1:
+                    sigma[w] += sigma[u]
+        dv: dict[int, int] = defaultdict(int)
+        for v in reversed(order):
+            for w in adj[v]:
+                if dist.get(w) == dist[v] + 1:
+                    x = float(sigma[v]) * float(1000000 + dv[w]) / float(sigma[w])
+                    dv[v] += int(math.floor(x + 0.5))
+        for v in order:
+            if v != s:
+                bc[v] += dv[v]
+    return {v: x for v, x in bc.items() if x > 0}
+
+
+def eigenvector_oracle(
+    edges: list[tuple[int, int]], iters: int = 4
+) -> dict[int, int]:
+    """Sequential replication of the engine's quantized power iteration:
+    exact integer neighbor sums, max-normalized with one half-up-rounded
+    double expression per vertex per step (undirected simple graph)."""
+    adj: dict[int, set[int]] = defaultdict(set)
+    for s, d in edges:
+        if s == d:
+            continue
+        adj[s].add(d)
+        adj[d].add(s)
+    x = {v: 1_000_000 for v in adj}
+    for _ in range(iters):
+        s = {v: sum(x[u] for u in adj[v]) for v in adj}
+        mx = max(s.values())
+        x = {
+            v: int(math.floor(float(s[v]) * 1_000_000.0 / float(mx) + 0.5))
+            for v in adj
+        }
+    return x
+
+
+def louvain_multilevel_oracle(
+    edges: list[tuple[int, int]],
+    num_vertices: int,
+    rounds_level1: int = 4,
+    rounds_level2: int = 4,
+) -> dict[int, int]:
+    """Sequential twin of the two-level Louvain: synchronous local-move
+    rounds, contraction to a weighted quotient graph (self-loop weight kept
+    in the coarse degree; k_{v,C} over cross edges only), weighted rounds."""
+    l0 = louvain_sync_oracle(edges, num_vertices, rounds_level1)
+    # contraction over the symmetric simple-graph view
+    und = {(s, d) for s, d in edges if s != d}
+    und |= {(d, s) for s, d in und}
+    w: dict[tuple[int, int], int] = defaultdict(int)
+    for s, d in und:
+        w[(l0[s], l0[d])] += 1
+    cdeg: dict[int, int] = defaultdict(int)
+    for (s, _d), x in w.items():
+        cdeg[s] += x
+    m2 = sum(w.values())
+    cverts = sorted(set(l0.values()))
+    label = {v: v for v in cverts}
+    for _ in range(rounds_level2):
+        tot: dict[int, int] = defaultdict(int)
+        for v in cverts:
+            tot[label[v]] += cdeg[v]
+        new = {}
+        for v in cverts:
+            kvc: dict[int, int] = defaultdict(int)
+            kvc[label[v]] += 0
+            for (s, d), x in w.items():
+                if s == v and d != v:
+                    kvc[label[d]] += x
+            best = None
+            for c, k in kvc.items():
+                score = m2 * k - cdeg[v] * (
+                    tot[c] - (cdeg[v] if c == label[v] else 0)
+                )
+                if best is None or (score, -c) > best[0]:
+                    best = ((score, -c), c)
+            new[v] = best[1]
+        label = new
+    return {v: label[l0[v]] for v in range(num_vertices)}

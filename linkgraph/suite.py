@@ -3283,3 +3283,227 @@ def _matching_sql(rounds: int) -> str:
 MATCHING_SQL = _matching_sql(14)
 
 REGISTRY["maximal_matching"] = (q_maximal_matching, MATCHING_SQL)
+
+
+# ---------------------------------------------------------------------------
+# round-1e extensions
+# ---------------------------------------------------------------------------
+
+
+def q_betweenness_centrality(spark, sf_dir):
+    """Source-sampled fractional betweenness (Brandes two-pass), dependency
+    terms quantized e6 before exact BIGINT summation — bit-equal across
+    engines (completes the centrality family beside integer stress)."""
+    from .algos.paths import betweenness_centrality
+
+    return betweenness_centrality(
+        edges_b(spark, sf_dir),
+        sources=spark.createDataFrame([(s,) for s in STRESS_SOURCES], "id long"),
+        directed=False, partitions=8,
+    )
+
+
+def _betweenness_sql(levels: int) -> str:
+    parts = [
+        EDGES_B_SQL, UND_B_SQL,
+        f"srcs AS (SELECT CAST(range AS BIGINT) AS s FROM range({len(STRESS_SOURCES)}))",
+        "lvl0 AS MATERIALIZED (SELECT s, s AS v, CAST(1 AS BIGINT) AS sig FROM srcs)",
+        "set0 AS MATERIALIZED (SELECT s, v FROM lvl0)",
+    ]
+    for i in range(1, levels + 1):
+        parts.append(
+            f"""lvl{i} AS MATERIALIZED (
+  SELECT p.s, e.dst AS v, CAST(sum(p.sig) AS BIGINT) AS sig
+  FROM lvl{i - 1} p JOIN und_b e ON e.src = p.v
+  WHERE NOT EXISTS (SELECT 1 FROM set{i - 1} st WHERE st.s = p.s AND st.v = e.dst)
+  GROUP BY p.s, e.dst)"""
+        )
+        parts.append(
+            f"set{i} AS MATERIALIZED (SELECT s, v FROM set{i - 1} "
+            f"UNION ALL SELECT s, v FROM lvl{i})"
+        )
+    parts.append(
+        f"c{levels} AS MATERIALIZED "
+        f"(SELECT s, v, sig, CAST(0 AS BIGINT) AS dv FROM lvl{levels})"
+    )
+    for i in range(levels - 1, -1, -1):
+        parts.append(
+            f"""c{i} AS MATERIALIZED (
+  SELECT p.s, p.v, p.sig, COALESCE(x.dv, 0) AS dv
+  FROM lvl{i} p LEFT JOIN (
+    SELECT p2.s, p2.v, CAST(sum(CAST(round(
+        CAST(p2.sig AS DOUBLE) * CAST(1000000 + cn.dv AS DOUBLE)
+        / CAST(cn.sig AS DOUBLE)) AS BIGINT)) AS BIGINT) AS dv
+    FROM lvl{i} p2 JOIN und_b e ON e.src = p2.v
+    JOIN c{i + 1} cn ON cn.s = p2.s AND cn.v = e.dst
+    GROUP BY p2.s, p2.v) x ON x.s = p.s AND x.v = p.v)"""
+        )
+    union = " UNION ALL ".join(
+        f"SELECT s, v, dv FROM c{i}" for i in range(levels + 1)
+    )
+    return (
+        "WITH " + ",\n".join(parts)
+        + "\nSELECT v AS id, CAST(sum(dv) AS BIGINT) AS betweenness_e6"
+        + f"\nFROM ({union}) WHERE v <> s GROUP BY v HAVING sum(dv) > 0"
+    )
+
+
+BETWEENNESS_SQL = _betweenness_sql(STRESS_LEVELS)
+
+REGISTRY["betweenness_centrality"] = (q_betweenness_centrality, BETWEENNESS_SQL)
+
+
+def q_eigenvector_4iter(spark, sf_dir):
+    """Eigenvector centrality, 4 max-normalized power supersteps over the
+    undirected derived graph — e6-quantized per step, bit-equal across
+    engines (spectral sibling of PageRank/Katz/SALSA)."""
+    from .algos.eigenvector import eigenvector_centrality
+
+    return eigenvector_centrality(edges_b(spark, sf_dir), iters=4, partitions=8)
+
+
+def _eigenvector_sql(iters: int) -> str:
+    parts = [
+        EDGES_B_SQL, UND_B_SQL,
+        "vb AS MATERIALIZED (SELECT DISTINCT src AS id FROM und_b)",
+        "x0 AS MATERIALIZED (SELECT id, CAST(1000000 AS BIGINT) AS x FROM vb)",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""s{i} AS MATERIALIZED (
+  SELECT e.dst AS id, CAST(sum(x.x) AS BIGINT) AS s
+  FROM und_b e JOIN x{i - 1} x ON x.id = e.src GROUP BY e.dst)"""
+        )
+        parts.append(f"m{i} AS (SELECT max(s) AS mx FROM s{i})")
+        parts.append(
+            f"""x{i} AS MATERIALIZED (
+  SELECT v.id,
+         CAST(CASE WHEN s.s IS NULL THEN 0
+              ELSE round(CAST(s.s AS DOUBLE) * 1000000.0 / CAST(m.mx AS DOUBLE))
+              END AS BIGINT) AS x
+  FROM vb v LEFT JOIN s{i} s ON v.id = s.id CROSS JOIN m{i} m)"""
+        )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT id, x AS eig_e6 FROM x{iters}"
+    )
+
+
+EIGENVECTOR_SQL = _eigenvector_sql(4)
+
+REGISTRY["eigenvector_4iter"] = (q_eigenvector_4iter, EIGENVECTOR_SQL)
+
+
+def q_louvain_multilevel(spark, sf_dir):
+    """Full two-level Louvain lifecycle: 3 synchronous local-move rounds,
+    community contraction to a weighted quotient graph, 3 more weighted
+    rounds — integer-exact scores, deterministic across engines."""
+    from .algos.louvain import louvain_multilevel
+
+    return louvain_multilevel(
+        edges_b(spark, sf_dir), vertices=verts(spark, V_B),
+        rounds_level1=3, rounds_level2=3, partitions=8,
+    )
+
+
+def _louvain_multilevel_sql(r1: int, r2: int) -> str:
+    parts = [
+        EDGES_B_SQL, UND_B_SQL, VERTS_B_SQL,
+        "ldeg AS MATERIALIZED (SELECT src AS id, CAST(count(*) AS BIGINT) AS deg "
+        "FROM und_b GROUP BY src)",
+        "lm2 AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS m2 FROM und_b)",
+        "lv0 AS MATERIALIZED (SELECT id, id AS label FROM verts_b)",
+    ]
+    for r in range(1, r1 + 1):
+        p = f"lv{r - 1}"
+        parts.append(
+            f"tot{r} AS MATERIALIZED (SELECT l.label, CAST(sum(d.deg) AS BIGINT) "
+            f"AS tot FROM {p} l JOIN ldeg d ON d.id = l.id GROUP BY l.label)"
+        )
+        parts.append(
+            f"kvc{r} AS MATERIALIZED (SELECT e.src AS id, l.label AS clab, "
+            f"CAST(count(*) AS BIGINT) AS kvc FROM und_b e "
+            f"JOIN {p} l ON l.id = e.dst GROUP BY e.src, l.label)"
+        )
+        parts.append(
+            f"cand{r} AS MATERIALIZED (SELECT id, clab, CAST(sum(kvc) AS BIGINT) "
+            f"AS kvc FROM (SELECT id, clab, kvc FROM kvc{r} "
+            f"UNION ALL SELECT id, label AS clab, 0 FROM {p}) u GROUP BY id, clab)"
+        )
+        parts.append(
+            f"""scored{r} AS MATERIALIZED (
+  SELECT c.id, c.clab,
+         (SELECT m2 FROM lm2) * c.kvc
+         - COALESCE(d.deg, 0) * (COALESCE(t.tot, 0)
+             - CASE WHEN c.clab = l.label THEN COALESCE(d.deg, 0) ELSE 0 END)
+           AS score
+  FROM cand{r} c
+  JOIN {p} l ON l.id = c.id
+  LEFT JOIN ldeg d ON d.id = c.id
+  LEFT JOIN tot{r} t ON t.label = c.clab)"""
+        )
+        parts.append(
+            f"""lv{r} AS MATERIALIZED (SELECT id, clab AS label FROM (
+  SELECT id, clab, row_number() OVER (PARTITION BY id
+         ORDER BY score DESC, clab ASC) AS rn
+  FROM scored{r}) z WHERE rn = 1)"""
+        )
+    parts.append(
+        f"""ce AS MATERIALIZED (
+  SELECT l1.label AS s, l2.label AS d, CAST(count(*) AS BIGINT) AS w
+  FROM und_b e
+  JOIN lv{r1} l1 ON l1.id = e.src
+  JOIN lv{r1} l2 ON l2.id = e.dst
+  GROUP BY l1.label, l2.label)"""
+    )
+    parts.append(
+        "cdeg AS MATERIALIZED (SELECT s AS id, CAST(sum(w) AS BIGINT) AS deg "
+        "FROM ce GROUP BY s)"
+    )
+    parts.append("cm2 AS (SELECT CAST(sum(w) AS BIGINT) AS m2 FROM ce)")
+    parts.append(
+        f"cv0 AS MATERIALIZED (SELECT DISTINCT label AS id, label FROM lv{r1})"
+    )
+    for r in range(1, r2 + 1):
+        p = f"cv{r - 1}"
+        parts.append(
+            f"ctot{r} AS MATERIALIZED (SELECT l.label, CAST(sum(d.deg) AS BIGINT) "
+            f"AS tot FROM {p} l JOIN cdeg d ON d.id = l.id GROUP BY l.label)"
+        )
+        parts.append(
+            f"ckvc{r} AS MATERIALIZED (SELECT e.s AS id, l.label AS clab, "
+            f"CAST(sum(e.w) AS BIGINT) AS kvc FROM ce e "
+            f"JOIN {p} l ON l.id = e.d WHERE e.s <> e.d GROUP BY e.s, l.label)"
+        )
+        parts.append(
+            f"ccand{r} AS MATERIALIZED (SELECT id, clab, CAST(sum(kvc) AS BIGINT) "
+            f"AS kvc FROM (SELECT id, clab, kvc FROM ckvc{r} "
+            f"UNION ALL SELECT id, label AS clab, 0 FROM {p}) u GROUP BY id, clab)"
+        )
+        parts.append(
+            f"""cscored{r} AS MATERIALIZED (
+  SELECT c.id, c.clab,
+         (SELECT m2 FROM cm2) * c.kvc
+         - COALESCE(d.deg, 0) * (COALESCE(t.tot, 0)
+             - CASE WHEN c.clab = l.label THEN COALESCE(d.deg, 0) ELSE 0 END)
+           AS score
+  FROM ccand{r} c
+  JOIN {p} l ON l.id = c.id
+  LEFT JOIN cdeg d ON d.id = c.id
+  LEFT JOIN ctot{r} t ON t.label = c.clab)"""
+        )
+        parts.append(
+            f"""cv{r} AS MATERIALIZED (SELECT id, clab AS label FROM (
+  SELECT id, clab, row_number() OVER (PARTITION BY id
+         ORDER BY score DESC, clab ASC) AS rn
+  FROM cscored{r}) z WHERE rn = 1)"""
+        )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT l.id, c.label FROM lv{r1} l JOIN cv{r2} c ON c.id = l.label"
+    )
+
+
+LOUVAIN_ML_SQL = _louvain_multilevel_sql(3, 3)
+
+REGISTRY["louvain_multilevel"] = (q_louvain_multilevel, LOUVAIN_ML_SQL)

@@ -586,3 +586,55 @@ def test_maximal_matching_valid_and_matches_sequential(spark, edges30, edge_rows
     assert len(used) == len(set(used))
     # maximality: every remaining edge touches a matched vertex
     assert all(a in set(used) or b in set(used) for a, b in E)
+
+
+def test_betweenness_matches_quantized_brandes_oracle(spark, edges30, edge_rows):
+    from linkgraph.algos.paths import betweenness_centrality
+
+    srcs = [0, 3, 9, 17]
+    res = betweenness_centrality(
+        edges30, sources=spark.createDataFrame([(s,) for s in srcs], "id long")
+    )
+    got = {r["id"]: r["betweenness_e6"] for r in res.collect()}
+    assert got == oracles.betweenness_oracle(edge_rows, srcs)
+
+
+def test_betweenness_directed(spark, edges30, edge_rows):
+    from linkgraph.algos.paths import betweenness_centrality
+
+    res = betweenness_centrality(
+        edges30, sources=spark.createDataFrame([(0,), (5,)], "id long"),
+        directed=True,
+    )
+    got = {r["id"]: r["betweenness_e6"] for r in res.collect()}
+    assert got == oracles.betweenness_oracle(edge_rows, [0, 5], directed=True)
+
+
+def test_eigenvector_matches_quantized_power_oracle(spark, edges30, edge_rows):
+    from linkgraph.algos.eigenvector import eigenvector_centrality
+
+    res = eigenvector_centrality(edges30, iters=4)
+    got = {r["id"]: r["eig_e6"] for r in res.collect()}
+    assert got == oracles.eigenvector_oracle(edge_rows, iters=4)
+    # max-normalization invariant: at least one vertex sits at the scale cap
+    assert max(got.values()) == 1_000_000
+
+
+def test_louvain_multilevel_matches_sequential_oracle(spark, edges30, edge_rows):
+    from linkgraph.algos.louvain import louvain_multilevel
+
+    res = louvain_multilevel(
+        edges30, vertices=spark.range(30).select("id"),
+        rounds_level1=3, rounds_level2=3,
+    )
+    got = {r["id"]: r["label"] for r in res.collect()}
+    assert got == oracles.louvain_multilevel_oracle(edge_rows, 30, 3, 3)
+    # contraction must not split level-1 communities: members of one final
+    # community form a union of whole level-1 communities
+    from linkgraph.algos.louvain import louvain_sync
+
+    l1 = {r["id"]: r["label"]
+          for r in louvain_sync(edges30, vertices=spark.range(30).select("id"),
+                                num_rounds=3).collect()}
+    for v, u in [(a, b) for a in got for b in got if l1[a] == l1[b]]:
+        assert got[v] == got[u]
