@@ -746,3 +746,37 @@ def louvain_multilevel_oracle(
             new[v] = best[1]
         label = new
     return {v: label[l0[v]] for v in range(num_vertices)}
+
+
+def coloring_oracle(
+    edges: list[tuple[int, int]], max_rounds: int = 200
+) -> tuple[dict[int, int], int]:
+    """Sequential Jones–Plassmann twin: each round, uncolored local-minima
+    (by the Luby hash priority p(v) = (v*A+B) mod M, injective) take the
+    smallest color unused by their already-colored neighbors.  Returns
+    (colors, rounds_used)."""
+    A, B, M = 1_000_003, 12345, (1 << 31) - 1
+    pri = lambda v: (v * A + B) % M  # noqa: E731
+    adj: dict[int, set[int]] = defaultdict(set)
+    for s, d in edges:
+        if s == d:
+            continue
+        adj[s].add(d)
+        adj[d].add(s)
+    active = set(adj)
+    colors: dict[int, int] = {}
+    rounds = 0
+    while active and rounds < max_rounds:
+        rounds += 1
+        winners = [
+            v for v in active
+            if all(pri(v) < pri(u) for u in adj[v] if u in active)
+        ]
+        for v in winners:
+            used = {colors[u] for u in adj[v] if u in colors}
+            c = 0
+            while c in used:
+                c += 1
+            colors[v] = c
+        active -= set(winners)
+    return colors, rounds

@@ -3507,3 +3507,74 @@ def _louvain_multilevel_sql(r1: int, r2: int) -> str:
 LOUVAIN_ML_SQL = _louvain_multilevel_sql(3, 3)
 
 REGISTRY["louvain_multilevel"] = (q_louvain_multilevel, LOUVAIN_ML_SQL)
+
+
+def q_graph_coloring(spark, sf_dir):
+    """Jones–Plassmann greedy coloring, 6 supersteps, on the undirected
+    derived graph B; 6-round unrolled SQL twin computes the identical
+    partial coloring (pytest runs the loop to fixpoint vs a sequential
+    oracle — 6 rounds keeps the DuckDB unroll tractable at sf0.1 where
+    fixpoint needs ~118 rounds on the dense core)."""
+    from .algos.coloring import jones_plassmann_coloring
+
+    colors, _ = jones_plassmann_coloring(
+        edges_b(spark, sf_dir), max_rounds=6, partitions=8)
+    return colors.select(
+        F.col("id").cast("long").alias("id"),
+        F.col("color").cast("long").alias("color"),
+    )
+
+
+def _coloring_sql(rounds: int) -> str:
+    # Same superstep shape as the Luby unroll plus a mex stage: winners'
+    # used neighbor-colors (DISTINCT join vs colored state), candidate
+    # colors 0..k from a nums table, smallest candidate not used.
+    from .algos.coloring import PRI_A, PRI_B, PRI_M
+
+    pri = lambda c: f"(({c} * {PRI_A} + {PRI_B}) % {PRI_M})"  # noqa: E731
+    parts = [
+        EDGES_B_SQL, UND_B_SQL,
+        "nums AS MATERIALIZED (SELECT CAST(unnest(range(0, 512)) AS INT) AS n)",
+        "u0 AS MATERIALIZED (SELECT src, dst FROM und_b)",
+        "a0 AS MATERIALIZED (SELECT DISTINCT src AS id FROM und_b)",
+        "c0 AS (SELECT CAST(NULL AS BIGINT) AS id, CAST(NULL AS INT) AS color"
+        " WHERE FALSE)",
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(f"""nm{i} AS MATERIALIZED (
+  SELECT src AS id, min({pri("dst")}) AS nmin FROM u{i - 1} GROUP BY src)""")
+        parts.append(f"""w{i} AS MATERIALIZED (
+  SELECT a.id FROM a{i - 1} a LEFT JOIN nm{i} n ON n.id = a.id
+  WHERE n.nmin IS NULL OR {pri("a.id")} < n.nmin)""")
+        parts.append(f"""used{i} AS MATERIALIZED (
+  SELECT DISTINCT u.src AS id, c.color FROM und_b u
+  JOIN w{i} w ON u.src = w.id JOIN c{i - 1} c ON c.id = u.dst)""")
+        parts.append(f"""k{i} AS MATERIALIZED (
+  SELECT id, count(*) AS k FROM used{i} GROUP BY id)""")
+        parts.append(f"""newc{i} AS MATERIALIZED (
+  SELECT w.id, min(n.n) AS color
+  FROM w{i} w
+  LEFT JOIN k{i} kk ON kk.id = w.id
+  JOIN nums n ON n.n <= coalesce(kk.k, 0)
+  LEFT JOIN used{i} x ON x.id = w.id AND x.color = n.n
+  WHERE x.color IS NULL GROUP BY w.id)""")
+        parts.append(
+            f"c{i} AS MATERIALIZED (SELECT id, color FROM c{i - 1} "
+            f"UNION ALL SELECT id, color FROM newc{i})"
+        )
+        parts.append(
+            f"a{i} AS MATERIALIZED (SELECT id FROM a{i - 1} "
+            f"WHERE id NOT IN (SELECT id FROM w{i}))"
+        )
+        parts.append(f"""u{i} AS MATERIALIZED (
+  SELECT u.src, u.dst FROM u{i - 1} u
+  JOIN a{i} x ON u.src = x.id JOIN a{i} y ON u.dst = y.id)""")
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT id, CAST(color AS BIGINT) AS color FROM c{rounds}"
+    )
+
+
+COLORING_SQL = _coloring_sql(6)
+
+REGISTRY["graph_coloring"] = (q_graph_coloring, COLORING_SQL)

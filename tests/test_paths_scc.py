@@ -638,3 +638,35 @@ def test_louvain_multilevel_matches_sequential_oracle(spark, edges30, edge_rows)
                                 num_rounds=3).collect()}
     for v, u in [(a, b) for a in got for b in got if l1[a] == l1[b]]:
         assert got[v] == got[u]
+
+
+def test_jones_plassmann_coloring_matches_sequential(spark, edges30, edge_rows):
+    from linkgraph.algos.coloring import jones_plassmann_coloring
+
+    colors_df, metrics = jones_plassmann_coloring(edges30)
+    got = {r["id"]: r["color"] for r in colors_df.collect()}
+    want, rounds = oracles.coloring_oracle(edge_rows)
+    assert got == want
+    assert len(metrics) == rounds
+    assert metrics[-1]["active"] == 0
+    # proper coloring + greedy palette bound (max degree + 1)
+    und = {}
+    for a, b in edge_rows:
+        if a != b:
+            und.setdefault(a, set()).add(b)
+            und.setdefault(b, set()).add(a)
+    assert all(got[v] != got[u] for v in und for u in und[v])
+    assert max(got.values()) <= max(len(n) for n in und.values())
+
+
+def test_coloring_partial_rounds_prefix(spark, edges30, edge_rows):
+    """A capped run is exactly the first-R-rounds prefix of the fixpoint
+    run (the suite's 6-round gate relies on this)."""
+    from linkgraph.algos.coloring import jones_plassmann_coloring
+
+    full_df, _ = jones_plassmann_coloring(edges30)
+    part_df, metrics = jones_plassmann_coloring(edges30, max_rounds=3)
+    full = {r["id"]: r["color"] for r in full_df.collect()}
+    part = {r["id"]: r["color"] for r in part_df.collect()}
+    assert len(metrics) == 3 and part
+    assert all(full[v] == c for v, c in part.items())
