@@ -780,3 +780,24 @@ def coloring_oracle(
             colors[v] = c
         active -= set(winners)
     return colors, rounds
+
+
+def msf_oracle(wedges: list[tuple[int, int, int]]) -> set[tuple[int, int, int]]:
+    """Kruskal with the total order (w, a, b) — since (a, b) is unique per
+    canonical edge, the minimum spanning forest is unique and any correct
+    MSF algorithm using the same tie-break returns exactly this set."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    out: set[tuple[int, int, int]] = set()
+    for w, a, b in sorted((w, a, b) for a, b, w in wedges):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+            out.add((a, b, w))
+    return out

@@ -3578,3 +3578,89 @@ def _coloring_sql(rounds: int) -> str:
 COLORING_SQL = _coloring_sql(6)
 
 REGISTRY["graph_coloring"] = (q_graph_coloring, COLORING_SQL)
+
+
+def q_boruvka_msf(spark, sf_dir):
+    """Minimum spanning forest (Borůvka, total-order (w,a,b) tie-break)
+    of the weighted undirected derived graph B; weights are the
+    deterministic integer hash (a*31+b*17)%997+1, so the MSF is unique
+    and the SQL twin (unrolled Borůvka with recursive-CTE contraction)
+    and the pytest Kruskal oracle agree bit-for-bit."""
+    from .algos.msf import boruvka_msf
+
+    we = (
+        edges_b(spark, sf_dir)
+        .select(F.least("src", "dst").alias("a"),
+                F.greatest("src", "dst").alias("b"))
+        .distinct()
+        .withColumn("w", (F.col("a") * 31 + F.col("b") * 17) % 997 + 1)
+    )
+    forest, _ = boruvka_msf(we, max_rounds=6, partitions=8)
+    return forest.select(
+        F.col("a").cast("long").alias("a"),
+        F.col("b").cast("long").alias("b"),
+        F.col("w").cast("long").alias("w"),
+    )
+
+
+def _msf_sql(rounds: int) -> str:
+    # Measured fixpoint: 4 rounds at every sf (contraction is full CC of
+    # the chosen-edge graph, so components collapse to one label per
+    # round-component); 6 = margin.  Struct min is lexicographic in both
+    # engines; per-round contraction is a stratified recursive closure
+    # (DuckDB supports recursive CTEs referencing completed ones).
+    key = "{'w': w, 'ka': a, 'kb': b, 'ca': ca, 'cb': cb}"
+    parts = [
+        EDGES_B_SQL,
+        """we AS MATERIALIZED (
+  SELECT a, b, (a * 31 + b * 17) % 997 + 1 AS w FROM (
+    SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+    FROM edges_b))""",
+        "lab0 AS MATERIALIZED (SELECT DISTINCT id, id AS comp FROM ("
+        "SELECT a AS id FROM we UNION ALL SELECT b FROM we))",
+        "f0 AS (SELECT CAST(NULL AS BIGINT) AS a, CAST(NULL AS BIGINT) AS b,"
+        " CAST(NULL AS BIGINT) AS w WHERE FALSE)",
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(f"""el{i} AS MATERIALIZED (
+  SELECT e.a, e.b, e.w, la.comp AS ca, lb.comp AS cb
+  FROM we e JOIN lab{i - 1} la ON la.id = e.a
+  JOIN lab{i - 1} lb ON lb.id = e.b
+  WHERE la.comp <> lb.comp)""")
+        parts.append(f"""ch{i} AS MATERIALIZED (
+  SELECT comp, min(key) AS e FROM (
+    SELECT ca AS comp, {key} AS key FROM el{i}
+    UNION ALL SELECT cb AS comp, {key} AS key FROM el{i})
+  GROUP BY comp)""")
+        parts.append(f"""che{i} AS MATERIALIZED (
+  SELECT DISTINCT e.w AS w, e.ka AS a, e.kb AS b, e.ca AS ca, e.cb AS cb
+  FROM ch{i})""")
+        parts.append(f"""cg{i} AS MATERIALIZED (
+  SELECT DISTINCT x, y FROM (
+    SELECT ca AS x, cb AS y FROM che{i}
+    UNION ALL SELECT cb AS x, ca AS y FROM che{i}))""")
+        parts.append(
+            f"rc{i} AS (SELECT x, y FROM cg{i} "
+            f"UNION SELECT r.x, g.y FROM rc{i} r JOIN cg{i} g ON g.x = r.y)"
+        )
+        parts.append(
+            f"nl{i} AS MATERIALIZED (SELECT x AS comp, least(x, min(y)) "
+            f"AS newc FROM rc{i} GROUP BY x)"
+        )
+        parts.append(f"""lab{i} AS MATERIALIZED (
+  SELECT l.id, coalesce(n.newc, l.comp) AS comp
+  FROM lab{i - 1} l LEFT JOIN nl{i} n ON n.comp = l.comp)""")
+        parts.append(
+            f"f{i} AS (SELECT a, b, w FROM f{i - 1} "
+            f"UNION ALL SELECT a, b, w FROM che{i})"
+        )
+    return (
+        "WITH RECURSIVE " + ",\n".join(parts)
+        + f"\nSELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,"
+        f" CAST(w AS BIGINT) AS w FROM f{rounds}"
+    )
+
+
+MSF_SQL = _msf_sql(6)
+
+REGISTRY["boruvka_msf"] = (q_boruvka_msf, MSF_SQL)

@@ -670,3 +670,39 @@ def test_coloring_partial_rounds_prefix(spark, edges30, edge_rows):
     part = {r["id"]: r["color"] for r in part_df.collect()}
     assert len(metrics) == 3 and part
     assert all(full[v] == c for v, c in part.items())
+
+
+def test_boruvka_msf_matches_kruskal(spark, edges30, edge_rows):
+    from pyspark.sql import functions as F
+
+    from linkgraph.algos.msf import boruvka_msf
+
+    we = (
+        edges30.select(F.least("src", "dst").alias("a"),
+                       F.greatest("src", "dst").alias("b"))
+        .filter(F.col("a") != F.col("b")).distinct()
+        .withColumn("w", (F.col("a") * 31 + F.col("b") * 17) % 997 + 1)
+    )
+    forest, metrics = boruvka_msf(we)
+    got = {(r["a"], r["b"], r["w"]) for r in forest.collect()}
+    wedges = [(r["a"], r["b"], r["w"]) for r in we.collect()]
+    assert got == oracles.msf_oracle(wedges)
+    assert metrics[-1]["live"] == 0
+    # spanning: forest joins exactly the components of the input graph;
+    # acyclic: |F| = |V| - #components (Kruskal oracle guarantees both,
+    # checked independently here)
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b, _ in got:
+        ra, rb = find(a), find(b)
+        assert ra != rb  # acyclic
+        parent[ra] = rb
+    verts = {v for a, b, _ in wedges for v in (a, b)}
+    n_comp = len({find(v) for v in verts})
+    assert len(got) == len(verts) - n_comp
