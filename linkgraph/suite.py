@@ -3664,3 +3664,43 @@ def _msf_sql(rounds: int) -> str:
 MSF_SQL = _msf_sql(6)
 
 REGISTRY["boruvka_msf"] = (q_boruvka_msf, MSF_SQL)
+
+
+def q_powerlaw_alpha(spark, sf_dir):
+    """Power-law exponent MLE of the in-degree distribution (Clauset
+    continuous approximation, d_min = 2): alpha = 1 + n / sum ln(d/1.5).
+    Each ln term is e6-quantized BEFORE summing, so the sum is an exact
+    BIGINT in both engines and the final alpha is one double expression
+    over two exact integers — the web-graph "is it scale-free" check."""
+    deg = (
+        edges_a(spark, sf_dir)
+        .groupBy("dst").agg(F.count(F.lit(1)).alias("d"))
+        .filter(F.col("d") >= 2)
+    )
+    agg = deg.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.round(F.log(F.col("d") / 1.5) * 1e6).cast("long"))
+        .cast("long").alias("sum_ln_e6"),
+    )
+    return agg.select(
+        "n", "sum_ln_e6",
+        (F.lit(1_000_000)
+         + F.round(F.col("n").cast("double") * 1e12 / F.col("sum_ln_e6")))
+        .cast("long").alias("alpha_e6"),
+    )
+
+
+POWERLAW_SQL = f"""
+WITH {EDGES_A_SQL},
+deg AS (SELECT dst, count(*) AS d FROM edges_a GROUP BY dst
+        HAVING count(*) >= 2),
+q AS (SELECT CAST(round(ln(d / 1.5) * 1e6) AS BIGINT) AS t FROM deg),
+s AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(t) AS BIGINT) AS sum_ln_e6
+      FROM q)
+SELECT n, sum_ln_e6,
+       CAST(1000000 + round(CAST(n AS DOUBLE) * 1e12 / sum_ln_e6) AS BIGINT)
+         AS alpha_e6
+FROM s
+"""
+
+REGISTRY["powerlaw_alpha"] = (q_powerlaw_alpha, POWERLAW_SQL)

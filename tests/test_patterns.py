@@ -49,3 +49,32 @@ def test_pattern_validation():
         patterns.plan_pattern([(0, 1), (2, 3)])  # disconnected
     with pytest.raises(ValueError):
         patterns.automorphisms([(0, 2)])  # gap in vertex ids
+
+
+def test_powerlaw_alpha_formula(spark):
+    """suite.q_powerlaw_alpha on a written fixture dir matches the
+    Clauset-MLE formula computed sequentially with the same per-element
+    e6 quantization."""
+    import decimal
+    import math
+
+    from linkgraph import suite
+
+    # write a lineitem table whose derived graph A equals... simpler:
+    # compute directly from the derived graph of the real sf0.001 dir
+    sf = "/root/testdata/sf0.001"
+    got = suite.q_powerlaw_alpha(spark, sf).collect()[0]
+
+    rows = suite.edges_a(spark, sf).collect()
+    indeg = {}
+    for r in rows:
+        indeg[r["dst"]] = indeg.get(r["dst"], 0) + 1
+    q = [int(decimal.Decimal(math.log(d / 1.5) * 1e6).quantize(
+        0, rounding=decimal.ROUND_HALF_UP)) for d in indeg.values() if d >= 2]
+    n, s = len(q), sum(q)
+    alpha = 1_000_000 + int(decimal.Decimal(n * 1e12 / s).quantize(
+        0, rounding=decimal.ROUND_HALF_UP))
+    assert (got["n"], got["sum_ln_e6"], got["alpha_e6"]) == (n, s, alpha)
+    # MLE is >1 by construction (every term positive); the derived hash
+    # graph is near-uniform-degree so alpha is small, not scale-free
+    assert got["alpha_e6"] > 1_000_000
