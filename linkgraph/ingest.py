@@ -175,3 +175,50 @@ def ingest_pages(pages: DataFrame, partitions: int = 32):
 def write_edge_table(edges: DataFrame, path: str, buckets: int = 0) -> None:
     """Persist the edge table as Parquet, partitioned for src-keyed reuse."""
     edges.write.mode("overwrite").parquet(path)
+
+
+def host_of(url_col) -> "F.Column":
+    """Host part of a URL column — JVM-side regexp, no UDF."""
+    return F.regexp_extract(url_col, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/]+)", 1)
+
+
+def host_graph(url_edges: DataFrame) -> DataFrame:
+    """Contract a page-level URL edge list ``(src_url, dst_url)`` to the
+    weighted host graph ``(src_host, dst_host, weight)`` — the standard
+    Common-Crawl rollup (host-level PageRank inputs are this table).
+
+    One regexp projection + one grouped count: the host-graph cardinality
+    is orders of magnitude below the page graph, so every downstream
+    superstep runs on the contracted table (same rationale as the SCC
+    condensation, algos/scc.py).  Self-loops (intra-host links) are kept:
+    ``host_locality`` consumes them.
+    """
+    return (
+        url_edges.select(
+            host_of(F.col("src_url")).alias("src_host"),
+            host_of(F.col("dst_url")).alias("dst_host"),
+        )
+        .groupBy("src_host", "dst_host")
+        .agg(F.count(F.lit(1)).alias("weight"))
+    )
+
+
+def host_locality(hgraph: DataFrame) -> DataFrame:
+    """Per-host intra-host link share: e6-quantized ratio of self-loop
+    weight to total out-weight (crawl-frontier locality diagnostic)."""
+    return (
+        hgraph.groupBy(F.col("src_host").alias("host"))
+        .agg(
+            F.sum("weight").alias("out_weight"),
+            F.sum(F.when(F.col("src_host") == F.col("dst_host"),
+                         F.col("weight")).otherwise(F.lit(0)))
+            .alias("intra_weight"),
+        )
+        .select(
+            "host", F.col("out_weight").cast("long").alias("out_weight"),
+            F.col("intra_weight").cast("long").alias("intra_weight"),
+            F.round(F.col("intra_weight").cast("double") * 1e6
+                    / F.col("out_weight"))
+            .cast("long").alias("locality_e6"),
+        )
+    )

@@ -3704,3 +3704,67 @@ FROM s
 """
 
 REGISTRY["powerlaw_alpha"] = (q_powerlaw_alpha, POWERLAW_SQL)
+
+
+def q_host_graph(spark, sf_dir):
+    """Weighted host-graph rollup of the derived page graph: synthesize
+    deterministic urls for graph-A vertices (host = id mod 40), contract
+    with ingest.host_graph (regexp host extraction + grouped count) —
+    the Common-Crawl page→host contraction."""
+    from .ingest import host_graph
+
+    def url(c):
+        return F.concat(
+            F.lit("https://host"), (F.col(c) % 40).cast("string"),
+            F.lit(".example/p"), F.col(c).cast("string"),
+        )
+
+    pages = edges_a(spark, sf_dir).select(
+        url("src").alias("src_url"), url("dst").alias("dst_url"))
+    return host_graph(pages).select(
+        "src_host", "dst_host", F.col("weight").cast("long").alias("weight"))
+
+
+HOST_GRAPH_SQL = f"""
+WITH {EDGES_A_SQL},
+pages AS (
+  SELECT 'https://host' || CAST(src % 40 AS VARCHAR) || '.example/p'
+           || CAST(src AS VARCHAR) AS src_url,
+         'https://host' || CAST(dst % 40 AS VARCHAR) || '.example/p'
+           || CAST(dst AS VARCHAR) AS dst_url
+  FROM edges_a)
+SELECT regexp_extract(src_url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/]+)', 1)
+         AS src_host,
+       regexp_extract(dst_url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/]+)', 1)
+         AS dst_host,
+       CAST(count(*) AS BIGINT) AS weight
+FROM pages GROUP BY 1, 2
+"""
+
+REGISTRY["host_graph_rollup"] = (q_host_graph, HOST_GRAPH_SQL)
+
+
+def q_host_locality(spark, sf_dir):
+    """Per-host intra-host link share (e6 ratio of self-loop weight to
+    out-weight) over the host-graph rollup."""
+    from .ingest import host_locality
+
+    return host_locality(q_host_graph(spark, sf_dir))
+
+
+HOST_LOCALITY_SQL = f"""
+WITH {EDGES_A_SQL},
+hg AS (
+  SELECT src % 40 AS sh, dst % 40 AS dh, count(*) AS weight
+  FROM edges_a GROUP BY 1, 2)
+SELECT 'host' || CAST(sh AS VARCHAR) || '.example' AS host,
+       CAST(sum(weight) AS BIGINT) AS out_weight,
+       CAST(sum(CASE WHEN sh = dh THEN weight ELSE 0 END) AS BIGINT)
+         AS intra_weight,
+       CAST(round(CAST(sum(CASE WHEN sh = dh THEN weight ELSE 0 END)
+                       AS DOUBLE) * 1e6 / sum(weight)) AS BIGINT)
+         AS locality_e6
+FROM hg GROUP BY 1
+"""
+
+REGISTRY["host_locality"] = (q_host_locality, HOST_LOCALITY_SQL)

@@ -85,3 +85,28 @@ def test_union_with_zipgraph(spark, graph30):
     ea = {(r["src"], r["dst"]) for r in a.edges.collect()}
     eb = {(r["src"], r["dst"]) for r in b.edges.collect()}
     assert {(r["src"], r["dst"]) for r in u.edges.collect()} == ea | eb
+
+
+def test_host_graph_and_locality(spark):
+    from pyspark.sql import functions as F
+
+    from linkgraph.ingest import host_graph, host_locality
+
+    rows = [
+        ("https://a.com/x", "https://b.com/y"),
+        ("https://a.com/z", "https://b.com/y"),
+        ("https://a.com/x", "https://a.com/z"),
+        ("http://b.com:8080/p", "https://a.com/x"),   # port stays in host
+        ("ftp://c.org/f", "https://a.com/"),
+    ]
+    e = spark.createDataFrame(rows, "src_url string, dst_url string")
+    hg = {(r["src_host"], r["dst_host"]): r["weight"]
+          for r in host_graph(e).collect()}
+    assert hg == {("a.com", "b.com"): 2, ("a.com", "a.com"): 1,
+                  ("b.com:8080", "a.com"): 1, ("c.org", "a.com"): 1}
+    loc = {r["host"]: (r["out_weight"], r["intra_weight"], r["locality_e6"])
+           for r in host_locality(host_graph(e)).collect()}
+    assert loc["a.com"] == (3, 1, 333333)
+    assert loc["b.com:8080"] == (1, 0, 0)
+    # weight conservation: host-graph total weight == page edge count
+    assert sum(w for w in hg.values()) == len(rows)
