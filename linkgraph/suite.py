@@ -3768,3 +3768,77 @@ FROM hg GROUP BY 1
 """
 
 REGISTRY["host_locality"] = (q_host_locality, HOST_LOCALITY_SQL)
+
+
+def q_host_pagerank(spark, sf_dir):
+    """Host-level weighted PageRank: page graph → host_graph rollup →
+    drop intra-host self-loops → pagerank_weighted over link-count
+    weights, 3 supersteps; e8.  The standard Common-Crawl host ranking,
+    exercising contraction → iterative-algorithm composition."""
+    from .algos.pagerank import pagerank_weighted
+
+    hg = q_host_graph(spark, sf_dir).filter(
+        F.col("src_host") != F.col("dst_host"))
+    ranks = pagerank_weighted(
+        hg.select(F.col("src_host").alias("src"),
+                  F.col("dst_host").alias("dst"),
+                  F.col("weight").cast("double").alias("weight")),
+        num_iters=3, partitions=8,
+    )
+    return ranks.select(
+        F.col("id").alias("host"),
+        F.round(F.col("rank") * 1e8).cast("long").alias("rank_e8"),
+    )
+
+
+def _host_pagerank_sql(num_iters: int) -> str:
+    # The weighted-PR template (gate-proven at V_A) with a dynamic vertex
+    # count: hosts come from the rollup, self-loops dropped before PR.
+    d = 0.85
+    parts = [
+        EDGES_A_SQL,
+        "hg AS MATERIALIZED (SELECT src % 40 AS sh, dst % 40 AS dh, "
+        "count(*) AS w FROM edges_a GROUP BY 1, 2)",
+        """he AS MATERIALIZED (
+  SELECT 'host' || CAST(sh AS VARCHAR) || '.example' AS src,
+         'host' || CAST(dh AS VARCHAR) || '.example' AS dst,
+         CAST(w AS DOUBLE) AS w
+  FROM hg WHERE sh <> dh)""",
+        "hv AS MATERIALIZED (SELECT DISTINCT id FROM ("
+        "SELECT src AS id FROM he UNION ALL SELECT dst FROM he))",
+        "nv AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM hv)",
+        "wout AS MATERIALIZED (SELECT src AS id, sum(w) AS w_out "
+        "FROM he GROUP BY src)",
+        "r0 AS (SELECT id, 1.0 / n AS rank FROM hv CROSS JOIN nv)",
+    ]
+    for i in range(1, num_iters + 1):
+        p = f"r{i - 1}"
+        parts.append(
+            f"""live{i} AS MATERIALIZED (
+  SELECT coalesce(sum(r.rank), 0) AS s FROM {p} r
+  JOIN wout o ON r.id = o.id)"""
+        )
+        parts.append(
+            f"""c{i} AS MATERIALIZED (
+  SELECT e.dst AS id, sum(r.rank * e.w / o.w_out) AS contrib
+  FROM he e JOIN {p} r ON e.src = r.id JOIN wout o ON e.src = o.id
+  GROUP BY e.dst)"""
+        )
+        parts.append(
+            f"""r{i} AS MATERIALIZED (
+  SELECT v.id,
+         (1.0 - {d}) / x.n + {d} * (coalesce(c.contrib, 0)
+             + (1.0 - l.s) / x.n) AS rank
+  FROM hv v LEFT JOIN c{i} c ON v.id = c.id
+  CROSS JOIN live{i} l CROSS JOIN nv x)"""
+        )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT id AS host, CAST(round(rank * 1e8) AS BIGINT) AS rank_e8"
+        f" FROM r{num_iters}"
+    )
+
+
+HOST_PAGERANK_SQL = _host_pagerank_sql(3)
+
+REGISTRY["host_pagerank"] = (q_host_pagerank, HOST_PAGERANK_SQL)

@@ -110,3 +110,27 @@ def test_host_graph_and_locality(spark):
     assert loc["b.com:8080"] == (1, 0, 0)
     # weight conservation: host-graph total weight == page edge count
     assert sum(w for w in hg.values()) == len(rows)
+
+
+def test_host_pagerank_composition(spark):
+    """host_graph → pagerank_weighted composition: mass conserved and the
+    sink-heavy host dominates on a hand-built asymmetric page graph."""
+    from pyspark.sql import functions as F
+
+    from linkgraph.algos.pagerank import pagerank_weighted
+    from linkgraph.ingest import host_graph
+
+    rows = [(f"https://h{s}.x/p{i}", f"https://h{d}.x/q{i}")
+            for i, (s, d) in enumerate(
+                [(0, 2), (1, 2), (0, 2), (1, 0), (2, 2), (0, 1)])]
+    e = spark.createDataFrame(rows, "src_url string, dst_url string")
+    hg = host_graph(e).filter(F.col("src_host") != F.col("dst_host"))
+    ranks = pagerank_weighted(
+        hg.select(F.col("src_host").alias("src"),
+                  F.col("dst_host").alias("dst"),
+                  F.col("weight").cast("double").alias("weight")),
+        num_iters=10,
+    ).collect()
+    r = {row["id"]: row["rank"] for row in ranks}
+    assert abs(sum(r.values()) - 1.0) < 1e-9
+    assert r["h2.x"] == max(r.values())  # 3 of 5 cross-host links point at h2
