@@ -203,3 +203,31 @@ class LinkGraph:
         for df in self._cache.values():
             df.unpersist()
         self._cache.clear()
+
+
+def edge_delta(old: DataFrame, new: DataFrame) -> DataFrame:
+    """Crawl-to-crawl link delta: classify every distinct edge of two
+    snapshots as ``added`` (new only), ``removed`` (old only) or ``kept``.
+
+    One full-outer join on the (src, dst) key — both sides deduped first
+    so the join is key-unique and the output has one row per edge.  At
+    web scale both snapshots are parquet edge tables bucketed on src, so
+    the join co-locates without a shuffle; the status column is a pure
+    projection (whole-stage codegen).  This is the input to incremental
+    recomputation (warm-start ``algos.pagerank.pagerank(...,
+    initial_ranks=prev)`` after folding the added/removed sets in —
+    the `incremental_pagerank` suite query's delta path).
+    """
+    o = old.select("src", "dst").dropDuplicates(["src", "dst"]) \
+        .withColumn("_o", F.lit(1))
+    n = new.select("src", "dst").dropDuplicates(["src", "dst"]) \
+        .withColumn("_n", F.lit(1))
+    return (
+        o.join(n, ["src", "dst"], "full_outer")
+        .select(
+            "src", "dst",
+            F.when(F.col("_o").isNull(), F.lit("added"))
+            .when(F.col("_n").isNull(), F.lit("removed"))
+            .otherwise(F.lit("kept")).alias("status"),
+        )
+    )

@@ -3842,3 +3842,49 @@ def _host_pagerank_sql(num_iters: int) -> str:
 HOST_PAGERANK_SQL = _host_pagerank_sql(3)
 
 REGISTRY["host_pagerank"] = (q_host_pagerank, HOST_PAGERANK_SQL)
+
+
+def q_crawl_delta(spark, sf_dir):
+    """Crawl-to-crawl link delta: two deterministic edge snapshots from
+    the orders table (o_orderkey%10<2 vs %10 IN (1,2) — overlapping, so
+    all three statuses occur), classified added/removed/kept by one
+    full-outer join (graph.edge_delta)."""
+    from .graph import edge_delta
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    s = (F.col("o_orderkey").cast("long") * 13 + 7) % V_B
+    d = (F.col("o_custkey").cast("long") * 17 + 5) % V_B
+
+    def snap(pred):
+        return (o.filter(pred).select(s.alias("src"), d.alias("dst"))
+                .filter(F.col("src") != F.col("dst")))
+
+    old = snap(F.col("o_orderkey") % 10 < 2)
+    new = snap((F.col("o_orderkey") % 10 >= 1) & (F.col("o_orderkey") % 10 <= 2))
+    return edge_delta(old, new).select(
+        F.col("src").cast("long").alias("src"),
+        F.col("dst").cast("long").alias("dst"), "status")
+
+
+CRAWL_DELTA_SQL = f"""
+WITH o_snap AS (
+  SELECT DISTINCT CAST((o_orderkey * 13 + 7) % {V_B} AS BIGINT) AS src,
+         CAST((o_custkey * 17 + 5) % {V_B} AS BIGINT) AS dst
+  FROM orders
+  WHERE o_orderkey % 10 < 2
+    AND (o_orderkey * 13 + 7) % {V_B} <> (o_custkey * 17 + 5) % {V_B}),
+n_snap AS (
+  SELECT DISTINCT CAST((o_orderkey * 13 + 7) % {V_B} AS BIGINT) AS src,
+         CAST((o_custkey * 17 + 5) % {V_B} AS BIGINT) AS dst
+  FROM orders
+  WHERE o_orderkey % 10 BETWEEN 1 AND 2
+    AND (o_orderkey * 13 + 7) % {V_B} <> (o_custkey * 17 + 5) % {V_B})
+SELECT coalesce(o.src, n.src) AS src, coalesce(o.dst, n.dst) AS dst,
+       CASE WHEN o.src IS NULL THEN 'added'
+            WHEN n.src IS NULL THEN 'removed'
+            ELSE 'kept' END AS status
+FROM o_snap o FULL OUTER JOIN n_snap n
+  ON o.src = n.src AND o.dst = n.dst
+"""
+
+REGISTRY["crawl_delta"] = (q_crawl_delta, CRAWL_DELTA_SQL)

@@ -134,3 +134,16 @@ def test_host_pagerank_composition(spark):
     r = {row["id"]: row["rank"] for row in ranks}
     assert abs(sum(r.values()) - 1.0) < 1e-9
     assert r["h2.x"] == max(r.values())  # 3 of 5 cross-host links point at h2
+
+
+def test_edge_delta_statuses(spark):
+    from linkgraph.graph import edge_delta
+
+    old = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (3, 4)], "src long, dst long")  # dup row
+    new = spark.createDataFrame(
+        [(2, 3), (4, 5)], "src long, dst long")
+    got = {(r["src"], r["dst"]): r["status"]
+           for r in edge_delta(old, new).collect()}
+    assert got == {(1, 2): "removed", (2, 3): "kept",
+                   (3, 4): "removed", (4, 5): "added"}
