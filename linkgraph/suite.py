@@ -3888,3 +3888,94 @@ FROM o_snap o FULL OUTER JOIN n_snap n
 """
 
 REGISTRY["crawl_delta"] = (q_crawl_delta, CRAWL_DELTA_SQL)
+
+
+def q_trustrank_spam_mass(spark, sf_dir):
+    """TrustRank (personalized PageRank teleporting to a deterministic
+    trust-seed whitelist, id%29==3) vs global PageRank on graph B, and
+    the relative spam mass (pr - tr)/pr per vertex — the classic
+    web-spam demotion signal (Gyöngyi et al.).  Both vectors e8-quantized
+    first, so the spam ratio is one double expression over exact ints;
+    seeds can have tr > pr, so spam mass may be negative (trust-rich)."""
+    from .algos.pagerank import pagerank, personalized_pagerank
+
+    eb = edges_b(spark, sf_dir)
+    vb = verts(spark, V_B)
+    pr, _ = pagerank(eb, vertices=vb, num_iters=4, partitions=8)
+    tr = personalized_pagerank(
+        eb, sources=vb.filter(F.col("id") % 29 == 3), vertices=vb,
+        num_iters=4, partitions=8,
+    )
+    j = (
+        pr.select("id", F.round(F.col("rank") * 1e8).cast("long").alias("pr_e8"))
+        .join(tr.select(
+            "id", F.round(F.col("rank") * 1e8).cast("long").alias("tr_e8")),
+            "id")
+    )
+    return j.select(
+        "id", "pr_e8", "tr_e8",
+        F.round((F.col("pr_e8") - F.col("tr_e8")).cast("double") * 1e6
+                / F.col("pr_e8")).cast("long").alias("spam_e6"),
+    )
+
+
+def _trustrank_sql(num_iters: int) -> str:
+    d = 0.85
+    v = V_B
+    parts = [
+        EDGES_B_SQL, VERTS_B_SQL,
+        "outd AS (SELECT src AS id, CAST(count(*) AS DOUBLE) AS od "
+        "FROM edges_b GROUP BY src)",
+        f"ns AS (SELECT CAST(count(*) AS DOUBLE) AS c FROM verts_b "
+        f"WHERE id % 29 = 3)",
+        f"pr0 AS (SELECT id, 1.0/{v} AS rank FROM verts_b)",
+        "reset AS (SELECT v.id, CASE WHEN v.id % 29 = 3 THEN 1.0/s.c "
+        "ELSE 0.0 END AS p FROM verts_b v CROSS JOIN ns s)",
+        "tr0 AS (SELECT id, p AS rank FROM reset)",
+    ]
+    for i in range(1, num_iters + 1):
+        parts.append(
+            f"""pd{i} AS (SELECT coalesce(sum(r.rank), 0) AS dm FROM pr{i - 1} r
+  LEFT JOIN outd o ON r.id = o.id WHERE o.id IS NULL)"""
+        )
+        parts.append(
+            f"""pc{i} AS (SELECT e.dst AS id, sum(r.rank / o.od) AS contrib
+  FROM edges_b e JOIN pr{i - 1} r ON e.src = r.id
+  JOIN outd o ON e.src = o.id GROUP BY e.dst)"""
+        )
+        parts.append(
+            f"""pr{i} AS (SELECT v.id,
+  {(1.0 - d) / v!r} + {d} * (coalesce(c.contrib, 0) + (SELECT dm FROM pd{i})/{v}) AS rank
+  FROM verts_b v LEFT JOIN pc{i} c ON v.id = c.id)"""
+        )
+        parts.append(
+            f"""td{i} AS MATERIALIZED (SELECT coalesce(sum(r.rank), 0) AS dm FROM tr{i - 1} r
+  LEFT JOIN outd o ON r.id = o.id WHERE o.id IS NULL)"""
+        )
+        parts.append(
+            f"""tc{i} AS MATERIALIZED (SELECT e.dst AS id, sum(r.rank / o.od) AS contrib
+  FROM edges_b e JOIN tr{i - 1} r ON e.src = r.id
+  JOIN outd o ON e.src = o.id GROUP BY e.dst)"""
+        )
+        parts.append(
+            f"""tr{i} AS MATERIALIZED (SELECT v.id,
+  {1.0 - d} * rs.p + {d} * (coalesce(c.contrib, 0) + dd.dm * rs.p) AS rank
+  FROM verts_b v JOIN reset rs ON v.id = rs.id
+  LEFT JOIN tc{i} c ON v.id = c.id CROSS JOIN td{i} dd)"""
+        )
+    return (
+        "WITH " + ",\n".join(parts) + f"""
+SELECT p.id,
+       CAST(round(p.rank * 1e8) AS BIGINT) AS pr_e8,
+       CAST(round(t.rank * 1e8) AS BIGINT) AS tr_e8,
+       CAST(round(CAST(CAST(round(p.rank * 1e8) AS BIGINT)
+                       - CAST(round(t.rank * 1e8) AS BIGINT) AS DOUBLE)
+                  * 1e6 / CAST(round(p.rank * 1e8) AS BIGINT)) AS BIGINT)
+         AS spam_e6
+FROM pr{num_iters} p JOIN tr{num_iters} t ON t.id = p.id"""
+    )
+
+
+TRUSTRANK_SQL = _trustrank_sql(4)
+
+REGISTRY["trustrank_spam_mass"] = (q_trustrank_spam_mass, TRUSTRANK_SQL)

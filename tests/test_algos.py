@@ -214,3 +214,26 @@ def test_pagerank_warm_start(spark, edges30, vertices30):
     got_w = {r["id"]: r["rank"] for r in warm.collect()}
     for i in range(30):
         assert abs(got_c[i] - got_w[i]) < 1e-8
+
+
+def test_trustrank_seeds_get_trust(spark):
+    """On a two-cluster graph where only cluster A holds a trust seed,
+    every cluster-B vertex has higher relative spam mass than any
+    cluster-A vertex (the Gyöngyi spam-demotion property)."""
+    from pyspark.sql import functions as F
+
+    from linkgraph.algos.pagerank import pagerank, personalized_pagerank
+
+    # cluster A: 0-3 ring; cluster B: 10-13 ring; one weak A<->B bridge
+    rows = [(0, 1), (1, 2), (2, 3), (3, 0),
+            (10, 11), (11, 12), (12, 13), (13, 10), (3, 10), (13, 0)]
+    e = spark.createDataFrame(rows, "src long, dst long")
+    v = spark.createDataFrame(
+        [(i,) for i in [0, 1, 2, 3, 10, 11, 12, 13]], "id long")
+    seeds = spark.createDataFrame([(0,)], "id long")
+    pr = {r["id"]: r["rank"]
+          for r in pagerank(e, vertices=v, num_iters=20)[0].collect()}
+    tr = {r["id"]: r["rank"] for r in personalized_pagerank(
+        e, sources=seeds, vertices=v, num_iters=20).collect()}
+    spam = {i: (pr[i] - tr[i]) / pr[i] for i in pr}
+    assert max(spam[i] for i in [0, 1, 2, 3]) < min(spam[i] for i in [10, 11, 12, 13])
