@@ -3979,3 +3979,51 @@ FROM pr{num_iters} p JOIN tr{num_iters} t ON t.id = p.id"""
 TRUSTRANK_SQL = _trustrank_sql(4)
 
 REGISTRY["trustrank_spam_mass"] = (q_trustrank_spam_mass, TRUSTRANK_SQL)
+
+
+def q_seed_voronoi(spark, sf_dir):
+    """Nearest-seed Voronoi partition (multi-source BFS, (dist, seed)
+    struct-min) on the undirected derived graph B; seeds = vertices with
+    id%37==1.  Crawl-shard assignment: every host labeled by its closest
+    anchor; 8-round unrolled SQL twin (measured fixpoint ≤5 rounds)."""
+    from .algos.voronoi import nearest_seed_partition
+
+    eb = edges_b(spark, sf_dir)
+    seeds = (
+        eb.select(F.col("src").alias("id"))
+        .union(eb.select(F.col("dst").alias("id")))
+        .distinct().filter(F.col("id") % 37 == 1)
+    )
+    res, _ = nearest_seed_partition(eb, seeds, max_rounds=8, partitions=8)
+    return res.select(
+        F.col("id").cast("long").alias("id"),
+        F.col("dist").cast("long").alias("dist"),
+        F.col("seed").cast("long").alias("seed"),
+    )
+
+
+def _voronoi_sql(rounds: int) -> str:
+    parts = [
+        EDGES_B_SQL, UND_B_SQL,
+        """st0 AS MATERIALIZED (
+  SELECT id, {'d': CAST(0 AS BIGINT), 'l': id} AS m FROM (
+    SELECT DISTINCT src AS id FROM und_b) WHERE id % 37 = 1)""",
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(f"""cb{i} AS MATERIALIZED (
+  SELECT u.dst AS id, min({{'d': s.m.d + 1, 'l': s.m.l}}) AS c
+  FROM und_b u JOIN st{i - 1} s ON s.id = u.src GROUP BY u.dst)""")
+        parts.append(f"""st{i} AS MATERIALIZED (
+  SELECT coalesce(s.id, c.id) AS id,
+         CASE WHEN s.m IS NULL THEN c.c WHEN c.c IS NULL THEN s.m
+              WHEN s.m <= c.c THEN s.m ELSE c.c END AS m
+  FROM st{i - 1} s FULL OUTER JOIN cb{i} c ON c.id = s.id)""")
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT id, m.d AS dist, m.l AS seed FROM st{rounds}"
+    )
+
+
+VORONOI_SQL = _voronoi_sql(8)
+
+REGISTRY["seed_voronoi"] = (q_seed_voronoi, VORONOI_SQL)

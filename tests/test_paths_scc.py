@@ -706,3 +706,39 @@ def test_boruvka_msf_matches_kruskal(spark, edges30, edge_rows):
     verts = {v for a, b, _ in wedges for v in (a, b)}
     n_comp = len({find(v) for v in verts})
     assert len(got) == len(verts) - n_comp
+
+
+def test_nearest_seed_partition_matches_bfs(spark, edges30, edge_rows):
+    from linkgraph.algos.voronoi import nearest_seed_partition
+
+    seeds = spark.createDataFrame([(2,), (9,), (17,)], "id long")
+    res, metrics = nearest_seed_partition(edges30, seeds)
+    got = {r["id"]: (r["dist"], r["seed"]) for r in res.collect()}
+
+    und = {}
+    for a, b in edge_rows:
+        if a != b:
+            und.setdefault(a, set()).add(b)
+            und.setdefault(b, set()).add(a)
+    want = {v: (0, v) for v in (2, 9, 17)}
+    changed = True
+    while changed:
+        changed, new = False, dict(want)
+        for v in und:
+            best = want.get(v)
+            for u in und[v]:
+                if u in want:
+                    c = (want[u][0] + 1, want[u][1])
+                    if best is None or c < best:
+                        best = c
+            if best is not None and best != want.get(v):
+                new[v], changed = best, True
+        want = new
+    assert got == want
+    assert metrics[-1]["changed"] == 0
+    # Voronoi property: every vertex's dist is a shortest distance to
+    # SOME seed, and no neighbor offers a strictly better (dist, seed)
+    for v, (dv, lv) in got.items():
+        for u in und.get(v, ()):
+            if u in got:
+                assert (got[u][0] + 1, got[u][1]) >= (dv, lv)
