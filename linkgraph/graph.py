@@ -231,3 +231,34 @@ def edge_delta(old: DataFrame, new: DataFrame) -> DataFrame:
             .otherwise(F.lit("kept")).alias("status"),
         )
     )
+
+
+def ego_network(edges: DataFrame, seed: int, radius: int = 2) -> DataFrame:
+    """k-hop ego network: the subgraph induced by vertices within
+    ``radius`` undirected hops of ``seed``.
+
+    The ball comes from ``radius`` capped supersteps of the Voronoi
+    struct-min loop with a single seed (after r rounds the state holds
+    exactly the vertices at distance ≤ r, each with its true distance);
+    the induced edge set is two semi-joins of the undirected adjacency
+    against the ball — the subgraph-extraction primitive for
+    neighborhood audits ("show me everything within 2 clicks of this
+    host").  Returns edges ``(src, dst)`` of the induced undirected
+    subgraph (both orientations).
+    """
+    from .algos.voronoi import nearest_seed_partition
+
+    spark = edges.sparkSession
+    seeds = spark.createDataFrame([(int(seed),)], "id long")
+    ball, _ = nearest_seed_partition(edges, seeds, max_rounds=radius)
+    und = (
+        edges.select("src", "dst")
+        .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .filter(F.col("src") != F.col("dst"))
+        .dropDuplicates(["src", "dst"])
+    )
+    return (
+        und.join(ball.select(F.col("id").alias("src")), "src", "left_semi")
+        .join(ball.select(F.col("id").alias("dst")), "dst", "left_semi")
+        .select("src", "dst")
+    )

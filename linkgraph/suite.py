@@ -4027,3 +4027,29 @@ def _voronoi_sql(rounds: int) -> str:
 VORONOI_SQL = _voronoi_sql(8)
 
 REGISTRY["seed_voronoi"] = (q_seed_voronoi, VORONOI_SQL)
+
+
+def q_ego_network(spark, sf_dir):
+    """2-hop ego network of vertex 7 on the undirected derived graph B
+    (graph.ego_network: capped Voronoi ball + two induced semi-joins)."""
+    from .graph import ego_network
+
+    return ego_network(edges_b(spark, sf_dir), seed=7, radius=2).select(
+        F.col("src").cast("long").alias("src"),
+        F.col("dst").cast("long").alias("dst"),
+    )
+
+
+EGO_SQL = f"""
+WITH {EDGES_B_SQL}, {UND_B_SQL},
+b1 AS (SELECT DISTINCT id FROM (
+  SELECT CAST(7 AS BIGINT) AS id
+  UNION ALL SELECT dst FROM und_b WHERE src = 7)),
+b2 AS (SELECT DISTINCT id FROM (
+  SELECT id FROM b1
+  UNION ALL SELECT u.dst FROM und_b u JOIN b1 b ON u.src = b.id))
+SELECT u.src, u.dst FROM und_b u
+JOIN b2 x ON u.src = x.id JOIN b2 y ON u.dst = y.id
+"""
+
+REGISTRY["ego_network_2hop"] = (q_ego_network, EGO_SQL)

@@ -147,3 +147,16 @@ def test_edge_delta_statuses(spark):
            for r in edge_delta(old, new).collect()}
     assert got == {(1, 2): "removed", (2, 3): "kept",
                    (3, 4): "removed", (4, 5): "added"}
+
+
+def test_ego_network_radius(spark):
+    from linkgraph.graph import ego_network
+
+    # path 0-1-2-3-4 plus a triangle off 1
+    rows = [(0, 1), (1, 2), (2, 3), (3, 4), (1, 5), (5, 6), (6, 1)]
+    e = spark.createDataFrame(rows, "src long, dst long")
+    got = {(r["src"], r["dst"]) for r in ego_network(e, seed=0, radius=2).collect()}
+    # ball(0, 2) = {0,1,2,5,6}; induced undirected edges (both orientations)
+    want_und = {(0, 1), (1, 2), (1, 5), (5, 6), (6, 1)}
+    want = want_und | {(b, a) for a, b in want_und}
+    assert got == want
