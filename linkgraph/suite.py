@@ -4053,3 +4053,38 @@ JOIN b2 x ON u.src = x.id JOIN b2 y ON u.dst = y.id
 """
 
 REGISTRY["ego_network_2hop"] = (q_ego_network, EGO_SQL)
+
+
+def q_wl_colors(spark, sf_dir):
+    """1-WL color refinement, 3 rounds, on the undirected derived graph
+    B — structural fingerprint classes (template dedup / isomorphism
+    invariant).  dense_rank relabeling is engine-portable; scale path
+    (hash relabel, no global sort) documented in algos/wl.py."""
+    from .algos.wl import wl_refinement
+
+    return wl_refinement(edges_b(spark, sf_dir), rounds=3, partitions=8) \
+        .select(F.col("id").cast("long").alias("id"),
+                F.col("color").cast("long").alias("color"))
+
+
+def _wl_sql(rounds: int) -> str:
+    parts = [
+        EDGES_B_SQL, UND_B_SQL,
+        "c0 AS MATERIALIZED (SELECT DISTINCT src AS id, CAST(1 AS BIGINT) "
+        "AS color FROM und_b)",
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(f"""g{i} AS MATERIALIZED (
+  SELECT u.src AS id,
+         array_to_string(list_sort(list(s.color)), ',') AS sig
+  FROM und_b u JOIN c{i - 1} s ON s.id = u.dst GROUP BY u.src)""")
+        parts.append(f"""c{i} AS MATERIALIZED (
+  SELECT v.id,
+         CAST(dense_rank() OVER (ORDER BY v.color, g.sig) AS BIGINT) AS color
+  FROM c{i - 1} v JOIN g{i} g ON g.id = v.id)""")
+    return "WITH " + ",\n".join(parts) + f"\nSELECT id, color FROM c{rounds}"
+
+
+WL_SQL = _wl_sql(3)
+
+REGISTRY["wl_colors"] = (q_wl_colors, WL_SQL)

@@ -742,3 +742,29 @@ def test_nearest_seed_partition_matches_bfs(spark, edges30, edge_rows):
         for u in und.get(v, ()):
             if u in got:
                 assert (got[u][0] + 1, got[u][1]) >= (dv, lv)
+
+
+def test_wl_refinement_invariants(spark, edges30, edge_rows):
+    from linkgraph.algos.wl import wl_refinement
+
+    got = {r["id"]: r["color"]
+           for r in wl_refinement(edges30, rounds=3).collect()}
+    # sequential twin
+    und = {}
+    for a, b in edge_rows:
+        if a != b:
+            und.setdefault(a, set()).add(b)
+            und.setdefault(b, set()).add(a)
+    color = {v: 1 for v in und}
+    for _ in range(3):
+        sig = {v: (color[v],
+                   ",".join(str(c) for c in sorted(color[u] for u in und[v])))
+               for v in und}
+        ranks = {s: i + 1 for i, s in enumerate(sorted(set(sig.values())))}
+        color = {v: ranks[sig[v]] for v in und}
+    assert got == color
+    # refinement invariant: same final color => same degree
+    for v in und:
+        for u in und:
+            if got[v] == got[u]:
+                assert len(und[v]) == len(und[u])
