@@ -451,3 +451,57 @@ WHERE list_dot_product(a.v, b.v)
       / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
       >= {threshold}
 """
+
+
+def ngram_containment_pairs(
+    docs: DataFrame,
+    probes: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    threshold: float = 0.1,
+) -> DataFrame:
+    """(pid, did, containment_e6): asymmetric n-gram containment
+    |shingles(probe) ∩ shingles(doc)| / |shingles(probe)| ≥ threshold.
+
+    The benchmark-decontamination primitive: ``probes`` are held-out /
+    benchmark texts, ``docs`` the training corpus; high containment means
+    the probe appears (near-)verbatim inside the doc — which symmetric
+    Jaccard misses when the doc is much longer than the probe.
+
+    Plan: both sides explode their DISTINCT shingles; the probe side is
+    small by construction, so its exploded table BROADCASTs into the
+    shingle equi-join (no shuffle of the corpus side beyond the grouped
+    count); intersection size = join match count since both sides are
+    deduped.  Skew from ultra-common shingles is bounded by the probe
+    side's broadcast size.
+    """
+    psh = probes.select(
+        F.col(id_col).alias("pid"),
+        word_shingles(F.col(text_col), shingle_k).alias("sh"),
+    ).filter(F.size("sh") > 0)
+    psz = psh.select("pid", F.size("sh").alias("np"))
+    pex = psh.select("pid", F.explode("sh").alias("s"))
+    dex = (
+        docs.select(
+            F.col(id_col).alias("did"),
+            word_shingles(F.col(text_col), shingle_k).alias("sh"),
+        )
+        .filter(F.size("sh") > 0)
+        .select("did", F.explode("sh").alias("s"))
+    )
+    m = (
+        dex.join(F.broadcast(pex), "s")
+        .groupBy("pid", "did")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        m.join(F.broadcast(psz), "pid")
+        .filter(F.col("pid") != F.col("did"))
+        .select(
+            "pid", "did",
+            F.round(F.col("inter").cast("double") * 1e6 / F.col("np"))
+            .cast("long").alias("containment_e6"),
+        )
+        .filter(F.col("containment_e6") >= int(threshold * 1e6))
+    )

@@ -4088,3 +4088,45 @@ def _wl_sql(rounds: int) -> str:
 WL_SQL = _wl_sql(3)
 
 REGISTRY["wl_colors"] = (q_wl_colors, WL_SQL)
+
+
+def q_ngram_containment(spark, sf_dir):
+    """Benchmark-decontamination containment: probes = documents with
+    doc_id%41==5, corpus = all documents; word-3-gram containment ≥ 0.1
+    (asymmetric — catches probe-inside-longer-doc that Jaccard misses)."""
+    from .dedup import ngram_containment_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    probes = docs.filter(F.col("doc_id") % 41 == 5)
+    return ngram_containment_pairs(docs, probes, threshold=0.1).select(
+        F.col("pid").cast("long").alias("pid"),
+        F.col("did").cast("long").alias("did"),
+        "containment_e6",
+    )
+
+
+def _containment_sql() -> str:
+    from .dedup import word_shingles_sql
+
+    sh = word_shingles_sql("text", 3)
+    return f"""
+WITH sh AS (SELECT doc_id, {sh} AS sh FROM documents),
+nz AS MATERIALIZED (SELECT * FROM sh WHERE len(sh) > 0),
+pex AS MATERIALIZED (
+  SELECT doc_id AS pid, unnest(sh) AS s FROM nz WHERE doc_id % 41 = 5),
+psz AS MATERIALIZED (
+  SELECT doc_id AS pid, len(sh) AS np FROM nz WHERE doc_id % 41 = 5),
+dex AS MATERIALIZED (SELECT doc_id AS did, unnest(sh) AS s FROM nz),
+m AS MATERIALIZED (
+  SELECT pid, did, count(*) AS inter FROM dex JOIN pex USING (s)
+  GROUP BY 1, 2)
+SELECT m.pid, m.did,
+       CAST(round(inter * 1e6 / np) AS BIGINT) AS containment_e6
+FROM m JOIN psz USING (pid)
+WHERE m.did <> m.pid AND round(inter * 1e6 / np) >= 100000
+"""
+
+
+CONTAINMENT_SQL = _containment_sql()
+
+REGISTRY["ngram_containment"] = (q_ngram_containment, CONTAINMENT_SQL)

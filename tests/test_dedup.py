@@ -110,3 +110,23 @@ def test_embedding_near_dup_matches_numpy(spark):
     assert (3, 7) in got
     for k in got:
         assert abs(got[k] - exp[k]) <= 1  # float last-ulp rounding
+
+
+def test_ngram_containment_asymmetric(spark):
+    """Probe fully inside a longer doc: containment = 1.0 even though
+    Jaccard is low; reversed direction is partial."""
+    from pyspark.sql import functions as F
+
+    from linkgraph.dedup import ngram_containment_pairs
+
+    probe_text = "the quick brown fox jumps"
+    long_doc = "padding words here " + probe_text + " and a very long tail " \
+        + " ".join(f"w{i}" for i in range(50))
+    docs = spark.createDataFrame(
+        [(1, long_doc), (2, "completely different content entirely here"),
+         (5, probe_text)],
+        "doc_id long, text string")
+    probes = docs.filter(F.col("doc_id") == 5)
+    got = {(r["pid"], r["did"]): r["containment_e6"]
+           for r in ngram_containment_pairs(docs, probes, threshold=0.1).collect()}
+    assert got == {(5, 1): 1_000_000}  # all 3 probe trigrams inside doc 1
