@@ -24,7 +24,7 @@ near-dedup is new capability required of the training-data pipeline.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # ---------------------------------------------------------------------------
@@ -504,4 +504,53 @@ def ngram_containment_pairs(
             .cast("long").alias("containment_e6"),
         )
         .filter(F.col("containment_e6") >= int(threshold * 1e6))
+    )
+
+
+def snm_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 3,
+    block_chars: int = 12,
+    shingle_k: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Sorted-neighborhood near-dup pairs: sort docs by a blocking key
+    (first ``block_chars`` chars of normalized text), compare each doc
+    only with its ``window`` successors in sort order, verify with exact
+    word-shingle Jaccard ≥ threshold.  Returns (id_a, id_b, jaccard_e6).
+
+    The third blocking family beside MinHash-LSH and SimHash: cost is
+    O(n·w) comparisons instead of O(n²), no hashing.  The sort is
+    PARTITIONED by a key prefix (Window.partitionBy(block)), so no global
+    sort: each block sorts locally and windows never cross blocks —
+    which is also the semantic blocking boundary.  Ties broken by doc id
+    for a deterministic, engine-portable order.
+    """
+    key = F.substring(F.trim(F.lower(F.col(text_col))), 1, block_chars)
+    base = docs.select(
+        F.col(id_col).alias("id"),
+        key.alias("k"),
+        word_shingles(F.col(text_col), shingle_k).alias("sh"),
+    ).filter(F.size("sh") > 0)
+    w = Window.partitionBy(F.substring(F.col("k"), 1, 4)).orderBy("k", "id")
+    r = base.select("id", "k", "sh", F.row_number().over(w).alias("rn"),
+                    F.substring(F.col("k"), 1, 4).alias("blk"))
+    a = r.select(F.col("blk"), F.col("rn").alias("rn_a"),
+                 F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = r.select(F.col("blk"), F.col("rn").alias("rn_b"),
+                 F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_distinct(F.concat("sh_a", "sh_b")))
+    return (
+        a.join(b, ["blk"])
+        .filter((F.col("rn_b") > F.col("rn_a"))
+                & (F.col("rn_b") <= F.col("rn_a") + window))
+        .select(
+            "id_a", "id_b",
+            F.round(inter.cast("double") * 1e6 / union)
+            .cast("long").alias("jaccard_e6"),
+        )
+        .filter(F.col("jaccard_e6") >= int(threshold * 1e6))
     )

@@ -4130,3 +4130,86 @@ WHERE m.did <> m.pid AND round(inter * 1e6 / np) >= 100000
 CONTAINMENT_SQL = _containment_sql()
 
 REGISTRY["ngram_containment"] = (q_ngram_containment, CONTAINMENT_SQL)
+
+
+def q_snm_pairs(spark, sf_dir):
+    """Sorted-neighborhood near-dup pairs on documents (block = 4-char
+    normalized-text prefix, window 3, exact-Jaccard verify ≥ 0.2) — the
+    third dedup blocking family beside MinHash-LSH and SimHash."""
+    from .dedup import snm_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return snm_pairs(docs, window=3, threshold=0.2)
+
+
+def _snm_sql() -> str:
+    from .dedup import word_shingles_sql
+
+    sh = word_shingles_sql("text", 3)
+    return f"""
+WITH base AS MATERIALIZED (
+  SELECT doc_id AS id, substring(trim(lower(text)), 1, 12) AS k,
+         {sh} AS sh
+  FROM documents),
+nz AS MATERIALIZED (SELECT * FROM base WHERE len(sh) > 0),
+r AS MATERIALIZED (
+  SELECT id, k, sh, substring(k, 1, 4) AS blk,
+         row_number() OVER (PARTITION BY substring(k, 1, 4)
+                            ORDER BY k, id) AS rn
+  FROM nz)
+SELECT a.id AS id_a, b.id AS id_b,
+       CAST(round(len(list_intersect(a.sh, b.sh)) * 1e6
+                  / len(list_distinct(a.sh || b.sh))) AS BIGINT) AS jaccard_e6
+FROM r a JOIN r b
+  ON a.blk = b.blk AND b.rn > a.rn AND b.rn <= a.rn + 3
+WHERE round(len(list_intersect(a.sh, b.sh)) * 1e6
+            / len(list_distinct(a.sh || b.sh))) >= 200000
+"""
+
+
+SNM_SQL = _snm_sql()
+
+REGISTRY["snm_dedup_pairs"] = (q_snm_pairs, SNM_SQL)
+
+
+def q_degree_percentiles(spark, sf_dir):
+    """Exact p50/p90/p99 of the undirected degree distribution (graph A)
+    via histogram-CDF rank math (percentile = min degree whose cumulative
+    count ≥ ceil(q·n)) — no global sort of vertices, the window runs on
+    the tiny distinct-degree histogram."""
+    ea = edges_a(spark, sf_dir)
+    und = (
+        ea.union(ea.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+    )
+    deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    hist = deg.groupBy("d").agg(F.count(F.lit(1)).alias("c"))
+    wcum = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select("d", F.sum("c").over(wcum).alias("cum"))
+    n = deg.agg(F.count(F.lit(1)).alias("n"))
+    j = cum.crossJoin(F.broadcast(n))
+    pick = lambda q: F.min(F.when(  # noqa: E731
+        F.col("cum") >= F.ceil(F.lit(q) * F.col("n")), F.col("d")))
+    return j.agg(
+        F.max("n").cast("long").alias("n"),
+        pick(0.5).cast("long").alias("p50"),
+        pick(0.9).cast("long").alias("p90"),
+        pick(0.99).cast("long").alias("p99"),
+    )
+
+
+DEGREE_PCT_SQL = f"""
+WITH {EDGES_A_SQL}, {UND_A_SQL},
+deg AS (SELECT src, count(*) AS d FROM und_a GROUP BY src),
+hist AS (SELECT d, count(*) AS c FROM deg GROUP BY d),
+cum AS (SELECT d, sum(c) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+        AND CURRENT ROW) AS cum FROM hist),
+n AS (SELECT count(*) AS n FROM deg)
+SELECT CAST(max(n.n) AS BIGINT) AS n,
+       CAST(min(CASE WHEN cum >= ceil(0.5 * n.n) THEN d END) AS BIGINT) AS p50,
+       CAST(min(CASE WHEN cum >= ceil(0.9 * n.n) THEN d END) AS BIGINT) AS p90,
+       CAST(min(CASE WHEN cum >= ceil(0.99 * n.n) THEN d END) AS BIGINT) AS p99
+FROM cum CROSS JOIN n
+"""
+
+REGISTRY["degree_percentiles"] = (q_degree_percentiles, DEGREE_PCT_SQL)

@@ -130,3 +130,19 @@ def test_ngram_containment_asymmetric(spark):
     got = {(r["pid"], r["did"]): r["containment_e6"]
            for r in ngram_containment_pairs(docs, probes, threshold=0.1).collect()}
     assert got == {(5, 1): 1_000_000}  # all 3 probe trigrams inside doc 1
+
+
+def test_snm_pairs_window_blocking(spark):
+    """Near-identical docs sharing a prefix are caught; docs in different
+    blocks are never compared even if similar."""
+    from linkgraph.dedup import snm_pairs
+
+    t = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [(1, t), (2, t + " iota"),               # same block, near-dup
+         (3, "zzz " + t)],                       # same content, other block
+        "doc_id long, text string")
+    got = {(r["id_a"], r["id_b"]) for r in snm_pairs(docs, window=3,
+                                                     threshold=0.2).collect()}
+    assert (1, 2) in got
+    assert not any(3 in p for p in got)  # blocking boundary respected

@@ -78,3 +78,24 @@ def test_powerlaw_alpha_formula(spark):
     # MLE is >1 by construction (every term positive); the derived hash
     # graph is near-uniform-degree so alpha is small, not scale-free
     assert got["alpha_e6"] > 1_000_000
+
+
+def test_degree_percentiles_exact(spark):
+    """Histogram-CDF percentiles equal brute-force sorted-position picks."""
+    import math
+
+    from linkgraph import suite
+
+    sf = "/root/testdata/sf0.001"
+    got = suite.q_degree_percentiles(spark, sf).collect()[0]
+
+    und = {(r["src"], r["dst"]) for r in suite.edges_a(spark, sf).collect()}
+    und |= {(b, a) for a, b in und}
+    deg = {}
+    for a, _ in und:
+        deg[a] = deg.get(a, 0) + 1
+    ds = sorted(deg.values())
+    n = len(ds)
+    want = {q: ds[math.ceil(q * n) - 1] for q in (0.5, 0.9, 0.99)}
+    assert (got["n"], got["p50"], got["p90"], got["p99"]) == (
+        n, want[0.5], want[0.9], want[0.99])
