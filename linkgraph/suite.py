@@ -4213,3 +4213,75 @@ FROM cum CROSS JOIN n
 """
 
 REGISTRY["degree_percentiles"] = (q_degree_percentiles, DEGREE_PCT_SQL)
+
+
+def q_repetition_stats(spark, sf_dir):
+    """Intra-document word-3-gram repetition ratio (C4-style boilerplate
+    gate) over documents; zero-shuffle per-row array expressions."""
+    from .text import repetition_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return repetition_stats(docs)
+
+
+def _repetition_sql() -> str:
+    from .dedup import word_shingles_sql
+
+    w = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+    sh = word_shingles_sql("text", 3)
+    return f"""
+WITH base AS (
+  SELECT doc_id AS id,
+         greatest(len({w}) - 2, 0) AS total_grams,
+         len({sh}) AS distinct_grams
+  FROM documents)
+SELECT id, CAST(total_grams AS BIGINT) AS total_grams,
+       CAST(distinct_grams AS BIGINT) AS distinct_grams,
+       CAST(CASE WHEN total_grams > 0 THEN
+              round((total_grams - distinct_grams) * 1e6 / total_grams)
+            ELSE 0 END AS BIGINT) AS rep_e6
+FROM base
+"""
+
+
+REPETITION_SQL = _repetition_sql()
+
+REGISTRY["repetition_stats"] = (q_repetition_stats, REPETITION_SQL)
+
+
+def q_hourly_retention(spark, sf_dir):
+    """Hour-over-hour user retention: per hour h, distinct active users,
+    how many are also active in h+1, and the retention ratio (e6) —
+    cohort-style engagement analytics on the events table."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    hu = ev.select(
+        F.date_trunc("hour", F.col("ts")).alias("h"), "user_id").distinct()
+    nxt = hu.select(
+        (F.col("h") - F.expr("INTERVAL 1 HOUR")).alias("h"),
+        F.col("user_id").alias("u2"))
+    j = hu.join(nxt, (hu.h == nxt.h) & (hu.user_id == nxt.u2), "left")
+    return (
+        j.groupBy(hu.h.alias("hour"))
+        .agg(F.count(F.lit(1)).cast("long").alias("actives"),
+             F.count("u2").cast("long").alias("retained"))
+        .select(
+            "hour", "actives", "retained",
+            F.round(F.col("retained").cast("double") * 1e6
+                    / F.col("actives")).cast("long").alias("retention_e6"),
+        )
+    )
+
+
+HOURLY_RETENTION_SQL = """
+WITH hu AS (SELECT DISTINCT date_trunc('hour', ts) AS h, user_id FROM events)
+SELECT a.h AS hour,
+       CAST(count(*) AS BIGINT) AS actives,
+       CAST(count(b.user_id) AS BIGINT) AS retained,
+       CAST(round(count(b.user_id) * 1e6 / count(*)) AS BIGINT)
+         AS retention_e6
+FROM hu a LEFT JOIN hu b
+  ON b.user_id = a.user_id AND b.h = a.h + INTERVAL 1 HOUR
+GROUP BY a.h
+"""
+
+REGISTRY["hourly_retention"] = (q_hourly_retention, HOURLY_RETENTION_SQL)

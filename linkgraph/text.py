@@ -250,3 +250,25 @@ SELECT doc_id,
             - len(list_filter(toks, x -> regexp_matches(x, '^[0-9]+$'))) AS BIGINT) AS n_punct
 FROM t
 """
+
+
+def repetition_stats(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id", k: int = 3) -> DataFrame:
+    """(id, total_grams, distinct_grams, rep_e6): intra-document word
+    k-gram repetition ratio ``1 - distinct/total`` — the C4-style "mostly
+    repeated boilerplate" quality gate (drop docs with rep above a
+    threshold before training).  Pure per-row array expressions: no
+    shuffle at all, whole-stage codegen end to end."""
+    from .dedup import tokens, word_shingles
+
+    w = tokens(F.col(text_col))
+    total = F.greatest(F.size(w) - (k - 1), F.lit(0))
+    distinct = F.size(word_shingles(F.col(text_col), k))
+    return docs.select(
+        F.col(id_col).alias("id"),
+        total.cast("long").alias("total_grams"),
+        distinct.cast("long").alias("distinct_grams"),
+        F.when(total > 0,
+               F.round((total - distinct).cast("double") * 1e6 / total))
+        .otherwise(F.lit(0)).cast("long").alias("rep_e6"),
+    )

@@ -83,3 +83,23 @@ def test_stream_distinct_users_equals_batch(spark, events):
         .collect()
     }
     assert got == exp
+
+
+def test_hourly_retention_hand_case(spark):
+    import datetime as dt
+
+    from linkgraph import suite
+    from pyspark.sql import functions as F
+
+    h0 = dt.datetime(2026, 1, 1, 10, 0)
+    h1 = dt.datetime(2026, 1, 1, 11, 0)
+    rows = [(1, h0, 100), (2, h0, 101), (3, h1, 100), (4, h1, 102)]
+    ev = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long")
+    import tempfile
+    with tempfile.TemporaryDirectory() as d:
+        ev.write.parquet(f"{d}/events.parquet")
+        got = {r["hour"]: (r["actives"], r["retained"], r["retention_e6"])
+               for r in suite.q_hourly_retention(spark, d).collect()}
+    # hour 10: users {100,101}, user 100 returns in hour 11 -> 1/2
+    assert got[h0] == (2, 1, 500000)
+    assert got[h1] == (2, 0, 0)

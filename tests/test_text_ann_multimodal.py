@@ -195,3 +195,18 @@ def test_tfidf_topk(spark):
     assert got[(0, 2)]["score"] == 1 * idf(2)
     # d2: durian (df=1) over cherry (df=2)
     assert got[(2, 1)]["term"] == "durian" and got[(2, 2)]["term"] == "cherry"
+
+
+def test_repetition_stats_boilerplate(spark):
+    from linkgraph.text import repetition_stats
+
+    docs = spark.createDataFrame(
+        [(1, "a b c a b c a b c"),       # "a b c" repeated: 7 grams, 3 distinct
+         (2, "one two three four five"), # all distinct: 3 grams
+         (3, "x y")],                    # < k words: 0 grams
+        "doc_id long, text string")
+    got = {r["id"]: (r["total_grams"], r["distinct_grams"], r["rep_e6"])
+           for r in repetition_stats(docs).collect()}
+    assert got[1] == (7, 3, 571429)   # round(4/7*1e6)
+    assert got[2] == (3, 3, 0)
+    assert got[3] == (0, 0, 0)
