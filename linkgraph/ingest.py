@@ -222,3 +222,43 @@ def host_locality(hgraph: DataFrame) -> DataFrame:
             .cast("long").alias("locality_e6"),
         )
     )
+
+
+def rendezvous_assign(df: DataFrame, key_col: str, num_nodes: int = 8) -> "F.Column":
+    """Rendezvous (highest-random-weight) assignment: adds a ``node``
+    column = argmax over k of H60(key#k) — consistent placement where a
+    node failure only remaps that node's keys (no global reshuffle), the
+    crawl-fleet / cache-shard assignment scheme.  Pure per-row array
+    expressions (zero shuffle); H60 is the engine's portable md5-prefix
+    hash (dedup.h60), so a SQL engine reproduces the assignment exactly.
+    """
+    from .dedup import h60
+
+    arr = F.transform(
+        F.sequence(F.lit(0), F.lit(num_nodes - 1)),
+        lambda k: F.struct(
+            h60(F.concat(F.col(key_col), F.lit("#"), k.cast("string")))
+            .alias("h"),
+            k.cast("long").alias("k"),
+        ),
+    )
+    return df.withColumn("node", F.array_max(arr).getField("k"))
+
+
+def per_host_cap(
+    urls: DataFrame, n: int, host_col: str = "host", url_col: str = "url"
+) -> DataFrame:
+    """Keep at most ``n`` urls per host, chosen by the deterministic H60
+    order (hash-ordered, so the kept subset is unbiased and stable across
+    runs/engines) — the per-domain cap used to balance web corpora before
+    training.  One window per host partition; no global sort."""
+    from pyspark.sql import Window
+
+    from .dedup import h60
+
+    w = Window.partitionBy(host_col).orderBy(h60(F.col(url_col)), url_col)
+    return (
+        urls.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n)
+        .drop("_rn")
+    )

@@ -4285,3 +4285,73 @@ GROUP BY a.h
 """
 
 REGISTRY["hourly_retention"] = (q_hourly_retention, HOURLY_RETENTION_SQL)
+
+
+def _urls_a(spark, sf_dir):
+    """Deterministic url table for graph A vertices (host = id mod 40)."""
+    ids = (
+        edges_a(spark, sf_dir).select(F.col("src").alias("id"))
+        .union(edges_a(spark, sf_dir).select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    return ids.select(
+        F.concat(F.lit("https://host"), (F.col("id") % 40).cast("string"),
+                 F.lit(".example/p"), F.col("id").cast("string")).alias("url"),
+        F.concat(F.lit("host"), (F.col("id") % 40).cast("string"),
+                 F.lit(".example")).alias("host"),
+    )
+
+
+URLS_A_SQL = f"""
+urls_a AS (
+  SELECT 'https://host' || CAST(id % 40 AS VARCHAR) || '.example/p'
+           || CAST(id AS VARCHAR) AS url,
+         'host' || CAST(id % 40 AS VARCHAR) || '.example' AS host
+  FROM (SELECT DISTINCT id FROM (
+    SELECT src AS id FROM edges_a UNION ALL SELECT dst FROM edges_a)))"""
+
+
+def q_rendezvous_assign(spark, sf_dir):
+    """Rendezvous-hash (HRW) crawl-node assignment of every page url by
+    its HOST (same-host pages co-locate on one of 8 nodes; a node loss
+    remaps only that node's hosts)."""
+    from .ingest import rendezvous_assign
+
+    return rendezvous_assign(_urls_a(spark, sf_dir), "host", 8) \
+        .select("url", "host", "node")
+
+
+RENDEZVOUS_SQL = f"""
+WITH {EDGES_A_SQL}, {URLS_A_SQL},
+c AS (
+  SELECT url, host, k,
+         {{'h': CAST(('0x' || substr(md5(host || '#' || CAST(k AS VARCHAR)), 1, 15)) AS BIGINT), 'k': k}} AS s
+  FROM urls_a CROSS JOIN (SELECT unnest(range(0, 8)) AS k))
+SELECT url, host, CAST((max(s)).k AS BIGINT) AS node
+FROM c GROUP BY url, host
+"""
+
+REGISTRY["rendezvous_assign"] = (q_rendezvous_assign, RENDEZVOUS_SQL)
+
+
+def q_per_host_cap(spark, sf_dir):
+    """Per-domain cap: keep ≤10 urls per host in deterministic H60 hash
+    order — corpus domain-balancing before training."""
+    from .ingest import per_host_cap
+
+    return per_host_cap(_urls_a(spark, sf_dir), 10).select("url", "host")
+
+
+PER_HOST_CAP_SQL = f"""
+WITH {EDGES_A_SQL}, {URLS_A_SQL},
+r AS (
+  SELECT url, host,
+         row_number() OVER (
+           PARTITION BY host
+           ORDER BY CAST(('0x' || substr(md5(url), 1, 15)) AS BIGINT), url)
+           AS rn
+  FROM urls_a)
+SELECT url, host FROM r WHERE rn <= 10
+"""
+
+REGISTRY["per_host_cap"] = (q_per_host_cap, PER_HOST_CAP_SQL)

@@ -160,3 +160,41 @@ def test_ego_network_radius(spark):
     want_und = {(0, 1), (1, 2), (1, 5), (5, 6), (6, 1)}
     want = want_und | {(b, a) for a, b in want_und}
     assert got == want
+
+
+def test_rendezvous_assignment_stability(spark):
+    """HRW property: removing a node only remaps the keys that were on
+    that node; all other assignments are unchanged."""
+    from pyspark.sql import functions as F
+
+    from linkgraph.ingest import rendezvous_assign
+
+    hosts = spark.createDataFrame(
+        [(f"host{i}.example",) for i in range(60)], "host string")
+    a8 = {r["host"]: r["node"]
+          for r in rendezvous_assign(hosts, "host", 8).collect()}
+    # drop node 7: recompute with 7 nodes — identical for keys not on 7
+    a7 = {r["host"]: r["node"]
+          for r in rendezvous_assign(hosts, "host", 7).collect()}
+    assert len(set(a8.values())) > 1  # spreads across nodes
+    for h, n in a8.items():
+        if n != 7:
+            assert a7[h] == n
+        else:
+            assert a7[h] != 7
+
+
+def test_per_host_cap(spark):
+    from linkgraph.ingest import per_host_cap
+
+    urls = spark.createDataFrame(
+        [(f"https://h{i % 3}.x/p{i}", f"h{i % 3}.x") for i in range(30)],
+        "url string, host string")
+    got = per_host_cap(urls, 4).collect()
+    by_host = {}
+    for r in got:
+        by_host.setdefault(r["host"], set()).add(r["url"])
+    assert all(len(v) == 4 for v in by_host.values())
+    # determinism: same subset on a second run
+    again = {(r["url"], r["host"]) for r in per_host_cap(urls, 4).collect()}
+    assert again == {(r["url"], r["host"]) for r in got}
