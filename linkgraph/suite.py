@@ -4355,3 +4355,36 @@ SELECT url, host FROM r WHERE rn <= 10
 """
 
 REGISTRY["per_host_cap"] = (q_per_host_cap, PER_HOST_CAP_SQL)
+
+
+def q_component_size_histogram(spark, sf_dir):
+    """Component-size histogram (size → how many components) of graph B —
+    the fragmentation fingerprint of a web crawl (giant component +
+    dust), composed from the engine's min-label CC."""
+    from .algos.components import connected_components
+
+    labels, _ = connected_components(
+        edges_b(spark, sf_dir), vertices=verts(spark, V_B), partitions=8)
+    return (
+        labels.groupBy("component").agg(F.count(F.lit(1)).alias("size"))
+        .groupBy("size").agg(F.count(F.lit(1)).cast("long").alias("n_components"))
+        .select(F.col("size").cast("long").alias("size"), "n_components")
+    )
+
+
+COMPONENT_SIZES_SQL = f"""
+WITH RECURSIVE {EDGES_B_SQL}, {VERTS_B_SQL}, {UND_B_SQL},
+reach(id, comp) AS (
+  SELECT id, id FROM verts_b
+  UNION
+  SELECT e.dst, r.comp FROM reach r JOIN und_b e ON e.src = r.id
+),
+lab AS (SELECT id, min(comp) AS component FROM reach GROUP BY id),
+cs AS (SELECT component, count(*) AS size FROM lab GROUP BY component)
+SELECT CAST(size AS BIGINT) AS size,
+       CAST(count(*) AS BIGINT) AS n_components
+FROM cs GROUP BY size
+"""
+
+REGISTRY["component_size_histogram"] = (
+    q_component_size_histogram, COMPONENT_SIZES_SQL)

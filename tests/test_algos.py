@@ -237,3 +237,18 @@ def test_trustrank_seeds_get_trust(spark):
         e, sources=seeds, vertices=v, num_iters=20).collect()}
     spam = {i: (pr[i] - tr[i]) / pr[i] for i in pr}
     assert max(spam[i] for i in [0, 1, 2, 3]) < min(spam[i] for i in [10, 11, 12, 13])
+
+
+def test_component_size_histogram_conservation(spark):
+    from pyspark.sql import functions as F
+
+    from linkgraph.algos.components import connected_components
+
+    rows = [(0, 1), (1, 2), (3, 4), (5, 6), (6, 7), (7, 5)]
+    e = spark.createDataFrame(rows, "src long, dst long")
+    labels, _ = connected_components(e)
+    hist = (labels.groupBy("component").agg(F.count(F.lit(1)).alias("size"))
+            .groupBy("size").agg(F.count(F.lit(1)).alias("n")).collect())
+    got = {r["size"]: r["n"] for r in hist}
+    assert got == {3: 2, 2: 1}  # {0,1,2}, {5,6,7}, {3,4}
+    assert sum(s * n for s, n in got.items()) == 8  # vertex conservation
