@@ -262,3 +262,12 @@ def per_host_cap(
         .filter(F.col("_rn") <= n)
         .drop("_rn")
     )
+
+
+@F.pandas_udf(T.StringType())
+def normalize_urls(urls: pd.Series) -> pd.Series:
+    """Vectorized normalize_url (Arrow batches) — exposed standalone so
+    the normalization logic itself is value-gated against an independent
+    SQL twin (suite `url_normalize`), not just exercised inside
+    extract_outlinks."""
+    return urls.map(lambda u: normalize_url(u) if u is not None else None)

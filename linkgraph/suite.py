@@ -4388,3 +4388,57 @@ FROM cs GROUP BY size
 
 REGISTRY["component_size_histogram"] = (
     q_component_size_histogram, COMPONENT_SIZES_SQL)
+
+
+def q_url_normalize(spark, sf_dir):
+    """Value-gates the ingest URL-normalization UDF itself: deterministic
+    dirty urls (uppercase scheme/host, fragments, padding) from graph-A
+    ids, normalized by the vectorized pandas UDF; the oracle reimplements
+    the same spec (strip → drop fragment → lowercase scheme+host) in
+    pure SQL."""
+    from .ingest import normalize_urls
+
+    ids = (
+        edges_a(spark, sf_dir).select(F.col("src").alias("id")).distinct())
+    dirty = ids.select(
+        "id",
+        F.concat(
+            F.lit("  HTTPS://HOST"), (F.col("id") % 40).cast("string"),
+            F.lit(".Example/Path"), F.col("id").cast("string"),
+            F.when(F.col("id") % 3 == 0, F.lit("#Fragment"))
+            .otherwise(F.lit("")),
+        ).alias("url"),
+    )
+    return dirty.select(
+        F.col("id").cast("long").alias("id"), "url",
+        normalize_urls(F.col("url")).alias("norm"),
+    )
+
+
+URL_NORMALIZE_SQL = f"""
+WITH {EDGES_A_SQL},
+ids AS (SELECT DISTINCT src AS id FROM edges_a),
+dirty AS (
+  SELECT id,
+         '  HTTPS://HOST' || CAST(id % 40 AS VARCHAR) || '.Example/Path'
+           || CAST(id AS VARCHAR)
+           || CASE WHEN id % 3 = 0 THEN '#Fragment' ELSE '' END AS url
+  FROM ids),
+s AS (SELECT id, url, trim(url) AS u FROM dirty),
+f AS (SELECT id, url,
+             CASE WHEN position('#' IN u) > 0
+                  THEN substr(u, 1, position('#' IN u) - 1) ELSE u END AS u
+      FROM s)
+SELECT id, url,
+       CASE WHEN regexp_matches(u, '^[a-zA-Z][a-zA-Z0-9+.-]*://')
+            THEN lower(regexp_extract(u,
+                   '^([a-zA-Z][a-zA-Z0-9+.-]*://)([^/]*)(.*)$', 1))
+              || lower(regexp_extract(u,
+                   '^([a-zA-Z][a-zA-Z0-9+.-]*://)([^/]*)(.*)$', 2))
+              || regexp_extract(u,
+                   '^([a-zA-Z][a-zA-Z0-9+.-]*://)([^/]*)(.*)$', 3)
+            ELSE u END AS norm
+FROM f
+"""
+
+REGISTRY["url_normalize"] = (q_url_normalize, URL_NORMALIZE_SQL)

@@ -198,3 +198,24 @@ def test_per_host_cap(spark):
     # determinism: same subset on a second run
     again = {(r["url"], r["host"]) for r in per_host_cap(urls, 4).collect()}
     assert again == {(r["url"], r["host"]) for r in got}
+
+
+def test_normalize_urls_udf_edge_cases(spark):
+    from pyspark.sql import functions as F
+
+    from linkgraph.ingest import normalize_url, normalize_urls
+
+    cases = [
+        "  HTTPS://WWW.Example.COM/Path/File#frag  ",
+        "ftp://Host.Org",
+        "no-scheme/relative#x",
+        "HTTP://UPPER.com/QueryCase?Q=Mixed#a#b",
+    ]
+    df = spark.createDataFrame([(c,) for c in cases], "url string")
+    got = {r["url"]: r["norm"]
+           for r in df.select("url", normalize_urls(F.col("url"))
+                              .alias("norm")).collect()}
+    for c in cases:
+        assert got[c] == normalize_url(c)
+    assert got[cases[0]] == "https://www.example.com/Path/File"
+    assert got[cases[3]] == "http://upper.com/QueryCase?Q=Mixed"
