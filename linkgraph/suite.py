@@ -4442,3 +4442,87 @@ FROM f
 """
 
 REGISTRY["url_normalize"] = (q_url_normalize, URL_NORMALIZE_SQL)
+
+
+def q_vertex_reciprocity(spark, sf_dir):
+    """Per-vertex link reciprocity: fraction of a vertex's out-links
+    whose reverse edge exists (link-farm / mutual-admiration signal —
+    the per-vertex refinement of the global `reciprocity` query)."""
+    ea = edges_a(spark, sf_dir)
+    rev = ea.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    rec = (
+        ea.join(rev.hint("shuffle_hash"), ["src", "dst"], "left_semi")
+        .groupBy(F.col("src").alias("id"))
+        .agg(F.count(F.lit(1)).alias("recip"))
+    )
+    outd = ea.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("outd"))
+    return (
+        outd.join(rec, "id", "left")
+        .select(
+            "id", F.col("outd").cast("long").alias("outd"),
+            F.coalesce("recip", F.lit(0)).cast("long").alias("recip"),
+            F.round(F.coalesce("recip", F.lit(0)).cast("double") * 1e6
+                    / F.col("outd")).cast("long").alias("recip_e6"),
+        )
+    )
+
+
+VERTEX_RECIPROCITY_SQL = f"""
+WITH {EDGES_A_SQL},
+rec AS (
+  SELECT e.src AS id, count(*) AS recip
+  FROM edges_a e
+  WHERE EXISTS (SELECT 1 FROM edges_a r
+                WHERE r.src = e.dst AND r.dst = e.src)
+  GROUP BY e.src),
+outd AS (SELECT src AS id, count(*) AS outd FROM edges_a GROUP BY src)
+SELECT o.id, CAST(o.outd AS BIGINT) AS outd,
+       CAST(coalesce(r.recip, 0) AS BIGINT) AS recip,
+       CAST(round(coalesce(r.recip, 0) * 1e6 / o.outd) AS BIGINT)
+         AS recip_e6
+FROM outd o LEFT JOIN rec r ON r.id = o.id
+"""
+
+REGISTRY["vertex_reciprocity"] = (q_vertex_reciprocity, VERTEX_RECIPROCITY_SQL)
+
+
+def q_host_entropy(spark, sf_dir):
+    """Out-link entropy per host over the host-graph rollup (intra-host
+    self-loops excluded): H = Σ (w/W)·ln(W/w), each term e6-quantized
+    BEFORE summing so the sum is an exact BIGINT — the crawl-frontier
+    diversity signal (low entropy = host links to one place only)."""
+    hg = q_host_graph(spark, sf_dir).filter(
+        F.col("src_host") != F.col("dst_host"))
+    tot = hg.groupBy(F.col("src_host").alias("host")).agg(
+        F.sum("weight").alias("W"))
+    term = F.round(
+        (F.col("weight").cast("double") / F.col("W"))
+        * F.log(F.col("W").cast("double") / F.col("weight")) * 1e6
+    ).cast("long")
+    return (
+        hg.join(tot, hg.src_host == tot.host)
+        .select(F.col("host"), term.alias("t"))
+        .groupBy("host")
+        .agg(F.sum("t").cast("long").alias("entropy_e6"))
+    )
+
+
+HOST_ENTROPY_SQL = f"""
+WITH {EDGES_A_SQL},
+hg AS (
+  SELECT 'host' || CAST(src % 40 AS VARCHAR) || '.example' AS src_host,
+         'host' || CAST(dst % 40 AS VARCHAR) || '.example' AS dst_host,
+         count(*) AS weight
+  FROM edges_a GROUP BY 1, 2),
+he AS (SELECT * FROM hg WHERE src_host <> dst_host),
+tot AS (SELECT src_host AS host, sum(weight) AS W FROM he GROUP BY src_host)
+SELECT t.host,
+       CAST(sum(CAST(round((e.weight / (1.0 * t.W))
+                 * ln(t.W / (1.0 * e.weight)) * 1e6) AS BIGINT)) AS BIGINT)
+         AS entropy_e6
+FROM he e JOIN tot t ON t.host = e.src_host
+GROUP BY t.host
+"""
+
+REGISTRY["host_entropy"] = (q_host_entropy, HOST_ENTROPY_SQL)

@@ -252,3 +252,32 @@ def test_component_size_histogram_conservation(spark):
     got = {r["size"]: r["n"] for r in hist}
     assert got == {3: 2, 2: 1}  # {0,1,2}, {5,6,7}, {3,4}
     assert sum(s * n for s, n in got.items()) == 8  # vertex conservation
+
+
+def test_vertex_reciprocity_and_host_entropy(spark, tmp_path):
+    """Hand case through the suite queries via a tiny written sf dir."""
+    import math
+
+    from linkgraph import suite
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    # vertex reciprocity: re-derive from collected edges
+    got = {r["id"]: (r["outd"], r["recip"], r["recip_e6"])
+           for r in suite.q_vertex_reciprocity(spark, sf).collect()}
+    E = {(r["src"], r["dst"]) for r in suite.edges_a(spark, sf).collect()}
+    outd, recip = {}, {}
+    for a, b in E:
+        outd[a] = outd.get(a, 0) + 1
+        if (b, a) in E:
+            recip[a] = recip.get(a, 0) + 1
+    import decimal
+    for v, d in outd.items():
+        r = recip.get(v, 0)
+        e6 = int(decimal.Decimal(r * 1e6 / d).quantize(
+            0, rounding=decimal.ROUND_HALF_UP))
+        assert got[v] == (d, r, e6)
+    # host entropy: non-negative, bounded by ln(39) (≤39 external hosts)
+    ent = {r["host"]: r["entropy_e6"]
+           for r in suite.q_host_entropy(spark, sf).collect()}
+    assert all(0 <= v <= math.log(39) * 1e6 + len(ent) for v in ent.values())
