@@ -4526,3 +4526,25 @@ GROUP BY t.host
 """
 
 REGISTRY["host_entropy"] = (q_host_entropy, HOST_ENTROPY_SQL)
+
+
+def q_inverted_index(spark, sf_dir):
+    """Inverted index (term → df + sorted posting list) over documents —
+    the search-index construction pass."""
+    from .text import inverted_index
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return inverted_index(docs)
+
+
+INVERTED_INDEX_SQL = """
+WITH t AS (
+  SELECT DISTINCT doc_id AS id,
+         unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+  FROM documents)
+SELECT term, CAST(count(*) AS BIGINT) AS df,
+       array_to_string(list_sort(list(id)), ',') AS postings
+FROM t WHERE term <> '' GROUP BY term
+"""
+
+REGISTRY["inverted_index"] = (q_inverted_index, INVERTED_INDEX_SQL)

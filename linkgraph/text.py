@@ -272,3 +272,28 @@ def repetition_stats(docs: DataFrame, text_col: str = "text",
                F.round((total - distinct).cast("double") * 1e6 / total))
         .otherwise(F.lit(0)).cast("long").alias("rep_e6"),
     )
+
+
+def inverted_index(docs: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """(term, df, postings): the search-index construction pass — explode
+    distinct terms per doc, group to document-frequency + a sorted
+    posting list (comma-joined string so the value is engine-portable).
+
+    One explode + one grouped agg; the posting `collect_list` is the
+    only per-term state and is bounded by df — for web-scale vocabularies
+    the standard mitigation is posting-list sharding (group key (term,
+    doc_id mod S)), which this plan accepts unchanged since the sort and
+    join keys already include the term."""
+    terms = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("term"),
+    ).filter(F.col("term") != "")
+    return (
+        terms.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("df"),
+            F.concat_ws(",", F.sort_array(F.collect_list("id"))
+                        .cast("array<string>")).alias("postings"),
+        )
+    )

@@ -210,3 +210,15 @@ def test_repetition_stats_boilerplate(spark):
     assert got[1] == (7, 3, 571429)   # round(4/7*1e6)
     assert got[2] == (3, 3, 0)
     assert got[3] == (0, 0, 0)
+
+
+def test_inverted_index_roundtrip(spark):
+    from linkgraph.text import inverted_index
+
+    docs = spark.createDataFrame(
+        [(1, "apple banana apple"), (2, "banana cherry"), (3, "")],
+        "doc_id long, text string")
+    got = {r["term"]: (r["df"], r["postings"])
+           for r in inverted_index(docs).collect()}
+    assert got == {"apple": (1, "1"), "banana": (2, "1,2"),
+                   "cherry": (1, "2")}
