@@ -4548,3 +4548,84 @@ FROM t WHERE term <> '' GROUP BY term
 """
 
 REGISTRY["inverted_index"] = (q_inverted_index, INVERTED_INDEX_SQL)
+
+
+V_C = 500  # sparser derived graph (orders, 1-in-20): SimRank pair-state ops
+
+
+def edges_c(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    s = (F.col("o_orderkey").cast("long") * 23 + 11) % V_C
+    d = (F.col("o_custkey").cast("long") * 29 + 3) % V_C
+    return (
+        o.filter(F.col("o_orderkey") % 20 == 3)
+        .select(s.alias("src"), d.alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+EDGES_C_SQL = f"""
+edges_c AS (
+  SELECT DISTINCT
+    CAST((o_orderkey * 23 + 11) % {V_C} AS BIGINT) AS src,
+    CAST((o_custkey * 29 + 3) % {V_C} AS BIGINT) AS dst
+  FROM orders
+  WHERE o_orderkey % 20 = 3
+    AND (o_orderkey * 23 + 11) % {V_C} <> (o_custkey * 29 + 3) % {V_C}
+)"""
+
+
+def q_simrank(spark, sf_dir):
+    """Truncated SimRank (C=0.8, 2 quantized supersteps, τ=0.01) on the
+    sparse derived graph C — the structural related-pages metric; the
+    τ-pruning is what bounds the classic pair-state blowup."""
+    from .algos.simrank import simrank_truncated
+
+    return simrank_truncated(edges_c(spark, sf_dir), c=0.8, iters=2,
+                             tau_e6=10_000, partitions=8)
+
+
+def _simrank_sql(iters: int, c: float, tau: int) -> str:
+    parts = [
+        EDGES_C_SQL,
+        "ind AS MATERIALIZED (SELECT dst AS v, count(*) AS n FROM edges_c "
+        "GROUP BY dst)",
+        """dg AS MATERIALIZED (
+  SELECT e1.dst AS a, e2.dst AS b,
+         count(*) * 1000000 AS dsum
+  FROM edges_c e1 JOIN edges_c e2 ON e1.src = e2.src AND e1.dst <> e2.dst
+  GROUP BY e1.dst, e2.dst)""",
+    ]
+    prev = None
+    for i in range(1, iters + 1):
+        if prev is None:
+            parts.append(
+                f"t{i} AS MATERIALIZED (SELECT a, b, dsum AS tsum FROM dg)"
+            )
+        else:
+            parts.append(f"""o{i} AS MATERIALIZED (
+  SELECT e1.dst AS a, e2.dst AS b, sum(s.v) AS osum
+  FROM {prev} s JOIN edges_c e1 ON e1.src = s.x
+  JOIN edges_c e2 ON e2.src = s.y
+  WHERE e1.dst <> e2.dst
+  GROUP BY e1.dst, e2.dst)""")
+            parts.append(f"""t{i} AS MATERIALIZED (
+  SELECT coalesce(d.a, o.a) AS a, coalesce(d.b, o.b) AS b,
+         CAST(coalesce(d.dsum, 0) + coalesce(o.osum, 0) AS BIGINT) AS tsum
+  FROM dg d FULL OUTER JOIN o{i} o ON o.a = d.a AND o.b = d.b)""")
+        parts.append(f"""s{i} AS MATERIALIZED (
+  SELECT t.a AS x, t.b AS y,
+         CAST(round({c}e0 * t.tsum / (ia.n * ib.n)) AS BIGINT) AS v
+  FROM t{i} t JOIN ind ia ON ia.v = t.a JOIN ind ib ON ib.v = t.b
+  WHERE round({c}e0 * t.tsum / (ia.n * ib.n)) >= {tau})""")
+        prev = f"s{i}"
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT x AS a, y AS b, v AS sim_e6 FROM {prev}"
+    )
+
+
+SIMRANK_SQL = _simrank_sql(2, 0.8, 10_000)
+
+REGISTRY["simrank_2iter"] = (q_simrank, SIMRANK_SQL)

@@ -768,3 +768,44 @@ def test_wl_refinement_invariants(spark, edges30, edge_rows):
         for u in und:
             if got[v] == got[u]:
                 assert len(und[v]) == len(und[u])
+
+
+def test_simrank_truncated_matches_sequential(spark, edges30, edge_rows):
+    import decimal
+
+    from linkgraph.algos.simrank import simrank_truncated
+
+    got = {(r["a"], r["b"]): r["sim_e6"]
+           for r in simrank_truncated(edges30, c=0.8, iters=2,
+                                      tau_e6=10_000).collect()}
+
+    E = {(a, b) for a, b in edge_rows if a != b}
+    ind, out = {}, {}
+    for s, d in E:
+        ind.setdefault(d, set()).add(s)
+        out.setdefault(s, set()).add(d)
+    diag = {}
+    for a in ind:
+        for b in ind:
+            if a != b:
+                c_ = len(ind[a] & ind[b])
+                if c_:
+                    diag[(a, b)] = c_ * 1_000_000
+    state = {}
+    for _ in range(2):
+        total = dict(diag)
+        for (x, y), v in state.items():
+            for a in out.get(x, ()):
+                for b in out.get(y, ()):
+                    if a != b:
+                        total[(a, b)] = total.get((a, b), 0) + v
+        new = {}
+        for (a, b), t in total.items():
+            q = int(decimal.Decimal(0.8 * t / (len(ind[a]) * len(ind[b])))
+                    .quantize(0, rounding=decimal.ROUND_HALF_UP))
+            if q >= 10_000:
+                new[(a, b)] = q
+        state = new
+    assert got == state
+    # symmetry: s(a,b) == s(b,a)
+    assert all(got.get((b, a)) == v for (a, b), v in got.items())
