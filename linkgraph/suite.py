@@ -4629,3 +4629,76 @@ def _simrank_sql(iters: int, c: float, tau: int) -> str:
 SIMRANK_SQL = _simrank_sql(2, 0.8, 10_000)
 
 REGISTRY["simrank_2iter"] = (q_simrank, SIMRANK_SQL)
+
+
+def q_harmonic_labels(spark, sf_dir):
+    """Harmonic-function label spreading (Zhu et al. semi-supervised):
+    spam seeds (id%53==2) clamp at 1e6, ham seeds (id%53==7) at 0,
+    interior starts at 5e5 and becomes the neighbor average each
+    superstep (4 rounds, re-quantized e6 every step) — soft spam scores
+    complementing TrustRank's ratio."""
+    eb = edges_b(spark, sf_dir)
+    und = (
+        eb.union(eb.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .filter(F.col("src") != F.col("dst")).distinct()
+        .repartition(8, "src").localCheckpoint(eager=True)
+    )
+    v = und.select(F.col("src").alias("id")).distinct()
+    seedv = F.when(F.col("id") % 53 == 2, F.lit(1_000_000)) \
+        .when(F.col("id") % 53 == 7, F.lit(0))
+    state = v.select(
+        "id", F.coalesce(seedv, F.lit(500_000)).cast("long").alias("x"),
+        seedv.isNotNull().alias("seed"),
+    ).repartition(8, "id").localCheckpoint(eager=True)
+    for _ in range(4):
+        nbr = (
+            und.join(state.select(F.col("id").alias("dst"),
+                                  F.col("x").alias("nx")).hint("shuffle_hash"),
+                     "dst")
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.sum("nx").alias("s"), F.count(F.lit(1)).alias("d"))
+        )
+        state = (
+            state.join(nbr.hint("shuffle_hash"), "id")
+            .select(
+                "id",
+                F.when(F.col("seed"), F.col("x"))
+                .otherwise(F.round(F.col("s").cast("double") / F.col("d"))
+                           .cast("long")).alias("x"),
+                "seed",
+            )
+            .repartition(8, "id").localCheckpoint(eager=True)
+        )
+    return state.select("id", F.col("x").alias("spam_e6"))
+
+
+def _harmonic_sql(rounds: int) -> str:
+    parts = [
+        EDGES_B_SQL, UND_B_SQL,
+        """x0 AS MATERIALIZED (
+  SELECT id,
+         CAST(CASE WHEN id % 53 = 2 THEN 1000000
+                   WHEN id % 53 = 7 THEN 0
+                   ELSE 500000 END AS BIGINT) AS x,
+         (id % 53 = 2 OR id % 53 = 7) AS seed
+  FROM (SELECT DISTINCT src AS id FROM und_b))""",
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(f"""nb{i} AS MATERIALIZED (
+  SELECT u.src AS id, sum(s.x) AS s, count(*) AS d
+  FROM und_b u JOIN x{i - 1} s ON s.id = u.dst GROUP BY u.src)""")
+        parts.append(f"""x{i} AS MATERIALIZED (
+  SELECT v.id,
+         CASE WHEN v.seed THEN v.x
+              ELSE CAST(round(n.s / (1.0 * n.d)) AS BIGINT) END AS x,
+         v.seed
+  FROM x{i - 1} v JOIN nb{i} n ON n.id = v.id)""")
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT id, x AS spam_e6 FROM x{rounds}"
+    )
+
+
+HARMONIC_SQL = _harmonic_sql(4)
+
+REGISTRY["harmonic_labels"] = (q_harmonic_labels, HARMONIC_SQL)

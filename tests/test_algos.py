@@ -281,3 +281,21 @@ def test_vertex_reciprocity_and_host_entropy(spark, tmp_path):
     ent = {r["host"]: r["entropy_e6"]
            for r in suite.q_host_entropy(spark, sf).collect()}
     assert all(0 <= v <= math.log(39) * 1e6 + len(ent) for v in ent.values())
+
+
+def test_harmonic_labels_bounds_and_clamps(spark):
+    """Interior scores stay within [min seed, max seed] (maximum
+    principle) and seeds never move."""
+    from linkgraph import suite
+
+    got = {r["id"]: r["spam_e6"]
+           for r in suite.q_harmonic_labels(
+               spark, "/root/testdata/sf0.001").collect()}
+    for v, x in got.items():
+        assert 0 <= x <= 1_000_000
+        if v % 53 == 2:
+            assert x == 1_000_000
+        if v % 53 == 7:
+            assert x == 0
+    # at least one interior vertex moved off the 0.5 prior
+    assert any(x not in (0, 500_000, 1_000_000) for x in got.values())
