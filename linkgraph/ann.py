@@ -310,3 +310,82 @@ SELECT query_id, neighbor_id, CAST(round(sim * 1e6) AS BIGINT) AS sim_e6,
        CAST(rank AS BIGINT) AS rank
 FROM ranked WHERE rank <= {k}
 """
+
+
+def kmeans_lloyd(
+    vectors: DataFrame,
+    k: int = 4,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic Lloyd k-means over an embedding column — the trainer
+    whose centroids plug into :func:`ivf_topk`'s coarse quantizer.
+
+    Integer-exact recipe: embeddings are e6-quantized to BIGINT arrays up
+    front, so squared-L2 distances are EXACT integer sums (no float
+    accumulation order anywhere); assignment ties break by centroid id
+    via struct-min; centroid updates re-quantize per dimension
+    (``round(sum/n)``, one double division over exact integers).  Init is
+    the k lowest-id vectors (same convention as ivf_topk's codebook).
+    A cluster that loses all members keeps its previous centroid.
+
+    Per iteration: one broadcast cross-join (K tiny) + grouped struct-min
+    for assignment, one posexplode + grouped sum for the update — the
+    standard scalable k-means shape (state per task bounded by K·dim).
+    Returns the final assignment ``(vec_id, cluster, dist)``.
+    """
+    spark = vectors.sparkSession
+    P = int(partitions or spark.conf.get("spark.sql.shuffle.partitions"))
+
+    xq = (
+        vectors.select(
+            F.col(id_col).alias("vid"),
+            F.transform(F.col(vec_col),
+                        lambda e: F.round(e.cast("double") * 1e6)
+                        .cast("long")).alias("x"),
+        )
+        .repartition(P, "vid").localCheckpoint(eager=True)
+    )
+    cents = (
+        xq.orderBy("vid").limit(k)
+        .select(F.row_number().over(Window.orderBy("vid")).alias("cid"),
+                F.col("x").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+
+    dist = F.aggregate(
+        F.zip_with("x", "c", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"), lambda acc, v: acc + v)
+    assigned = None
+    for _ in range(iters):
+        assigned = (
+            xq.crossJoin(F.broadcast(cents))
+            .select("vid", "x",
+                    F.struct(dist.alias("d"), F.col("cid")).alias("s"))
+            .groupBy("vid")
+            .agg(F.min("s").alias("s"), F.first("x").alias("x"))
+            .select("vid", "x", F.col("s.cid").alias("cluster"),
+                    F.col("s.d").alias("dist"))
+            .repartition(P, "vid").localCheckpoint(eager=True)
+        )
+        upd = (
+            assigned.select("cluster", F.posexplode("x").alias("dim", "val"))
+            .groupBy("cluster", "dim")
+            .agg(F.round(F.sum("val").cast("double")
+                         / F.count(F.lit(1))).cast("long").alias("cv"))
+            .groupBy("cluster")
+            .agg(F.transform(
+                F.sort_array(F.collect_list(F.struct("dim", "cv"))),
+                lambda s: s.getField("cv")).alias("c"))
+            .select(F.col("cluster").alias("cid"), "c")
+        )
+        cents = (
+            cents.alias("o")
+            .join(upd.alias("n"), "cid", "left")
+            .select("cid", F.coalesce("n.c", "o.c").alias("c"))
+            .localCheckpoint(eager=True)
+        )
+
+    return assigned.select(F.col("vid").alias(id_col), "cluster", "dist")

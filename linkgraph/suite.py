@@ -4702,3 +4702,54 @@ def _harmonic_sql(rounds: int) -> str:
 HARMONIC_SQL = _harmonic_sql(4)
 
 REGISTRY["harmonic_labels"] = (q_harmonic_labels, HARMONIC_SQL)
+
+
+def q_kmeans_assign(spark, sf_dir):
+    """Deterministic integer-exact Lloyd k-means (k=4, 2 iterations) over
+    the embeddings table — the trainer whose centroids feed ivf_topk's
+    coarse quantizer; returns final (vec_id, cluster, dist)."""
+    from .ann import kmeans_lloyd
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return kmeans_lloyd(emb, k=4, iters=2)
+
+
+def _kmeans_sql(k: int, iters: int) -> str:
+    parts = [
+        "xq AS MATERIALIZED (SELECT vec_id AS vid, "
+        "list_transform(embedding, e -> CAST(round(CAST(e AS DOUBLE) * 1e6)"
+        " AS BIGINT)) AS x FROM embeddings)",
+        f"c0 AS MATERIALIZED (SELECT row_number() OVER (ORDER BY vid) AS cid,"
+        f" x AS c FROM (SELECT vid, x FROM xq ORDER BY vid LIMIT {k}))",
+        "dims AS MATERIALIZED (SELECT unnest(range(1, "
+        "(SELECT max(len(x)) FROM xq) + 1)) AS i)",
+    ]
+    dist = ("CAST(list_sum(list_transform(range(1, len(a.x) + 1), "
+            "i -> (a.x[i] - c.c[i]) * (a.x[i] - c.c[i]))) AS BIGINT)")
+    for i in range(1, iters + 1):
+        parts.append(f"""asg{i} AS MATERIALIZED (
+  SELECT a.vid, min({{'d': {dist}, 'cid': c.cid}}) AS s
+  FROM xq a CROSS JOIN c{i - 1} c GROUP BY a.vid)""")
+        parts.append(f"""ex{i} AS MATERIALIZED (
+  SELECT g.s.cid AS cluster, d.i AS dim, a.x[d.i] AS val
+  FROM asg{i} g JOIN xq a ON a.vid = g.vid CROSS JOIN dims d)""")
+        parts.append(f"""up{i} AS MATERIALIZED (
+  SELECT cluster, dim,
+         CAST(round(CAST(sum(val) AS DOUBLE) / count(*)) AS BIGINT) AS cv
+  FROM ex{i} GROUP BY 1, 2)""")
+        parts.append(
+            f"cn{i} AS MATERIALIZED (SELECT cluster AS cid, "
+            f"list(cv ORDER BY dim) AS c FROM up{i} GROUP BY cluster)")
+        parts.append(
+            f"c{i} AS MATERIALIZED (SELECT o.cid, coalesce(n.c, o.c) AS c "
+            f"FROM c{i - 1} o LEFT JOIN cn{i} n ON n.cid = o.cid)")
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT g.vid AS vec_id, g.s.cid AS cluster, g.s.d AS dist "
+        f"FROM asg{iters} g"
+    )
+
+
+KMEANS_SQL = _kmeans_sql(4, 2)
+
+REGISTRY["kmeans_assign"] = (q_kmeans_assign, KMEANS_SQL)

@@ -222,3 +222,32 @@ def test_inverted_index_roundtrip(spark):
            for r in inverted_index(docs).collect()}
     assert got == {"apple": (1, "1"), "banana": (2, "1,2"),
                    "cherry": (1, "2")}
+
+
+def test_kmeans_lloyd_properties(spark):
+    """Assignment is the argmin over final centroids (verified via numpy
+    recompute of one Lloyd pass) and cost never increases across the two
+    iterations on the fixture."""
+    import numpy as np
+
+    from linkgraph.ann import kmeans_lloyd
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    X = {r["vec_id"]: np.round(np.array(r["embedding"], dtype=np.float64)
+                               * 1e6).astype(np.int64)
+         for r in emb.collect()}
+    got1 = {r["vec_id"]: (r["cluster"], r["dist"])
+            for r in kmeans_lloyd(emb, k=4, iters=1).collect()}
+    got2 = {r["vec_id"]: (r["cluster"], r["dist"])
+            for r in kmeans_lloyd(emb, k=4, iters=2).collect()}
+
+    # iter-1 assignment == argmin over the k lowest-id quantized vectors
+    init_ids = sorted(X)[:4]
+    C = {i + 1: X[v] for i, v in enumerate(init_ids)}
+    for vid, (cl, d) in got1.items():
+        dists = {c: int(((X[vid] - vec) ** 2).sum()) for c, vec in C.items()}
+        best = min(dists.items(), key=lambda kv: (kv[1], kv[0]))
+        assert (cl, d) == best[0:1] + (best[1],) or (d, cl) == (best[1], best[0])
+        assert d == dists[cl] == best[1]
+    # Lloyd monotonicity: total cost non-increasing between iterations
+    assert sum(d for _, d in got2.values()) <= sum(d for _, d in got1.values())
