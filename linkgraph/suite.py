@@ -4550,13 +4550,13 @@ FROM t WHERE term <> '' GROUP BY term
 REGISTRY["inverted_index"] = (q_inverted_index, INVERTED_INDEX_SQL)
 
 
-V_C = 500  # sparser derived graph (orders, 1-in-20): SimRank pair-state ops
+V_D = 500  # sparser derived graph (orders, 1-in-20): SimRank pair-state ops
 
 
-def edges_c(spark: SparkSession, sf_dir: str) -> DataFrame:
+def edges_d(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    s = (F.col("o_orderkey").cast("long") * 23 + 11) % V_C
-    d = (F.col("o_custkey").cast("long") * 29 + 3) % V_C
+    s = (F.col("o_orderkey").cast("long") * 23 + 11) % V_D
+    d = (F.col("o_custkey").cast("long") * 29 + 3) % V_D
     return (
         o.filter(F.col("o_orderkey") % 20 == 3)
         .select(s.alias("src"), d.alias("dst"))
@@ -4565,36 +4565,36 @@ def edges_c(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-EDGES_C_SQL = f"""
-edges_c AS (
+EDGES_D_SQL = f"""
+edges_d AS (
   SELECT DISTINCT
-    CAST((o_orderkey * 23 + 11) % {V_C} AS BIGINT) AS src,
-    CAST((o_custkey * 29 + 3) % {V_C} AS BIGINT) AS dst
+    CAST((o_orderkey * 23 + 11) % {V_D} AS BIGINT) AS src,
+    CAST((o_custkey * 29 + 3) % {V_D} AS BIGINT) AS dst
   FROM orders
   WHERE o_orderkey % 20 = 3
-    AND (o_orderkey * 23 + 11) % {V_C} <> (o_custkey * 29 + 3) % {V_C}
+    AND (o_orderkey * 23 + 11) % {V_D} <> (o_custkey * 29 + 3) % {V_D}
 )"""
 
 
 def q_simrank(spark, sf_dir):
     """Truncated SimRank (C=0.8, 2 quantized supersteps, τ=0.01) on the
-    sparse derived graph C — the structural related-pages metric; the
+    sparse derived graph D — the structural related-pages metric; the
     τ-pruning is what bounds the classic pair-state blowup."""
     from .algos.simrank import simrank_truncated
 
-    return simrank_truncated(edges_c(spark, sf_dir), c=0.8, iters=2,
+    return simrank_truncated(edges_d(spark, sf_dir), c=0.8, iters=2,
                              tau_e6=10_000, partitions=8)
 
 
 def _simrank_sql(iters: int, c: float, tau: int) -> str:
     parts = [
-        EDGES_C_SQL,
-        "ind AS MATERIALIZED (SELECT dst AS v, count(*) AS n FROM edges_c "
+        EDGES_D_SQL,
+        "ind AS MATERIALIZED (SELECT dst AS v, count(*) AS n FROM edges_d "
         "GROUP BY dst)",
         """dg AS MATERIALIZED (
   SELECT e1.dst AS a, e2.dst AS b,
          count(*) * 1000000 AS dsum
-  FROM edges_c e1 JOIN edges_c e2 ON e1.src = e2.src AND e1.dst <> e2.dst
+  FROM edges_d e1 JOIN edges_d e2 ON e1.src = e2.src AND e1.dst <> e2.dst
   GROUP BY e1.dst, e2.dst)""",
     ]
     prev = None
@@ -4606,8 +4606,8 @@ def _simrank_sql(iters: int, c: float, tau: int) -> str:
         else:
             parts.append(f"""o{i} AS MATERIALIZED (
   SELECT e1.dst AS a, e2.dst AS b, sum(s.v) AS osum
-  FROM {prev} s JOIN edges_c e1 ON e1.src = s.x
-  JOIN edges_c e2 ON e2.src = s.y
+  FROM {prev} s JOIN edges_d e1 ON e1.src = s.x
+  JOIN edges_d e2 ON e2.src = s.y
   WHERE e1.dst <> e2.dst
   GROUP BY e1.dst, e2.dst)""")
             parts.append(f"""t{i} AS MATERIALIZED (
@@ -4753,3 +4753,60 @@ def _kmeans_sql(k: int, iters: int) -> str:
 KMEANS_SQL = _kmeans_sql(4, 2)
 
 REGISTRY["kmeans_assign"] = (q_kmeans_assign, KMEANS_SQL)
+
+
+def q_densest_subgraph(spark, sf_dir):
+    """Densest subgraph (ε=0 batch peeling, exact integer density key)
+    on the sparse derived graph D — link-farm detection."""
+    from .algos.densest import densest_subgraph
+
+    best, _ = densest_subgraph(edges_d(spark, sf_dir), max_rounds=8,
+                               partitions=8)
+    return best
+
+
+def _densest_sql(rounds: int) -> str:
+    parts = [
+        EDGES_D_SQL,
+        "s0 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, "
+        "greatest(src, dst) AS b FROM edges_d)",
+    ]
+    for i in range(rounds):
+        parts.append(
+            f"v{i} AS MATERIALIZED (SELECT DISTINCT id FROM ("
+            f"SELECT a AS id FROM s{i} UNION ALL SELECT b FROM s{i}))")
+        parts.append(
+            f"k{i} AS MATERIALIZED (SELECT {i} AS r, "
+            f"(SELECT count(*) FROM s{i}) AS e, "
+            f"(SELECT count(*) FROM v{i}) AS v)")
+        if i < rounds - 1:
+            parts.append(f"""deg{i} AS MATERIALIZED (
+  SELECT id, count(*) AS d FROM (
+    SELECT a AS id FROM s{i} UNION ALL SELECT b AS id FROM s{i})
+  GROUP BY id)""")
+            parts.append(f"""keep{i} AS MATERIALIZED (
+  SELECT g.id FROM deg{i} g CROSS JOIN k{i} kk
+  WHERE g.d * kk.v > 2 * kk.e)""")
+            parts.append(f"""s{i + 1} AS MATERIALIZED (
+  SELECT e.a, e.b FROM s{i} e
+  JOIN keep{i} x ON e.a = x.id JOIN keep{i} y ON e.b = y.id)""")
+    meta_union = " UNION ALL ".join(f"SELECT r, e, v FROM k{i}"
+                                    for i in range(rounds))
+    v_union = " UNION ALL ".join(f"SELECT {i} AS r, id FROM v{i}"
+                                 for i in range(rounds))
+    parts.append(f"""meta AS MATERIALIZED (
+  SELECT r, CASE WHEN v > 0 THEN e * 1000000000 // v ELSE -1 END AS key
+  FROM ({meta_union}))""")
+    parts.append(
+        "bestr AS (SELECT r, key FROM meta ORDER BY key DESC, r ASC LIMIT 1)")
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"""
+SELECT u.id, CAST((SELECT key FROM bestr) AS BIGINT) AS density_e9
+FROM ({v_union}) u WHERE u.r = (SELECT r FROM bestr)"""
+    )
+
+
+DENSEST_SQL = _densest_sql(8)
+
+REGISTRY["densest_subgraph"] = (q_densest_subgraph, DENSEST_SQL)
