@@ -809,3 +809,35 @@ def test_simrank_truncated_matches_sequential(spark, edges30, edge_rows):
     assert got == state
     # symmetry: s(a,b) == s(b,a)
     assert all(got.get((b, a)) == v for (a, b), v in got.items())
+
+
+def test_densest_subgraph_matches_sequential(spark, edges30, edge_rows):
+    import collections
+
+    from linkgraph.algos.densest import densest_subgraph
+
+    best_df, metrics = densest_subgraph(edges30)
+    got = {r["id"] for r in best_df.collect()}
+    got_key = best_df.collect()[0]["density_e9"]
+
+    E = {(min(a, b), max(a, b)) for a, b in edge_rows if a != b}
+    cur = {v for e in E for v in e}
+    curE, bk, bv = set(E), -1, None
+    while cur:
+        deg = collections.Counter()
+        for a, b in curE:
+            deg[a] += 1
+            deg[b] += 1
+        e_, v_ = len(curE), len(cur)
+        key = e_ * 1_000_000_000 // v_
+        if key > bk:
+            bk, bv = key, set(cur)
+        rm = {v for v in cur if deg.get(v, 0) * v_ <= 2 * e_}
+        if not rm:
+            break
+        cur -= rm
+        curE = {(a, b) for a, b in curE if a in cur and b in cur}
+    assert (got, got_key) == (bv, bk)
+    # density of the reported set is what the key claims
+    sub_e = sum(1 for a, b in E if a in got and b in got)
+    assert got_key == sub_e * 1_000_000_000 // len(got)
