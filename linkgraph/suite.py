@@ -4810,3 +4810,67 @@ FROM ({v_union}) u WHERE u.r = (SELECT r FROM bestr)"""
 DENSEST_SQL = _densest_sql(8)
 
 REGISTRY["densest_subgraph"] = (q_densest_subgraph, DENSEST_SQL)
+
+
+def q_kmeans_label_confusion(spark, sf_dir):
+    """Cluster-purity contingency: k-means cluster × ground-truth label
+    counts over embeddings — the clustering-evaluation pass."""
+    from .ann import kmeans_lloyd
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    asg = kmeans_lloyd(emb, k=4, iters=2)
+    return (
+        asg.join(emb.select("vec_id", "label"), "vec_id")
+        .groupBy("cluster", F.col("label").cast("long").alias("label"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+KMEANS_CONFUSION_SQL = (
+    _kmeans_sql(4, 2).replace(
+        "SELECT g.vid AS vec_id, g.s.cid AS cluster, g.s.d AS dist "
+        "FROM asg2 g",
+        """SELECT g.s.cid AS cluster, CAST(e.label AS BIGINT) AS label,
+       CAST(count(*) AS BIGINT) AS n
+FROM asg2 g JOIN embeddings e ON e.vec_id = g.vid
+GROUP BY 1, 2""")
+)
+
+REGISTRY["kmeans_label_confusion"] = (
+    q_kmeans_label_confusion, KMEANS_CONFUSION_SQL)
+
+
+def q_event_funnel(spark, sf_dir):
+    """Funnel conversions: for each ordered event-type pair (a, b), how
+    many users did a and then later b (first-a strictly before last-b) —
+    the product-analytics staple over the events table."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ut = (
+        ev.groupBy("user_id", "event_type")
+        .agg(F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts"))
+    )
+    a = ut.select("user_id", F.col("event_type").alias("step_a"),
+                  F.col("first_ts").alias("fa"))
+    b = ut.select("user_id", F.col("event_type").alias("step_b"),
+                  F.col("last_ts").alias("lb"))
+    return (
+        a.join(b, "user_id")
+        .filter((F.col("step_a") != F.col("step_b"))
+                & (F.col("fa") < F.col("lb")))
+        .groupBy("step_a", "step_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("converted_users"))
+    )
+
+
+EVENT_FUNNEL_SQL = """
+WITH ut AS (
+  SELECT user_id, event_type, min(ts) AS first_ts, max(ts) AS last_ts
+  FROM events GROUP BY 1, 2)
+SELECT a.event_type AS step_a, b.event_type AS step_b,
+       CAST(count(*) AS BIGINT) AS converted_users
+FROM ut a JOIN ut b ON b.user_id = a.user_id
+WHERE a.event_type <> b.event_type AND a.first_ts < b.last_ts
+GROUP BY 1, 2
+"""
+
+REGISTRY["event_funnel"] = (q_event_funnel, EVENT_FUNNEL_SQL)

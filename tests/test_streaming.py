@@ -103,3 +103,33 @@ def test_hourly_retention_hand_case(spark):
     # hour 10: users {100,101}, user 100 returns in hour 11 -> 1/2
     assert got[h0] == (2, 1, 500000)
     assert got[h1] == (2, 0, 0)
+
+
+def test_event_funnel_hand_case(spark):
+    import datetime as dt
+    import tempfile
+
+    from linkgraph import suite
+
+    t = lambda m: dt.datetime(2026, 1, 1, 10, m)  # noqa: E731
+    rows = [
+        (1, t(0), 1, "view"), (2, t(5), 1, "buy"),     # view->buy converts
+        (3, t(0), 2, "buy"), (4, t(5), 2, "view"),     # buy->view converts
+        (5, t(0), 3, "view"),                           # view only
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string")
+    with tempfile.TemporaryDirectory() as d:
+        ev.write.parquet(f"{d}/events.parquet")
+        got = {(r["step_a"], r["step_b"]): r["converted_users"]
+               for r in suite.q_event_funnel(spark, d).collect()}
+    assert got == {("view", "buy"): 1, ("buy", "view"): 1}
+
+
+def test_kmeans_label_confusion_marginals(spark):
+    from linkgraph import suite
+
+    sf = "/root/testdata/sf0.001"
+    rows = suite.q_kmeans_label_confusion(spark, sf).collect()
+    n_emb = spark.read.parquet(f"{sf}/embeddings.parquet").count()
+    assert sum(r["n"] for r in rows) == n_emb  # contingency marginal
