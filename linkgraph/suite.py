@@ -4874,3 +4874,32 @@ GROUP BY 1, 2
 """
 
 REGISTRY["event_funnel"] = (q_event_funnel, EVENT_FUNNEL_SQL)
+
+
+def q_corpus_summary(spark, sf_dir):
+    """One-row corpus health card over documents: doc/char counts,
+    language count, exact-duplicate text count (n_docs − distinct
+    texts), and mean doc length (e2) — the dataset datasheet numbers."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        (F.count(F.lit(1)) - F.countDistinct("text")).cast("long")
+        .alias("exact_dup_docs"),
+        F.round(F.sum("n_chars").cast("double") * 100
+                / F.count(F.lit(1))).cast("long").alias("mean_chars_e2"),
+    )
+
+
+CORPUS_SUMMARY_SQL = """
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(count(*) - count(DISTINCT text) AS BIGINT) AS exact_dup_docs,
+       CAST(round(CAST(sum(n_chars) AS DOUBLE) * 100 / count(*)) AS BIGINT)
+         AS mean_chars_e2
+FROM documents
+"""
+
+REGISTRY["corpus_summary"] = (q_corpus_summary, CORPUS_SUMMARY_SQL)

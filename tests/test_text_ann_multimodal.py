@@ -251,3 +251,17 @@ def test_kmeans_lloyd_properties(spark):
         assert d == dists[cl] == best[1]
     # Lloyd monotonicity: total cost non-increasing between iterations
     assert sum(d for _, d in got2.values()) <= sum(d for _, d in got1.values())
+
+
+def test_corpus_summary_hand_case(spark, tmp_path):
+    from linkgraph import suite
+
+    docs = spark.createDataFrame(
+        [(1, "aaa", "en", "w", 3), (2, "aaa", "en", "w", 3),
+         (3, "bbbb", "de", "w", 4)],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    d = str(tmp_path)
+    docs.write.parquet(f"{d}/documents.parquet")
+    r = suite.q_corpus_summary(spark, d).collect()[0]
+    assert (r["n_docs"], r["total_chars"], r["n_langs"],
+            r["exact_dup_docs"], r["mean_chars_e2"]) == (3, 10, 2, 1, 333)
