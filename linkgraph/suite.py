@@ -4903,3 +4903,55 @@ FROM documents
 """
 
 REGISTRY["corpus_summary"] = (q_corpus_summary, CORPUS_SUMMARY_SQL)
+
+
+def q_bfs_parents(spark, sf_dir):
+    """BFS shortest-path tree with parent pointers from vertex 7 on the
+    undirected derived graph B: parent(v) = min-id neighbor at dist-1
+    (deterministic tree, enables path reconstruction); root parent = -1."""
+    from .algos.voronoi import nearest_seed_partition
+
+    eb = edges_b(spark, sf_dir)
+    seeds = spark.createDataFrame([(7,)], "id long")
+    ball, _ = nearest_seed_partition(eb, seeds, max_rounds=30, partitions=8)
+    und = (
+        eb.union(eb.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .filter(F.col("src") != F.col("dst")).distinct()
+    )
+    d_of = ball.select(F.col("id").alias("nbr"), F.col("dist").alias("nd"))
+    parents = (
+        und.join(ball.select(F.col("id").alias("src"),
+                             F.col("dist").alias("d")), "src")
+        .join(d_of, und.dst == d_of.nbr)
+        .filter(F.col("nd") == F.col("d") - 1)
+        .groupBy(F.col("src").alias("id"), F.col("d").alias("dist"))
+        .agg(F.min("nbr").alias("parent"))
+    )
+    return (
+        ball.select("id", F.col("dist").cast("long").alias("dist"))
+        .join(parents.select("id", "parent"), "id", "left")
+        .select("id", "dist",
+                F.coalesce("parent", F.lit(-1)).cast("long").alias("parent"))
+    )
+
+
+BFS_PARENTS_SQL = f"""
+WITH RECURSIVE {EDGES_B_SQL}, {UND_B_SQL},
+reach(id, dist) AS (
+  SELECT CAST(7 AS BIGINT), 0
+  UNION
+  SELECT e.dst, r.dist + 1 FROM reach r JOIN und_b e ON e.src = r.id
+  WHERE r.dist < 40
+),
+d AS (SELECT id, min(dist) AS dist FROM reach GROUP BY id),
+p AS (
+  SELECT v.id, v.dist, min(u.dst) AS parent
+  FROM d v JOIN und_b u ON u.src = v.id
+  JOIN d w ON w.id = u.dst AND w.dist = v.dist - 1
+  GROUP BY v.id, v.dist)
+SELECT v.id, CAST(v.dist AS BIGINT) AS dist,
+       CAST(coalesce(p.parent, -1) AS BIGINT) AS parent
+FROM d v LEFT JOIN p ON p.id = v.id
+"""
+
+REGISTRY["bfs_parents"] = (q_bfs_parents, BFS_PARENTS_SQL)

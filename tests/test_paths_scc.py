@@ -841,3 +841,24 @@ def test_densest_subgraph_matches_sequential(spark, edges30, edge_rows):
     # density of the reported set is what the key claims
     sub_e = sum(1 for a, b in E if a in got and b in got)
     assert got_key == sub_e * 1_000_000_000 // len(got)
+
+
+def test_bfs_parents_tree_valid(spark, tmp_path):
+    """Parent pointers form a valid shortest-path tree: following parent
+    decreases dist by exactly 1 until the root."""
+    from linkgraph import suite
+
+    sf = "/root/testdata/sf0.001"
+    rows = suite.q_bfs_parents(spark, sf).collect()
+    d = {r["id"]: r["dist"] for r in rows}
+    p = {r["id"]: r["parent"] for r in rows}
+    assert d[7] == 0 and p[7] == -1
+    for v, dist in d.items():
+        if v != 7:
+            assert p[v] in d and d[p[v]] == dist - 1
+            # walking parents reaches the root in exactly dist steps
+            x, steps = v, 0
+            while x != 7:
+                x = p[x]
+                steps += 1
+            assert steps == dist
