@@ -4955,3 +4955,56 @@ FROM d v LEFT JOIN p ON p.id = v.id
 """
 
 REGISTRY["bfs_parents"] = (q_bfs_parents, BFS_PARENTS_SQL)
+
+
+def q_bipartite_projection(spark, sf_dir):
+    """Bipartite projection of the user×event-type graph onto event
+    types: co-occurrence weight = #users having done both (the classic
+    two-mode → one-mode projection, e.g. query co-click graphs)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ut = ev.select("user_id", "event_type").distinct()
+    a = ut.withColumnRenamed("event_type", "type_a")
+    b = ut.withColumnRenamed("event_type", "type_b")
+    return (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_users"))
+    )
+
+
+BIPARTITE_PROJ_SQL = """
+WITH ut AS (SELECT DISTINCT user_id, event_type FROM events)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       CAST(count(*) AS BIGINT) AS shared_users
+FROM ut a JOIN ut b ON b.user_id = a.user_id
+WHERE a.event_type < b.event_type
+GROUP BY 1, 2
+"""
+
+REGISTRY["bipartite_projection"] = (q_bipartite_projection, BIPARTITE_PROJ_SQL)
+
+
+def q_source_profile(spark, sf_dir):
+    """Per-source corpus profile: docs, chars, distinct languages and
+    exact-dup docs per `source` — the per-provider data-quality ledger
+    used to decide source-level inclusion/weights."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        (F.count(F.lit(1)) - F.countDistinct("text")).cast("long")
+        .alias("exact_dup_docs"),
+    )
+
+
+SOURCE_PROFILE_SQL = """
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(count(*) - count(DISTINCT text) AS BIGINT) AS exact_dup_docs
+FROM documents GROUP BY source
+"""
+
+REGISTRY["source_profile"] = (q_source_profile, SOURCE_PROFILE_SQL)

@@ -133,3 +133,21 @@ def test_kmeans_label_confusion_marginals(spark):
     rows = suite.q_kmeans_label_confusion(spark, sf).collect()
     n_emb = spark.read.parquet(f"{sf}/embeddings.parquet").count()
     assert sum(r["n"] for r in rows) == n_emb  # contingency marginal
+
+
+def test_bipartite_projection_hand_case(spark):
+    import datetime as dt
+    import tempfile
+
+    from linkgraph import suite
+
+    t0 = dt.datetime(2026, 1, 1, 10, 0)
+    rows = [(1, t0, 1, "a"), (2, t0, 1, "b"), (3, t0, 2, "a"),
+            (4, t0, 2, "b"), (5, t0, 3, "a"), (6, t0, 1, "a")]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string")
+    with tempfile.TemporaryDirectory() as d:
+        ev.write.parquet(f"{d}/events.parquet")
+        got = {(r["type_a"], r["type_b"]): r["shared_users"]
+               for r in suite.q_bipartite_projection(spark, d).collect()}
+    assert got == {("a", "b"): 2}
