@@ -5008,3 +5008,28 @@ FROM documents GROUP BY source
 """
 
 REGISTRY["source_profile"] = (q_source_profile, SOURCE_PROFILE_SQL)
+
+
+def q_walk_visit_counts(spark, sf_dir):
+    """Per-vertex visit histogram of the deterministic hash-walk corpus
+    (the DeepWalk negative-sampling frequency table): vertex → how many
+    times the 20×8 walk corpus visits it."""
+    from .algos.paths import random_walks
+
+    walks = random_walks(
+        edges_b(spark, sf_dir),
+        starts=spark.createDataFrame([(i,) for i in range(20)], "id long"),
+        length=8, directed=False, partitions=8,
+    )
+    return (
+        walks.groupBy(F.col("v").cast("long").alias("v"))
+        .agg(F.count(F.lit(1)).cast("long").alias("visits"))
+    )
+
+
+WALK_VISITS_SQL = (
+    "WITH visits_base AS (\n" + _random_walks_sql(20, 8) + "\n)\n"
+    "SELECT v, CAST(count(*) AS BIGINT) AS visits FROM visits_base GROUP BY v"
+)
+
+REGISTRY["walk_visit_counts"] = (q_walk_visit_counts, WALK_VISITS_SQL)

@@ -862,3 +862,14 @@ def test_bfs_parents_tree_valid(spark, tmp_path):
                 x = p[x]
                 steps += 1
             assert steps == dist
+
+
+def test_walk_visit_counts_conservation(spark):
+    from linkgraph import suite
+
+    rows = suite.q_walk_visit_counts(spark, "/root/testdata/sf0.001").collect()
+    # 20 walks × 9 positions (step 0..8), minus walks stranded at
+    # degree-0 starts (those emit only the rows they reached)
+    total = sum(r["visits"] for r in rows)
+    assert total <= 20 * 9
+    assert total > 0 and all(r["visits"] >= 1 for r in rows)
