@@ -5033,3 +5033,53 @@ WALK_VISITS_SQL = (
 )
 
 REGISTRY["walk_visit_counts"] = (q_walk_visit_counts, WALK_VISITS_SQL)
+
+
+def q_ngram_novelty(spark, sf_dir):
+    """Train/test n-gram novelty: splitting documents by doc_id parity,
+    what fraction of the test half's distinct word-3-grams never occur
+    in the train half (high novelty = low leakage; the complement of
+    contamination).  One semi-join of two distinct-shingle sets."""
+    from .dedup import word_shingles
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sh = docs.select(
+        "doc_id", F.explode(word_shingles(F.col("text"), 3)).alias("s"))
+    test = sh.filter(F.col("doc_id") % 2 == 1).select("s").distinct()
+    train = sh.filter(F.col("doc_id") % 2 == 0).select("s").distinct()
+    covered = test.join(train, "s", "left_semi")
+    n_test = test.count()
+    n_cov = covered.count()
+    return spark.createDataFrame(
+        [(n_test, n_cov)], "test_grams long, covered_grams long"
+    ).select(
+        "test_grams", "covered_grams",
+        F.round((F.col("test_grams") - F.col("covered_grams"))
+                .cast("double") * 1e6 / F.col("test_grams"))
+        .cast("long").alias("novelty_e6"),
+    )
+
+
+def _novelty_sql() -> str:
+    from .dedup import word_shingles_sql
+
+    sh = word_shingles_sql("text", 3)
+    return f"""
+WITH sh AS MATERIALIZED (
+  SELECT doc_id, unnest({sh}) AS s FROM documents),
+test AS MATERIALIZED (SELECT DISTINCT s FROM sh WHERE doc_id % 2 = 1),
+train AS MATERIALIZED (SELECT DISTINCT s FROM sh WHERE doc_id % 2 = 0),
+m AS (SELECT CAST((SELECT count(*) FROM test) AS BIGINT) AS test_grams,
+             CAST((SELECT count(*) FROM test t
+                   WHERE EXISTS (SELECT 1 FROM train x WHERE x.s = t.s))
+                  AS BIGINT) AS covered_grams)
+SELECT test_grams, covered_grams,
+       CAST(round(CAST(test_grams - covered_grams AS DOUBLE) * 1e6
+                  / test_grams) AS BIGINT) AS novelty_e6
+FROM m
+"""
+
+
+NOVELTY_SQL = _novelty_sql()
+
+REGISTRY["ngram_novelty"] = (q_ngram_novelty, NOVELTY_SQL)

@@ -146,3 +146,18 @@ def test_snm_pairs_window_blocking(spark):
                                                      threshold=0.2).collect()}
     assert (1, 2) in got
     assert not any(3 in p for p in got)  # blocking boundary respected
+
+
+def test_ngram_novelty_hand_case(spark, tmp_path):
+    from linkgraph import suite
+
+    docs = spark.createDataFrame(
+        [(0, "a b c d"),        # train: grams {a b c, b c d}
+         (1, "a b c x"),        # test: {a b c (covered), b c x (novel)}
+         (3, "b c d")],         # test: {b c d (covered)}
+        "doc_id long, text string")
+    d = str(tmp_path)
+    docs.write.parquet(f"{d}/documents.parquet")
+    r = suite.q_ngram_novelty(spark, d).collect()[0]
+    assert (r["test_grams"], r["covered_grams"], r["novelty_e6"]) == (
+        3, 2, 333333)
