@@ -63,3 +63,76 @@ def test_core_numbers_property(spark, rows):
     core, _ = core_numbers(e)
     got = {r["id"]: r["core"] for r in core.collect()}
     assert got == oracles.core_numbers_oracle(clean)
+
+
+@settings(**_SETTINGS)
+@given(rows=edge_lists)
+def test_msf_property(spark, rows):
+    from pyspark.sql import functions as F
+
+    from linkgraph.algos.msf import boruvka_msf
+
+    e = spark.createDataFrame(rows, "src long, dst long")
+    we = (
+        e.select(F.least("src", "dst").alias("a"),
+                 F.greatest("src", "dst").alias("b"))
+        .filter(F.col("a") != F.col("b")).distinct()
+        .withColumn("w", (F.col("a") * 31 + F.col("b") * 17) % 997 + 1)
+    )
+    wedges = [(r["a"], r["b"], r["w"]) for r in we.collect()]
+    if not wedges:
+        return
+    forest, _ = boruvka_msf(we)
+    got = {(r["a"], r["b"], r["w"]) for r in forest.collect()}
+    assert got == oracles.msf_oracle(wedges)
+
+
+@settings(**_SETTINGS)
+@given(rows=edge_lists)
+def test_coloring_property(spark, rows):
+    from linkgraph.algos.coloring import jones_plassmann_coloring
+
+    clean = [t for t in rows if t[0] != t[1]]
+    if not clean:
+        return
+    e = spark.createDataFrame(clean, "src long, dst long")
+    colors_df, metrics = jones_plassmann_coloring(e)
+    got = {r["id"]: r["color"] for r in colors_df.collect()}
+    want, _ = oracles.coloring_oracle(clean)
+    assert got == want
+    assert metrics[-1]["active"] == 0
+
+
+@settings(**_SETTINGS)
+@given(rows=edge_lists)
+def test_voronoi_property(spark, rows):
+    from linkgraph.algos.voronoi import nearest_seed_partition
+
+    clean = [t for t in rows if t[0] != t[1]]
+    if not clean:
+        return
+    e = spark.createDataFrame(clean, "src long, dst long")
+    verts = sorted({v for t in clean for v in t})
+    seeds = spark.createDataFrame([(verts[0],), (verts[-1],)], "id long")
+    res, _ = nearest_seed_partition(e, seeds)
+    got = {r["id"]: (r["dist"], r["seed"]) for r in res.collect()}
+
+    und = {}
+    for a, b in clean:
+        und.setdefault(a, set()).add(b)
+        und.setdefault(b, set()).add(a)
+    want = {v: (0, v) for v in {verts[0], verts[-1]}}
+    changed = True
+    while changed:
+        changed, new = False, dict(want)
+        for v in und:
+            best = want.get(v)
+            for u in und[v]:
+                if u in want:
+                    c = (want[u][0] + 1, want[u][1])
+                    if best is None or c < best:
+                        best = c
+            if best is not None and best != want.get(v):
+                new[v], changed = best, True
+        want = new
+    assert got == want
