@@ -136,3 +136,63 @@ def test_voronoi_property(spark, rows):
                 new[v], changed = best, True
         want = new
     assert got == want
+
+
+@settings(**_SETTINGS)
+@given(rows=edge_lists)
+def test_densest_property(spark, rows):
+    import collections
+
+    from linkgraph.algos.densest import densest_subgraph
+
+    clean = [t for t in rows if t[0] != t[1]]
+    if not clean:
+        return
+    e = spark.createDataFrame(clean, "src long, dst long")
+    best_df, _ = densest_subgraph(e)
+    rows_out = best_df.collect()
+    got = ({r["id"] for r in rows_out}, rows_out[0]["density_e9"])
+
+    E = {(min(a, b), max(a, b)) for a, b in clean}
+    cur = {v for t in E for v in t}
+    curE, bk, bv = set(E), -1, None
+    while cur:
+        deg = collections.Counter()
+        for a, b in curE:
+            deg[a] += 1
+            deg[b] += 1
+        e_, v_ = len(curE), len(cur)
+        key = e_ * 1_000_000_000 // v_
+        if key > bk:
+            bk, bv = key, set(cur)
+        rm = {v for v in cur if deg.get(v, 0) * v_ <= 2 * e_}
+        if not rm:
+            break
+        cur -= rm
+        curE = {(a, b) for a, b in curE if a in cur and b in cur}
+    assert got == (bv, bk)
+
+
+@settings(**_SETTINGS)
+@given(rows=edge_lists)
+def test_wl_property(spark, rows):
+    from linkgraph.algos.wl import wl_refinement
+
+    clean = [t for t in rows if t[0] != t[1]]
+    if not clean:
+        return
+    e = spark.createDataFrame(clean, "src long, dst long")
+    got = {r["id"]: r["color"] for r in wl_refinement(e, rounds=3).collect()}
+
+    und = {}
+    for a, b in clean:
+        und.setdefault(a, set()).add(b)
+        und.setdefault(b, set()).add(a)
+    color = {v: 1 for v in und}
+    for _ in range(3):
+        sig = {v: (color[v],
+                   ",".join(str(c) for c in sorted(color[u] for u in und[v])))
+               for v in und}
+        ranks = {s: i + 1 for i, s in enumerate(sorted(set(sig.values())))}
+        color = {v: ranks[sig[v]] for v in und}
+    assert got == color
