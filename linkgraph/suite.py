@@ -5083,3 +5083,84 @@ FROM m
 NOVELTY_SQL = _novelty_sql()
 
 REGISTRY["ngram_novelty"] = (q_ngram_novelty, NOVELTY_SQL)
+
+
+def q_partition_balance(spark, sf_dir):
+    """Partition-balance diagnostic: rows per hash bucket (H60(src) mod
+    32) of the derived edge table, plus each bucket's permille of total —
+    the skew report consulted before pinning a partitioning."""
+    from .dedup import h60
+
+    ea = edges_a(spark, sf_dir)
+    b = ea.select((h60(F.col("src").cast("string")) % 32).alias("bucket"))
+    tot = b.groupBy("bucket").agg(F.count(F.lit(1)).alias("rows"))
+    return tot.select(
+        F.col("bucket").cast("long").alias("bucket"),
+        F.col("rows").cast("long").alias("rows"),
+        F.round(F.col("rows").cast("double") * 1000
+                / F.sum("rows").over(Window.partitionBy()))
+        .cast("long").alias("permille"),
+    )
+
+
+PARTITION_BALANCE_SQL = f"""
+WITH {EDGES_A_SQL},
+b AS (SELECT CAST(('0x' || substr(md5(CAST(src AS VARCHAR)), 1, 15))
+             AS BIGINT) % 32 AS bucket FROM edges_a),
+t AS (SELECT bucket, count(*) AS rows_ FROM b GROUP BY bucket)
+SELECT CAST(bucket AS BIGINT) AS bucket, CAST(rows_ AS BIGINT) AS rows,
+       CAST(round(rows_ * 1000.0 / (SELECT sum(rows_) FROM t)) AS BIGINT)
+         AS permille
+FROM t
+"""
+
+REGISTRY["partition_balance"] = (q_partition_balance, PARTITION_BALANCE_SQL)
+
+
+def q_interarrival_percentiles(spark, sf_dir):
+    """Exact p50/p90/p99 of per-user event inter-arrival gaps (µs),
+    via the engine's histogram-CDF percentile pattern — latency/behavior
+    distribution without a global sort."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (
+        ev.select("user_id", "ts", "event_id")
+        .withColumn("gap", F.unix_micros(F.col("ts").cast("timestamp"))
+                    - F.unix_micros(F.lag("ts").over(w).cast("timestamp")))
+        .filter(F.col("gap").isNotNull())
+        .select(F.col("gap").cast("long").alias("g"))
+    )
+    hist = gaps.groupBy("g").agg(F.count(F.lit(1)).alias("c"))
+    wcum = Window.orderBy("g").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select("g", F.sum("c").over(wcum).alias("cum"))
+    n = gaps.agg(F.count(F.lit(1)).alias("n"))
+    j = cum.crossJoin(F.broadcast(n))
+    pick = lambda q: F.min(F.when(  # noqa: E731
+        F.col("cum") >= F.ceil(F.lit(q) * F.col("n")), F.col("g")))
+    return j.agg(
+        F.max("n").cast("long").alias("n"),
+        pick(0.5).cast("long").alias("p50"),
+        pick(0.9).cast("long").alias("p90"),
+        pick(0.99).cast("long").alias("p99"),
+    )
+
+
+INTERARRIVAL_SQL = """
+WITH g AS (
+  SELECT epoch_us(ts) - epoch_us(lag(ts) OVER w) AS g
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+gaps AS (SELECT g FROM g WHERE g IS NOT NULL),
+hist AS (SELECT g, count(*) AS c FROM gaps GROUP BY g),
+cum AS (SELECT g, sum(c) OVER (ORDER BY g ROWS BETWEEN UNBOUNDED PRECEDING
+        AND CURRENT ROW) AS cum FROM hist),
+n AS (SELECT count(*) AS n FROM gaps)
+SELECT CAST(max(n.n) AS BIGINT) AS n,
+       CAST(min(CASE WHEN cum >= ceil(0.5 * n.n) THEN g END) AS BIGINT) AS p50,
+       CAST(min(CASE WHEN cum >= ceil(0.9 * n.n) THEN g END) AS BIGINT) AS p90,
+       CAST(min(CASE WHEN cum >= ceil(0.99 * n.n) THEN g END) AS BIGINT) AS p99
+FROM cum CROSS JOIN n
+"""
+
+REGISTRY["interarrival_percentiles"] = (
+    q_interarrival_percentiles, INTERARRIVAL_SQL)

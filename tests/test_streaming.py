@@ -151,3 +151,22 @@ def test_bipartite_projection_hand_case(spark):
         got = {(r["type_a"], r["type_b"]): r["shared_users"]
                for r in suite.q_bipartite_projection(spark, d).collect()}
     assert got == {("a", "b"): 2}
+
+
+def test_interarrival_percentiles_hand_case(spark):
+    import datetime as dt
+    import tempfile
+
+    from linkgraph import suite
+
+    base = dt.datetime(2026, 1, 1, 10, 0, 0)
+    # user 1 gaps: 10s, 20s; user 2 gap: 40s  -> gaps [10,20,40] s
+    rows = [(1, base, 1), (2, base + dt.timedelta(seconds=10), 1),
+            (3, base + dt.timedelta(seconds=30), 1),
+            (4, base, 2), (5, base + dt.timedelta(seconds=40), 2)]
+    ev = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long")
+    with tempfile.TemporaryDirectory() as d:
+        ev.write.parquet(f"{d}/events.parquet")
+        r = suite.q_interarrival_percentiles(spark, d).collect()[0]
+    assert (r["n"], r["p50"], r["p90"], r["p99"]) == (
+        3, 20_000_000, 40_000_000, 40_000_000)
