@@ -5164,3 +5164,66 @@ FROM cum CROSS JOIN n
 
 REGISTRY["interarrival_percentiles"] = (
     q_interarrival_percentiles, INTERARRIVAL_SQL)
+
+
+def q_dedup_agreement(spark, sf_dir):
+    """Dedup-method agreement: of the MinHash-LSH near-dup pairs whose
+    both documents have embeddings, what fraction the embedding-cosine
+    detector also flags — the cross-validation number quoted when
+    choosing a dedup stack."""
+    from . import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    mh = dedup.minhash_lsh_pairs(
+        docs, num_hashes=16, bands=8, jaccard_threshold=0.5
+    ).select("id_a", "id_b")
+    en = dedup.embedding_near_dup(emb, threshold=0.45).select("id_a", "id_b")
+    ids = emb.select(F.col("vec_id").alias("id")).distinct()
+    mh_emb = (
+        mh.join(ids.withColumnRenamed("id", "id_a"), "id_a", "left_semi")
+        .join(ids.withColumnRenamed("id", "id_b"), "id_b", "left_semi")
+    )
+    n_mh = mh_emb.count()
+    n_both = mh_emb.join(en, ["id_a", "id_b"], "left_semi").count()
+    return spark.createDataFrame(
+        [(n_mh, n_both)], "mh_pairs_with_emb long, both_flagged long"
+    ).select(
+        "mh_pairs_with_emb", "both_flagged",
+        F.when(F.col("mh_pairs_with_emb") > 0,
+               F.round(F.col("both_flagged").cast("double") * 1e6
+                       / F.col("mh_pairs_with_emb")))
+        .otherwise(F.lit(0)).cast("long").alias("agree_e6"),
+    )
+
+
+def _dedup_agreement_sql() -> str:
+    from . import dedup
+
+    mh = dedup.minhash_lsh_pairs_sql(num_hashes=16, bands=8,
+                                     jaccard_threshold=0.5)
+    en = dedup.embedding_near_dup_sql(threshold=0.45)
+    return f"""
+WITH mh AS MATERIALIZED ({mh}),
+en AS MATERIALIZED ({en}),
+ids AS (SELECT DISTINCT vec_id AS id FROM embeddings),
+mhe AS MATERIALIZED (
+  SELECT m.id_a, m.id_b FROM mh m
+  WHERE EXISTS (SELECT 1 FROM ids i WHERE i.id = m.id_a)
+    AND EXISTS (SELECT 1 FROM ids i WHERE i.id = m.id_b)),
+m AS (SELECT CAST((SELECT count(*) FROM mhe) AS BIGINT) AS mh_pairs_with_emb,
+             CAST((SELECT count(*) FROM mhe x
+                   WHERE EXISTS (SELECT 1 FROM en e
+                                 WHERE e.id_a = x.id_a AND e.id_b = x.id_b))
+                  AS BIGINT) AS both_flagged)
+SELECT mh_pairs_with_emb, both_flagged,
+       CAST(CASE WHEN mh_pairs_with_emb > 0 THEN
+              round(CAST(both_flagged AS DOUBLE) * 1e6 / mh_pairs_with_emb)
+            ELSE 0 END AS BIGINT) AS agree_e6
+FROM m
+"""
+
+
+DEDUP_AGREEMENT_SQL = _dedup_agreement_sql()
+
+REGISTRY["dedup_agreement"] = (q_dedup_agreement, DEDUP_AGREEMENT_SQL)

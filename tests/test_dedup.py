@@ -161,3 +161,11 @@ def test_ngram_novelty_hand_case(spark, tmp_path):
     r = suite.q_ngram_novelty(spark, d).collect()[0]
     assert (r["test_grams"], r["covered_grams"], r["novelty_e6"]) == (
         3, 2, 333333)
+
+
+def test_dedup_agreement_bounds(spark):
+    from linkgraph import suite
+
+    r = suite.q_dedup_agreement(spark, "/root/testdata/sf0.001").collect()[0]
+    assert 0 <= r["both_flagged"] <= r["mh_pairs_with_emb"]
+    assert 0 <= r["agree_e6"] <= 1_000_000
