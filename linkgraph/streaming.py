@@ -234,3 +234,56 @@ def stream_distinct_users(
     )
     q.awaitTermination()
     return spark.table(sink_table)
+
+
+def stream_attribution(
+    spark: SparkSession,
+    events_dir: str,
+    watermark: str = "2 hours",
+    sink_table: str = "stream_attr",
+) -> DataFrame:
+    """Stream-stream interval join: attribute each purchase to the same
+    user's views in the hour before it — the last uncovered Structured
+    Streaming primitive (two watermarked streams, event-time-bounded
+    inner join, append mode).  Inner-join results are emitted as matches
+    arrive and the watermark only bounds buffered state, so draining
+    with availableNow produces exactly the batch join (the oracle).
+
+    Output: (user_id, view_event, buy_event), one row per attribution
+    edge.  State is keyed on user_id per side — hash-partitioned,
+    skew-free for web events; the 1-hour bound keeps per-key buffers
+    small at any scale.
+    """
+    s = _events_stream(spark, events_dir)
+    views = (
+        s.filter(F.col("event_type") == "view")
+        .select(F.col("user_id").alias("v_user"),
+                F.col("event_id").alias("view_event"),
+                F.col("ts").alias("view_ts"))
+        .withWatermark("view_ts", watermark)
+    )
+    buys = (
+        s.filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("b_user"),
+                F.col("event_id").alias("buy_event"),
+                F.col("ts").alias("buy_ts"))
+        .withWatermark("buy_ts", watermark)
+    )
+    j = views.join(
+        buys,
+        F.expr("""v_user = b_user
+                  AND view_ts BETWEEN buy_ts - INTERVAL 1 HOUR AND buy_ts"""),
+    ).select(F.col("b_user").cast("long").alias("user_id"),
+             F.col("view_event").cast("long").alias("view_event"),
+             F.col("buy_event").cast("long").alias("buy_event"))
+    ckpt = tempfile.mkdtemp(prefix="lg_stream_ckpt_")
+    q = (
+        j.writeStream.format("memory")
+        .queryName(sink_table)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(ckpt, "attr"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink_table)

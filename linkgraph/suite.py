@@ -5227,3 +5227,24 @@ FROM m
 DEDUP_AGREEMENT_SQL = _dedup_agreement_sql()
 
 REGISTRY["dedup_agreement"] = (q_dedup_agreement, DEDUP_AGREEMENT_SQL)
+
+
+def q_stream_attribution(spark, sf_dir):
+    """Stream-stream interval join (view→purchase attribution within 1h,
+    both sides watermarked, append mode) drained with availableNow —
+    must equal the batch interval join exactly."""
+    from . import streaming
+
+    return streaming.stream_attribution(
+        spark, f"{sf_dir}/events.parquet", sink_table="q_stream_attr")
+
+
+STREAM_ATTRIBUTION_SQL = """
+SELECT b.user_id, v.event_id AS view_event, b.event_id AS buy_event
+FROM events v JOIN events b
+  ON v.user_id = b.user_id
+ AND v.event_type = 'view' AND b.event_type = 'purchase'
+ AND v.ts BETWEEN b.ts - INTERVAL 1 HOUR AND b.ts
+"""
+
+REGISTRY["stream_attribution"] = (q_stream_attribution, STREAM_ATTRIBUTION_SQL)

@@ -170,3 +170,40 @@ def test_interarrival_percentiles_hand_case(spark):
         r = suite.q_interarrival_percentiles(spark, d).collect()[0]
     assert (r["n"], r["p50"], r["p90"], r["p99"]) == (
         3, 20_000_000, 40_000_000, 40_000_000)
+
+
+def test_stream_attribution_equals_batch(spark):
+    """Stream-stream interval join drained with availableNow equals the
+    batch interval join on a hand-built fixture."""
+    import datetime as dt
+    import tempfile
+
+    from linkgraph import streaming
+
+    base = dt.datetime(2026, 1, 1, 10, 0, 0)
+    m = lambda k: base + dt.timedelta(minutes=k)  # noqa: E731
+    rows = [
+        (1, m(0), 1, "view", 0.0, ""),
+        (2, m(30), 1, "purchase", 1.0, ""),   # attributed to view 1
+        (3, m(200), 1, "purchase", 1.0, ""),  # no view within 1h
+        (4, m(0), 2, "view", 0.0, ""),
+        (5, m(90), 2, "purchase", 1.0, ""),   # view 4 is 90min old: no
+        (6, m(85), 2, "view", 0.0, ""),       # view 6 within 5min: yes
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string")
+    with tempfile.TemporaryDirectory() as d:
+        # the file stream source globs on the leaf FILE name, so the
+        # fixture must be a single parquet file (as in the sf dirs)
+        import glob
+        import shutil
+
+        ev.repartition(1).write.parquet(f"{d}/tmp")
+        shutil.copy(glob.glob(f"{d}/tmp/part-*.parquet")[0],
+                    f"{d}/events.parquet")
+        got = {(r["user_id"], r["view_event"], r["buy_event"])
+               for r in streaming.stream_attribution(
+                   spark, f"{d}/events.parquet",
+                   sink_table="t_attr").collect()}
+    assert got == {(1, 1, 2), (2, 6, 5)}
