@@ -5248,3 +5248,52 @@ FROM events v JOIN events b
 """
 
 REGISTRY["stream_attribution"] = (q_stream_attribution, STREAM_ATTRIBUTION_SQL)
+
+
+def q_local_supplier_volume(spark, sf_dir):
+    """TPC-H Q5-shaped 6-table star join: revenue by nation where the
+    customer's and supplier's nations match, restricted to one region —
+    dimension tables (region, nation) broadcast, facts shuffle on their
+    join keys.  Revenue terms e2-quantized per row before the integer
+    sum (engine-order-proof)."""
+    rd = lambda t: spark.read.parquet(f"{sf_dir}/{t}.parquet")  # noqa: E731
+    rev = F.round(F.col("l_extendedprice")
+                  * (1 - F.col("l_discount")) * 100).cast("long")
+    j = (
+        rd("customer")
+        .join(rd("orders"), F.col("o_custkey") == F.col("c_custkey"))
+        .join(rd("lineitem"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(rd("supplier"),
+              (F.col("s_suppkey") == F.col("l_suppkey"))
+              & (F.col("s_nationkey") == F.col("c_nationkey")))
+        .join(F.broadcast(rd("nation")),
+              F.col("n_nationkey") == F.col("c_nationkey"))
+        .join(F.broadcast(rd("region")),
+              F.col("r_regionkey") == F.col("n_regionkey"))
+        .filter(F.col("r_name") == "ASIA")
+    )
+    return (
+        j.groupBy("n_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_items"),
+             F.sum(rev).cast("long").alias("revenue_e2"))
+    )
+
+
+LOCAL_SUPPLIER_SQL = """
+SELECT n.n_name,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                     AS BIGINT)) AS BIGINT) AS revenue_e2
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+              AND s.s_nationkey = c.c_nationkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+WHERE r.r_name = 'ASIA'
+GROUP BY n.n_name
+"""
+
+REGISTRY["local_supplier_volume"] = (
+    q_local_supplier_volume, LOCAL_SUPPLIER_SQL)
