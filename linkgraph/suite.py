@@ -5297,3 +5297,49 @@ GROUP BY n.n_name
 
 REGISTRY["local_supplier_volume"] = (
     q_local_supplier_volume, LOCAL_SUPPLIER_SQL)
+
+
+def q_graph_center(spark, sf_dir):
+    """Graph center + radius of the undirected derived graph B: run the
+    composite-key multi-source BFS from EVERY vertex, restrict to the
+    giant component (max reached count), output the vertices whose
+    eccentricity equals the radius — "the most central hosts"."""
+    from .algos.paths import closeness_centrality
+
+    eb = edges_b(spark, sf_dir)
+    verts_all = (
+        eb.select(F.col("src").alias("id"))
+        .union(eb.select(F.col("dst").alias("id"))).distinct()
+    )
+    cc = closeness_centrality(eb, sources=verts_all, directed=False,
+                              partitions=8).select("s", "reached", "ecc")
+    mx = cc.agg(F.max("reached").alias("m"))
+    giant = cc.crossJoin(F.broadcast(mx)).filter(F.col("reached") == F.col("m"))
+    rad = giant.agg(F.min("ecc").alias("radius"))
+    return (
+        giant.crossJoin(F.broadcast(rad))
+        .filter(F.col("ecc") == F.col("radius"))
+        .select(F.col("s").cast("long").alias("id"),
+                F.col("radius").cast("long").alias("radius"))
+    )
+
+
+GRAPH_CENTER_SQL = f"""
+WITH RECURSIVE {EDGES_B_SQL}, {UND_B_SQL},
+srcs AS (SELECT DISTINCT src AS s FROM und_b),
+walk(s, v, d) AS (
+  SELECT s, s AS v, 0 AS d FROM srcs
+  UNION
+  SELECT w.s, e.dst, w.d + 1 FROM walk w JOIN und_b e ON e.src = w.v
+  WHERE w.d < 40
+),
+md AS (SELECT s, v, min(d) AS d FROM walk GROUP BY s, v),
+ecc AS (SELECT s, count(*) AS reached, max(d) AS ecc FROM md GROUP BY s),
+m AS (SELECT max(reached) AS m FROM ecc),
+giant AS (SELECT e.s, e.ecc FROM ecc e CROSS JOIN m WHERE e.reached = m.m),
+rad AS (SELECT min(ecc) AS radius FROM giant)
+SELECT g.s AS id, CAST(r.radius AS BIGINT) AS radius
+FROM giant g CROSS JOIN rad r WHERE g.ecc = r.radius
+"""
+
+REGISTRY["graph_center"] = (q_graph_center, GRAPH_CENTER_SQL)
