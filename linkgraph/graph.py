@@ -262,3 +262,27 @@ def ego_network(edges: DataFrame, seed: int, radius: int = 2) -> DataFrame:
         .join(ball.select(F.col("id").alias("dst")), "dst", "left_semi")
         .select("src", "dst")
     )
+
+
+def conditional_sample_vertex(
+    vertices: DataFrame, min_exclusive: int, seed: int = 1234
+) -> tuple[int | None, float]:
+    """Uniform vertex with id strictly greater than ``min_exclusive`` —
+    the reference's ordering-trick primitive ``conditional_sample_vertex``
+    (/root/reference/src/ZGraphInstance.cpp:336-350), which keeps
+    multi-vertex samples canonical (ascending ids) so each unordered set
+    is drawn exactly once.
+
+    Returns ``(vertex, 1/|pool|)`` or ``(None, 0.0)`` on an empty pool.
+    Deterministic for a given seed: the pick is the min seeded hash over
+    the pool (same convention as LinkGraph.vertex_induced_sample), not
+    an RNG."""
+    pool = vertices.select("id").filter(F.col("id") > min_exclusive)
+    n = pool.count()
+    if n == 0:
+        return None, 0.0
+    row = (
+        pool.withColumn("_h", F.xxhash64(F.col("id"), F.lit(seed)))
+        .orderBy("_h").limit(1).collect()[0]
+    )
+    return int(row["id"]), 1.0 / n

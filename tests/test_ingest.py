@@ -219,3 +219,18 @@ def test_normalize_urls_udf_edge_cases(spark):
         assert got[c] == normalize_url(c)
     assert got[cases[0]] == "https://www.example.com/Path/File"
     assert got[cases[3]] == "http://upper.com/QueryCase?Q=Mixed"
+
+
+def test_conditional_sample_vertex(spark):
+    from linkgraph.graph import conditional_sample_vertex
+
+    v = spark.range(10).select("id")
+    pick, p = conditional_sample_vertex(v, 6)
+    assert pick in (7, 8, 9) and abs(p - 1 / 3) < 1e-12
+    # deterministic for a seed; different seed may differ but stays valid
+    assert conditional_sample_vertex(v, 6) == (pick, p)
+    assert conditional_sample_vertex(v, 9) == (None, 0.0)
+    # ordering trick: chaining picks yields strictly ascending ids
+    a, _ = conditional_sample_vertex(v, -1, seed=7)
+    b, _ = conditional_sample_vertex(v, a, seed=7)
+    assert b is None or b > a
