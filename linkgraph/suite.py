@@ -5343,3 +5343,58 @@ FROM giant g CROSS JOIN rad r WHERE g.ecc = r.radius
 """
 
 REGISTRY["graph_center"] = (q_graph_center, GRAPH_CENTER_SQL)
+
+
+def _median_hist(df, col):
+    """Exact median of an integer column via the histogram-CDF pattern."""
+    hist = df.groupBy(F.col(col).alias("x")).agg(F.count(F.lit(1)).alias("c"))
+    wcum = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select("x", F.sum("c").over(wcum).alias("cum"))
+    n = df.count()
+    import math
+    pos = math.ceil(0.5 * n)
+    return (
+        cum.filter(F.col("cum") >= pos)
+        .agg(F.min("x").alias("m")).collect()[0]["m"]
+    ), n
+
+
+def q_length_outliers(spark, sf_dir):
+    """Robust doc-length outlier filter: median + MAD via two exact
+    histogram-CDF passes (no global sort, no mean/stddev fragility),
+    flagging docs with |n_chars − med| > 3·1.4826·MAD (integer-exact
+    comparison: |x−med|·1e6 > 4447800·MAD) — the C4-style
+    length-anomaly gate."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    med, _ = _median_hist(docs.select("n_chars"), "n_chars")
+    dev = docs.select(F.abs(F.col("n_chars") - F.lit(med)).alias("d"))
+    mad, _ = _median_hist(dev, "d")
+    return docs.select(
+        "doc_id", F.col("n_chars").cast("long").alias("n_chars"),
+        F.lit(int(med)).cast("long").alias("median"),
+        F.lit(int(mad)).cast("long").alias("mad"),
+        (F.abs(F.col("n_chars") - F.lit(med)) * 1_000_000
+         > F.lit(4_447_800) * F.lit(int(mad))).alias("outlier"),
+    )
+
+
+LENGTH_OUTLIERS_SQL = """
+WITH n AS (SELECT count(*) AS n FROM documents),
+h1 AS (SELECT n_chars AS x, count(*) AS c FROM documents GROUP BY 1),
+c1 AS (SELECT x, sum(c) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING
+       AND CURRENT ROW) AS cum FROM h1),
+med AS (SELECT min(x) AS m FROM c1 CROSS JOIN n WHERE cum >= ceil(0.5 * n.n)),
+dev AS (SELECT abs(n_chars - (SELECT m FROM med)) AS d FROM documents),
+h2 AS (SELECT d AS x, count(*) AS c FROM dev GROUP BY 1),
+c2 AS (SELECT x, sum(c) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING
+       AND CURRENT ROW) AS cum FROM h2),
+mad AS (SELECT min(x) AS m FROM c2 CROSS JOIN n WHERE cum >= ceil(0.5 * n.n))
+SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+       CAST((SELECT m FROM med) AS BIGINT) AS median,
+       CAST((SELECT m FROM mad) AS BIGINT) AS mad,
+       abs(n_chars - (SELECT m FROM med)) * 1000000
+         > 4447800 * (SELECT m FROM mad) AS outlier
+FROM documents
+"""
+
+REGISTRY["length_outliers"] = (q_length_outliers, LENGTH_OUTLIERS_SQL)

@@ -265,3 +265,21 @@ def test_corpus_summary_hand_case(spark, tmp_path):
     r = suite.q_corpus_summary(spark, d).collect()[0]
     assert (r["n_docs"], r["total_chars"], r["n_langs"],
             r["exact_dup_docs"], r["mean_chars_e2"]) == (3, 10, 2, 1, 333)
+
+
+def test_length_outliers_hand_case(spark, tmp_path):
+    from linkgraph import suite
+
+    lens = [10, 11, 12, 13, 14, 1000]
+    docs = spark.createDataFrame(
+        [(i, "x", "en", "w", n) for i, n in enumerate(lens)],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    d = str(tmp_path)
+    docs.write.parquet(f"{d}/documents.parquet")
+    got = {r["doc_id"]: (r["median"], r["mad"], r["outlier"])
+           for r in suite.q_length_outliers(spark, d).collect()}
+    # sorted lens: [10..14, 1000], n=6, median = ceil(3rd) = 12;
+    # deviations sorted: [0,1,1,2,2,988] -> MAD = 1
+    assert got[0] == (12, 1, False)   # |10-12|*1e6 <= 4447800*1
+    assert got[5] == (12, 1, True)    # 988e6 > 4.4e6
+    assert sum(1 for v in got.values() if v[2]) == 1
