@@ -5434,3 +5434,56 @@ WHERE d.doc_id NOT IN (SELECT doc_id FROM drop_)
 DEDUP_KEEP_SQL = _dedup_keep_sql()
 
 REGISTRY["dedup_keep_list"] = (q_dedup_keep_list, DEDUP_KEEP_SQL)
+
+
+def q_cocitation_coupling(spark, sf_dir):
+    """Co-citation (shared in-neighbors) and bibliographic coupling
+    (shared out-neighbors) pair strengths ≥ 5 on the directed graph A —
+    the classic directed related-page measures (Kessler 1963 / Small
+    1973), full-outer merged so a pair strong on either axis appears."""
+    ea = edges_a(spark, sf_dir)
+    e1 = ea.select(F.col("src").alias("s"), F.col("dst").alias("x"))
+    e2 = ea.select(F.col("src").alias("s2"), F.col("dst").alias("y"))
+    cocite = (
+        e1.join(e2, (F.col("s") == F.col("s2")) & (F.col("x") < F.col("y")))
+        .groupBy(F.col("x").alias("a"), F.col("y").alias("b"))
+        .agg(F.count(F.lit(1)).alias("cocitation"))
+        .filter(F.col("cocitation") >= 5)
+    )
+    f1 = ea.select(F.col("src").alias("x"), F.col("dst").alias("d"))
+    f2 = ea.select(F.col("src").alias("y"), F.col("dst").alias("d2"))
+    coup = (
+        f1.join(f2, (F.col("d") == F.col("d2")) & (F.col("x") < F.col("y")))
+        .groupBy(F.col("x").alias("a"), F.col("y").alias("b"))
+        .agg(F.count(F.lit(1)).alias("coupling"))
+        .filter(F.col("coupling") >= 5)
+    )
+    return (
+        cocite.join(coup, ["a", "b"], "full_outer")
+        .select(
+            "a", "b",
+            F.coalesce("cocitation", F.lit(0)).cast("long").alias("cocitation"),
+            F.coalesce("coupling", F.lit(0)).cast("long").alias("coupling"),
+        )
+    )
+
+
+COCITATION_SQL = f"""
+WITH {EDGES_A_SQL},
+cocite AS (
+  SELECT e1.dst AS a, e2.dst AS b, count(*) AS cocitation
+  FROM edges_a e1 JOIN edges_a e2
+    ON e1.src = e2.src AND e1.dst < e2.dst
+  GROUP BY 1, 2 HAVING count(*) >= 5),
+coup AS (
+  SELECT e1.src AS a, e2.src AS b, count(*) AS coupling
+  FROM edges_a e1 JOIN edges_a e2
+    ON e1.dst = e2.dst AND e1.src < e2.src
+  GROUP BY 1, 2 HAVING count(*) >= 5)
+SELECT coalesce(c.a, p.a) AS a, coalesce(c.b, p.b) AS b,
+       CAST(coalesce(c.cocitation, 0) AS BIGINT) AS cocitation,
+       CAST(coalesce(p.coupling, 0) AS BIGINT) AS coupling
+FROM cocite c FULL OUTER JOIN coup p ON p.a = c.a AND p.b = c.b
+"""
+
+REGISTRY["cocitation_coupling"] = (q_cocitation_coupling, COCITATION_SQL)
