@@ -5487,3 +5487,66 @@ FROM cocite c FULL OUTER JOIN coup p ON p.a = c.a AND p.b = c.b
 """
 
 REGISTRY["cocitation_coupling"] = (q_cocitation_coupling, COCITATION_SQL)
+
+
+def q_embedding_norms(spark, sf_dir):
+    """Embedding health: integer-exact squared L2 norm (e6-quantized
+    coords → BIGINT sum of squares) + zero-vector flag per vector — the
+    sanity pass run before any similarity work."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    xq = F.transform(F.col("embedding"),
+                     lambda e: F.round(e.cast("double") * 1e6).cast("long"))
+    sq = F.aggregate(xq, F.lit(0).cast("long"),
+                     lambda acc, v: acc + v * v)
+    return emb.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        sq.alias("sq_norm_e12"),
+        (sq == 0).alias("is_zero"),
+    )
+
+
+EMBEDDING_NORMS_SQL = """
+SELECT CAST(vec_id AS BIGINT) AS vec_id,
+       CAST(list_sum(list_transform(embedding,
+              e -> CAST(round(CAST(e AS DOUBLE) * 1e6) AS BIGINT)
+                   * CAST(round(CAST(e AS DOUBLE) * 1e6) AS BIGINT)))
+            AS BIGINT) AS sq_norm_e12,
+       CAST(list_sum(list_transform(embedding,
+              e -> CAST(round(CAST(e AS DOUBLE) * 1e6) AS BIGINT)
+                   * CAST(round(CAST(e AS DOUBLE) * 1e6) AS BIGINT)))
+            AS BIGINT) = 0 AS is_zero
+FROM embeddings
+"""
+
+REGISTRY["embedding_norms"] = (q_embedding_norms, EMBEDDING_NORMS_SQL)
+
+
+def q_walk_counts_from_seed(spark, sf_dir):
+    """Number of directed walks of length exactly 3 from vertex 10 to
+    every reachable vertex (graph B) — path-multiplicity relatedness
+    (the A^k·e_s matrix power), exact integer supersteps."""
+    eb = edges_b(spark, sf_dir)
+    x = spark.createDataFrame([(10, 1)], "id long, w long")
+    for _ in range(3):
+        x = (
+            eb.join(x.withColumnRenamed("id", "src"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum("w").alias("w"))
+        )
+    return x.select("id", F.col("w").cast("long").alias("walks3"))
+
+
+WALK_COUNTS_SQL = f"""
+WITH {EDGES_B_SQL},
+x0 AS (SELECT CAST(10 AS BIGINT) AS id, CAST(1 AS BIGINT) AS w),
+x1 AS (SELECT e.dst AS id, sum(x.w) AS w FROM edges_b e
+       JOIN x0 x ON x.id = e.src GROUP BY e.dst),
+x2 AS (SELECT e.dst AS id, sum(x.w) AS w FROM edges_b e
+       JOIN x1 x ON x.id = e.src GROUP BY e.dst),
+x3 AS (SELECT e.dst AS id, sum(x.w) AS w FROM edges_b e
+       JOIN x2 x ON x.id = e.src GROUP BY e.dst)
+SELECT id, CAST(w AS BIGINT) AS walks3 FROM x3
+"""
+
+REGISTRY["walk_counts_from_seed"] = (
+    q_walk_counts_from_seed, WALK_COUNTS_SQL)

@@ -321,3 +321,29 @@ def test_cocitation_coupling_hand_case(spark, tmp_path):
         assert r["cocitation"] == (cc if cc >= 5 else 0)
         assert r["coupling"] == (cp if cp >= 5 else 0)
         assert r["cocitation"] >= 5 or r["coupling"] >= 5
+
+
+def test_walk_counts_from_seed_matrix_power(spark):
+    import collections
+
+    from linkgraph import suite
+
+    sf = "/root/testdata/sf0.001"
+    got = {r["id"]: r["walks3"]
+           for r in suite.q_walk_counts_from_seed(spark, sf).collect()}
+    E = [(r["src"], r["dst"]) for r in suite.edges_b(spark, sf).collect()]
+    x = {10: 1}
+    for _ in range(3):
+        nxt = collections.defaultdict(int)
+        for s, d in E:
+            if s in x:
+                nxt[d] += x[s]
+        x = dict(nxt)
+    assert got == x
+
+
+def test_embedding_norms_nonzero(spark):
+    from linkgraph import suite
+
+    rows = suite.q_embedding_norms(spark, "/root/testdata/sf0.001").collect()
+    assert all(r["sq_norm_e12"] > 0 and not r["is_zero"] for r in rows)
