@@ -328,12 +328,30 @@ def stress_centrality(
     )
 
 
+def _guard_sources(sources: DataFrame, max_sources: int | None, what: str) -> None:
+    """Refuse to run an exact all-sources O(|S|·E) sweep on a large source
+    set: these are small-graph / sampled-sources diagnostics; the web-scale
+    path for neighbourhood functions is the HyperBall sketch
+    (linkgraph.algos.hyperball).  Pass ``max_sources=None`` to force."""
+    if max_sources is None:
+        return
+    n = sources.select("id").distinct().count()
+    if n > max_sources:
+        raise ValueError(
+            f"{what}: {n} sources exceeds max_sources={max_sources}; exact "
+            "multi-source BFS is O(|S|*E) — sample the sources, raise "
+            "max_sources explicitly, or use algos.hyperball for the sketch "
+            "path at scale"
+        )
+
+
 def closeness_centrality(
     edges: DataFrame,
     sources: DataFrame,
     directed: bool = False,
     max_iter: int = 100,
     partitions: int | None = None,
+    max_sources: int | None = 65536,
 ) -> DataFrame:
     """Exact closeness centrality for a source sample, one superstep loop.
 
@@ -342,6 +360,8 @@ def closeness_centrality(
     the loop still terminates in max-eccentricity supersteps, so sampling
     S sources costs one loop, not |S| loops (the standard approximation
     path for centrality at web scale: sample sources, aggregate).
+    ``max_sources`` guards against pointing the exact sweep at a full
+    web-scale vertex set (see :func:`_guard_sources`).
 
     Returns (s, reached, total_dist, closeness_e6) with
     closeness = (reached-1) / total_dist (0 when no vertex is reached),
@@ -349,6 +369,7 @@ def closeness_centrality(
     """
     spark = edges.sparkSession
     P = int(partitions or spark.conf.get("spark.sql.shuffle.partitions"))
+    _guard_sources(sources, max_sources, "closeness_centrality")
 
     e = norm_edges(edges, P, directed=directed)
 
@@ -403,11 +424,13 @@ def distance_histogram(
     directed: bool = False,
     max_iter: int = 100,
     partitions: int | None = None,
+    max_sources: int | None = 65536,
 ) -> DataFrame:
     """Exact pairwise-distance histogram (dist, n_pairs) for the sampled
     sources — the neighbourhood-function input for diameter / effective
     diameter (the exact counterpart of HyperANF; the engine's HyperBall
-    sketch is the approximate path at web scale).
+    sketch is the approximate path at web scale).  ``max_sources`` guards
+    against an accidental full-graph O(V·E) sweep (see _guard_sources).
 
     Same composite-key (s, v) multi-source BFS loop as
     closeness_centrality: |S|·V bounded state, max-eccentricity
@@ -416,6 +439,7 @@ def distance_histogram(
     """
     spark = edges.sparkSession
     P = int(partitions or spark.conf.get("spark.sql.shuffle.partitions"))
+    _guard_sources(sources, max_sources, "distance_histogram")
 
     e = norm_edges(edges, P, directed=directed)
 

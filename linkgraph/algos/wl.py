@@ -6,23 +6,24 @@ The stable coloring is a structural fingerprint — two vertices sharing a
 final color are 1-WL-indistinguishable — used for template/boilerplate
 page-structure dedup and as the classic graph-isomorphism invariant.
 
-Relabeling uses ``dense_rank`` over the (old color, signature string)
-order, so colors stay small consecutive integers and are engine-portable
-(both Spark and DuckDB rank with binary string collation over identical
-digit/comma strings).  The global rank window is a deliberate
-small-graph choice: at web scale replace the rank with a 128-bit hash of
-the signature (collision-free w.h.p., no global sort) — the refinement
-join/agg structure (one adjacency⋈state join + one grouped
-sort_array/collect_list per round, both partial-aggregable) is the part
-that carries to 10^10 vertices unchanged.
+Scale design: per-round relabeling is ``xxhash64(color, signature)`` — a
+pure column expression, collision-free w.h.p., with NO global sort and NO
+window (the round-1 dense_rank relabel moved all V rows through a single
+partition every round).  Because hash labels are engine-specific, the
+RETURNED colors are canonicalized once at the end to the minimum vertex id
+of each color class — a single groupBy + broadcast join back, deterministic
+and portable, so the DuckDB oracle (which refines with its own per-round
+labels) lands on byte-identical output.  The refinement join/agg structure
+(one adjacency⋈state join + one grouped sort_array/collect_list per round,
+both partial-aggregable) carries to 10^10 vertices unchanged.
 
-Oracle: the identical relabeling computed sequentially (pytest) and a
-round-unrolled SQL twin (suite).
+Oracle: the identical refinement computed sequentially (pytest) and a
+round-unrolled SQL twin with the same min-id canonicalization (suite).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -32,7 +33,8 @@ def wl_refinement(
     partitions: int | None = None,
 ) -> DataFrame:
     """Returns ``(id, color)`` after ``rounds`` refinement steps over the
-    undirected view of ``edges`` (vertices with ≥1 neighbor)."""
+    undirected view of ``edges`` (vertices with ≥1 neighbor).  ``color`` is
+    the minimum vertex id sharing the vertex's final WL class."""
     spark = edges.sparkSession
     P = int(partitions or spark.conf.get("spark.sql.shuffle.partitions"))
 
@@ -55,11 +57,17 @@ def wl_refinement(
             .agg(F.concat_ws(",", F.sort_array(F.collect_list("nc"))
                              .cast("array<string>")).alias("sig"))
         )
-        w = Window.orderBy("color", "sig")
+        # hash relabel: equal (old color, signature) -> equal new color;
+        # distinct classes collide with prob ~V^2/2^64 (negligible, and any
+        # collision would only MERGE classes — caught by the oracle gate)
         state = (
             state.join(sig, "id")
-            .select("id", F.dense_rank().over(w).cast("long").alias("color"))
+            .select("id", F.xxhash64(F.concat_ws("|", "color", "sig"))
+                    .alias("color"))
             .repartition(P, "id")
             .localCheckpoint(eager=True)
         )
-    return state
+    # canonicalize: engine-portable label = min vertex id in the class
+    canon = state.groupBy("color").agg(F.min("id").alias("canon"))
+    return state.join(F.broadcast(canon), "color") \
+        .select("id", F.col("canon").alias("color"))

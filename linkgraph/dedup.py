@@ -396,8 +396,8 @@ SELECT a.id AS id_a, b.id AS id_b,
        CAST(round(len(list_intersect(a.sh, b.sh)) * 1e6
             / len(list_distinct(list_concat(a.sh, b.sh)))) AS BIGINT) AS jaccard_e6
 FROM nz a JOIN nz b ON a.id < b.id
-WHERE len(list_intersect(a.sh, b.sh)) * 1e6
-      / len(list_distinct(list_concat(a.sh, b.sh))) >= {int(threshold * 1e6)}
+WHERE round(len(list_intersect(a.sh, b.sh)) * 1e6
+      / len(list_distinct(list_concat(a.sh, b.sh)))) >= {int(threshold * 1e6)}
 """
 
 

@@ -107,9 +107,11 @@ def densify_ids(edges: DataFrame) -> tuple[DataFrame, DataFrame]:
     the reference's preprocessing stage
     (/root/reference/datasets/wiki-vote/scripts/process.cpp:31-120).
 
-    Returns (dense_edges(src,dst), mapping(orig_id, id)).
+    Returns (dense_edges(src,dst), mapping(orig_id, id)).  Rank assignment
+    delegates to :func:`linkgraph.ingest.dense_ids` (range-partitioned
+    two-phase rank + broadcast offsets) — no global single-task window.
     """
-    from pyspark.sql import Window
+    from .ingest import dense_ids
 
     e = edges.select("src", "dst").filter(F.col("src") != F.col("dst")).distinct()
     ids = (
@@ -117,8 +119,7 @@ def densify_ids(edges: DataFrame) -> tuple[DataFrame, DataFrame]:
         .union(e.select(F.col("dst").alias("orig_id")))
         .distinct()
     )
-    w = Window.orderBy("orig_id")
-    mapping = ids.withColumn("id", F.row_number().over(w) - 1)
+    mapping = dense_ids(ids, "orig_id", partitions=32)
     dense = (
         e.join(mapping.withColumnRenamed("orig_id", "src")
                .withColumnRenamed("id", "new_src"), "src")

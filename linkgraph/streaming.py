@@ -92,7 +92,16 @@ def stream_sessionize(
     """Stateful session counting per user via applyInPandasWithState.
 
     Emits (user_id, n_sessions, n_events) after the backlog drains —
-    value-identical to the batch q_event_sessions oracle."""
+    value-identical to the batch q_event_sessions oracle.
+
+    PRECONDITION (documented, asserted by the batch-parity test): events
+    must arrive in event-time order ACROSS micro-batches per user — true
+    here because the source is a single parquet file (one micro-batch);
+    within a batch the sessionizer sorts.  A deployment with out-of-order
+    multi-file arrival needs the watermark+timeout form instead: buffer
+    per-user events in state and emit on event-time timeout (the engine's
+    stream_attribution shows the watermarked pattern); session counting is
+    order-sensitive, so no incremental operator can avoid one of the two."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 

@@ -2771,11 +2771,12 @@ def q_two_hop_sizes(spark, sf_dir):
     over the undirected derived graph — the classic audience-estimation
     query; wedge self-join + distinct aggregation."""
     ea = edges_a(spark, sf_dir)
+    # no persist: the table is consumed twice inside ONE job, so Spark's
+    # shuffle reuse covers it without pinning executor storage afterwards
     und = (
         ea.union(ea.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
         .repartition(8, "src")
-        .persist()
     )
     two = und.alias("e1").join(
         und.select(F.col("src").alias("mid"), F.col("dst").alias("w"))
@@ -4058,8 +4059,9 @@ REGISTRY["ego_network_2hop"] = (q_ego_network, EGO_SQL)
 def q_wl_colors(spark, sf_dir):
     """1-WL color refinement, 3 rounds, on the undirected derived graph
     B — structural fingerprint classes (template dedup / isomorphism
-    invariant).  dense_rank relabeling is engine-portable; scale path
-    (hash relabel, no global sort) documented in algos/wl.py."""
+    invariant).  Per-round relabeling is a hash (no global sort, no
+    window); output colors are canonicalized to the min vertex id of the
+    final class, which the SQL twin reproduces exactly (algos/wl.py)."""
     from .algos.wl import wl_refinement
 
     return wl_refinement(edges_b(spark, sf_dir), rounds=3, partitions=8) \
@@ -4073,6 +4075,10 @@ def _wl_sql(rounds: int) -> str:
         "c0 AS MATERIALIZED (SELECT DISTINCT src AS id, CAST(1 AS BIGINT) "
         "AS color FROM und_b)",
     ]
+    # per-round label = min vertex id of the (old color, signature) class —
+    # injective across classes (classes are disjoint vertex sets), so the
+    # refinement matches Spark's hash-relabel classes; the final labels are
+    # already the min-id canonical form wl_refinement returns
     for i in range(1, rounds + 1):
         parts.append(f"""g{i} AS MATERIALIZED (
   SELECT u.src AS id,
@@ -4080,7 +4086,7 @@ def _wl_sql(rounds: int) -> str:
   FROM und_b u JOIN c{i - 1} s ON s.id = u.dst GROUP BY u.src)""")
         parts.append(f"""c{i} AS MATERIALIZED (
   SELECT v.id,
-         CAST(dense_rank() OVER (ORDER BY v.color, g.sig) AS BIGINT) AS color
+         CAST(min(v.id) OVER (PARTITION BY v.color, g.sig) AS BIGINT) AS color
   FROM c{i - 1} v JOIN g{i} g ON g.id = v.id)""")
     return "WITH " + ",\n".join(parts) + f"\nSELECT id, color FROM c{rounds}"
 
@@ -5117,10 +5123,36 @@ FROM t
 REGISTRY["partition_balance"] = (q_partition_balance, PARTITION_BALANCE_SQL)
 
 
+def _hist_cdf(hist: DataFrame, val: str, cnt: str, shift: int = 20) -> DataFrame:
+    """Exact cumulative counts ``(val, cum)`` over an integer histogram via
+    the TWO-LEVEL CDF pattern: cumulative sums run inside windows
+    PARTITIONED by a coarse value bucket (``val >> shift``), and the
+    cross-bucket offsets come from a bucket-totals self-join broadcast back
+    in.  No per-value row ever crosses a single-partition global window —
+    the level-2 table has ~range/2^shift rows regardless of data size."""
+    h = hist.withColumn(
+        "_b", F.floor(F.col(val) / F.lit(1 << shift)).cast("long"))
+    win = (Window.partitionBy("_b").orderBy(val)
+           .rowsBetween(Window.unboundedPreceding, 0))
+    within = h.withColumn("_wc", F.sum(cnt).over(win))
+    btot = h.groupBy("_b").agg(F.sum(cnt).alias("_bc"))
+    off = (
+        btot.select(F.col("_b").alias("_ba"))
+        .join(btot.select(F.col("_b").alias("_bb"), "_bc"),
+              F.col("_bb") < F.col("_ba"), "left")
+        .groupBy(F.col("_ba").alias("_b"))
+        .agg(F.coalesce(F.sum("_bc"), F.lit(0)).alias("_off"))
+    )
+    return (
+        within.join(F.broadcast(off), "_b")
+        .select(val, (F.col("_wc") + F.col("_off")).alias("cum"))
+    )
+
+
 def q_interarrival_percentiles(spark, sf_dir):
     """Exact p50/p90/p99 of per-user event inter-arrival gaps (µs),
-    via the engine's histogram-CDF percentile pattern — latency/behavior
-    distribution without a global sort."""
+    via the engine's two-level histogram-CDF percentile pattern — latency/
+    behavior distribution without a global sort or global window."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gaps = (
@@ -5131,8 +5163,7 @@ def q_interarrival_percentiles(spark, sf_dir):
         .select(F.col("gap").cast("long").alias("g"))
     )
     hist = gaps.groupBy("g").agg(F.count(F.lit(1)).alias("c"))
-    wcum = Window.orderBy("g").rowsBetween(Window.unboundedPreceding, 0)
-    cum = hist.select("g", F.sum("c").over(wcum).alias("cum"))
+    cum = _hist_cdf(hist, "g", "c")
     n = gaps.agg(F.count(F.lit(1)).alias("n"))
     j = cum.crossJoin(F.broadcast(n))
     pick = lambda q: F.min(F.when(  # noqa: E731
@@ -5346,10 +5377,10 @@ REGISTRY["graph_center"] = (q_graph_center, GRAPH_CENTER_SQL)
 
 
 def _median_hist(df, col):
-    """Exact median of an integer column via the histogram-CDF pattern."""
+    """Exact median of an integer column via the two-level histogram-CDF
+    pattern (_hist_cdf) — no single-partition window at any size."""
     hist = df.groupBy(F.col(col).alias("x")).agg(F.count(F.lit(1)).alias("c"))
-    wcum = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
-    cum = hist.select("x", F.sum("c").over(wcum).alias("cum"))
+    cum = _hist_cdf(hist, "x", "c")
     n = df.count()
     import math
     pos = math.ceil(0.5 * n)

@@ -762,7 +762,11 @@ def test_wl_refinement_invariants(spark, edges30, edge_rows):
                for v in und}
         ranks = {s: i + 1 for i, s in enumerate(sorted(set(sig.values())))}
         color = {v: ranks[sig[v]] for v in und}
-    assert got == color
+    canon = {}
+    for v, c in color.items():
+        canon[c] = min(canon.get(c, v), v)
+    assert got == {v: canon[c] for v, c in color.items()}
+    got = {v: canon[c] for v, c in color.items()}
     # refinement invariant: same final color => same degree
     for v in und:
         for u in und:
@@ -873,3 +877,19 @@ def test_walk_visit_counts_conservation(spark):
     total = sum(r["visits"] for r in rows)
     assert total <= 20 * 9
     assert total > 0 and all(r["visits"] >= 1 for r in rows)
+
+
+def test_all_sources_guard(spark, edges30):
+    """The exact multi-source sweeps refuse oversized source sets unless
+    max_sources is raised/disabled — pointing the user at HyperBall."""
+    from linkgraph.algos.paths import closeness_centrality, distance_histogram
+
+    vs = edges30.select(F.col("src").alias("id")).distinct()
+    with pytest.raises(ValueError, match="max_sources"):
+        closeness_centrality(edges30, sources=vs, max_sources=3)
+    with pytest.raises(ValueError, match="hyperball"):
+        distance_histogram(edges30, sources=vs, max_sources=3)
+    # explicit opt-out still runs
+    assert distance_histogram(
+        edges30, sources=vs.limit(2), max_sources=None, partitions=4
+    ).count() > 0
