@@ -21,12 +21,37 @@ shuffled-array position (/root/reference/src/Graph.cpp:218-231).
 
 The whole estimator population is ONE DataFrame flowing through joins and
 grouped aggregations — no per-row Python, no driver loop.
+
+Determinism: ALL randomness is hash-derived (xxhash64 of the row's own
+identifying columns + the seed) rather than ``F.rand`` — ``F.rand`` seeds
+per PARTITION, so its draws change with the partition layout (core count,
+AQE coalescing), while a hash of row content is a pure function of the
+data.  A fixed seed therefore reproduces the exact same estimate on
+local[4] and on a 1000-executor cluster, which is what lets the driver's
+DuckDB gate hash-check the estimators' ``within_eps`` output
+(the reference gets the same property from its globally-consistent seed,
+/root/reference/applications/Triangle2.cpp:42-44).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+_U_DENOM = float(1 << 40)
+
+
+def _u(*cols: Column | str, seed: int) -> Column:
+    """Deterministic uniform in [0, 1): 40 low bits of xxhash64(cols, seed).
+    A pure column function of the row — partition-layout independent."""
+    h = F.xxhash64(*cols, F.lit(seed))
+    return F.pmod(h, F.lit(1 << 40)).cast("double") / F.lit(_U_DENOM)
+
+
+def _pick_mod(col: Column | str, m: int, seed: int) -> Column:
+    """Deterministic uniform integer in [0, m): xxhash64 mod m (modulo bias
+    ~m/2^64 — immaterial)."""
+    return F.pmod(F.xxhash64(col, F.lit(seed)), F.lit(int(m))).cast("long")
 
 
 def _oriented(edges: DataFrame) -> DataFrame:
@@ -94,7 +119,7 @@ def three_chain_count_sampled(
 
     est = spark.range(num_estimators).select(
         F.col("id").alias("est_id"),
-        F.floor(F.rand(seed) * m).cast("long").alias("id"),
+        _pick_mod("id", m, seed).alias("id"),
     )
     e1 = est.join(ok, "id").select(
         "est_id", F.col("a").alias("u"), F.col("b").alias("v"),
@@ -152,13 +177,16 @@ def four_chain_count_sampled(
     sym = o.select(F.col("a").alias("x"), F.col("b").alias("w")).union(
         o.select(F.col("b").alias("x"), F.col("a").alias("w"))
     )
-    adj = sym.groupBy("x").agg(F.collect_list("w").alias("nbrs")).persist()
+    # sort_array: collect_list order is partition-dependent; a sorted
+    # adjacency array makes the index-pick deterministic at any parallelism
+    adj = sym.groupBy("x").agg(
+        F.sort_array(F.collect_list("w")).alias("nbrs")).persist()
 
     est = spark.range(num_estimators).select(
         F.col("id").alias("est_id"),
-        F.floor(F.rand(seed) * m).cast("long").alias("id"),
-        F.rand(seed + 1).alias("r1"),
-        F.rand(seed + 2).alias("r2"),
+        _pick_mod("id", m, seed).alias("id"),
+        _u("id", seed=seed + 1).alias("r1"),
+        _u("id", seed=seed + 2).alias("r2"),
     )
     mid = est.join(ok, "id").select(
         "est_id", "r1", "r2", F.col("a").alias("u"), F.col("b").alias("v")
@@ -228,12 +256,15 @@ def k_chain_count_sampled(
     sym = o.select(F.col("a").alias("x"), F.col("b").alias("w")).union(
         o.select(F.col("b").alias("x"), F.col("a").alias("w"))
     )
-    adj = sym.groupBy("x").agg(F.collect_list("w").alias("nbrs")).persist()
+    # sort_array: collect_list order is partition-dependent; a sorted
+    # adjacency array makes the index-pick deterministic at any parallelism
+    adj = sym.groupBy("x").agg(
+        F.sort_array(F.collect_list("w")).alias("nbrs")).persist()
 
     est = spark.range(num_estimators).select(
         F.col("id").alias("est_id"),
-        F.floor(F.rand(seed) * m).cast("long").alias("id"),
-        (F.rand(seed + 1) < 0.5).alias("fwd"),
+        _pick_mod("id", m, seed).alias("id"),
+        (_u("id", seed=seed + 1) < 0.5).alias("fwd"),
     )
     cur = est.join(ok, "id").select(
         "est_id",
@@ -243,7 +274,7 @@ def k_chain_count_sampled(
         F.lit(1.0).alias("wprod"),
     )
     for step in range(k - 2):
-        r = F.rand(seed + 10 + step)
+        r = _u("est_id", "end", seed=seed + 10 + step)
         cur = (
             cur.withColumn("end", F.element_at("path", -1))
             .join(adj.withColumnRenamed("x", "end"), "end")
@@ -275,8 +306,21 @@ def triangle_count_sampled(
     num_estimators: int,
     seed: int = 42,
     partitions: int | None = None,
+    rao_blackwell: bool = True,
 ) -> float:
     """ASAP-style sampled triangle estimate (unbiased; accuracy ~ 1/sqrt(N)).
+
+    ``rao_blackwell=True`` (default) replaces the inner categorical draw
+    (pick ONE of the c conditional candidates, then probe its closure) by
+    its exact conditional expectation: for a fixed e1, E[contribution] =
+    m * #(candidates whose closing edge exists with eid3 > eid2) — summing
+    the closure probe over ALL candidates.  Same expectation as the
+    reference's pick-then-probe estimator (each triangle is counted via
+    exactly one (e1=min-eid edge, e2=middle-eid edge) pair), strictly lower
+    variance, and a cheaper plan: the grouped max-pick disappears and the
+    candidate table flows straight into one closure join + global count.
+    ``rao_blackwell=False`` keeps the reference's literal pick-then-probe
+    semantics (/root/reference/applications/Triangle.cpp:42-74).
 
     Scale path: estimator population sized independently of graph size; the
     dominant cost is one join of the estimator table against the adjacency
@@ -299,7 +343,7 @@ def triangle_count_sampled(
 
     est = spark.range(num_estimators).select(
         F.col("id").alias("est_id"),
-        F.floor(F.rand(seed) * m).cast("long").alias("id"),
+        _pick_mod("id", m, seed).alias("id"),
     )
     e1 = est.join(o, "id").select(
         "est_id", F.col("a").alias("u"), F.col("b").alias("v"), F.col("eid").alias("eid1")
@@ -314,8 +358,24 @@ def triangle_count_sampled(
         e1.select("est_id", "eid1", "u", "v", F.explode(F.array("u", "v")).alias("x"))
         .join(sym, "x")
         .filter(F.col("eid") > F.col("eid1"))
-        .withColumn("_r", F.rand(seed + 1))
+        # (est_id, eid) is unique within cand (the only edge incident to
+        # both endpoints is e1 itself, excluded by eid > eid1), so this is
+        # one independent uniform per candidate row
+        .withColumn("_r", _u("est_id", "eid", seed=seed + 1))
     )
+    if rao_blackwell:
+        other_rb = F.when(F.col("x") == F.col("u"), F.col("v")).otherwise(F.col("u"))
+        need_rb = cand.select(
+            F.col("eid").alias("eid2"),
+            F.least(F.col("w"), other_rb).alias("a"),
+            F.greatest(F.col("w"), other_rb).alias("b"),
+        )
+        closed_rb = need_rb.join(
+            o.select("a", "b", F.col("eid").alias("eid3")), ["a", "b"]
+        ).filter(F.col("eid3") > F.col("eid2"))
+        matches = closed_rb.count()
+        o.unpersist()
+        return float(m) * float(matches) / float(num_estimators)
     # uniform pick per estimator via max over a random key (one grouped agg,
     # map-side partial) — replaces the reference's per-thread RNG choice
     picked = (

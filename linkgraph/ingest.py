@@ -94,38 +94,51 @@ def pages_to_url_edges(pages: DataFrame) -> DataFrame:
 
 
 def dense_ids(df: DataFrame, col: str, partitions: int = 32) -> DataFrame:
-    """Assign dense ids 0..n-1 by ascending ``col`` — distributed two-phase rank.
+    """Assign dense ids 0..n-1 by ascending ``col`` — DETERMINISTIC
+    distributed two-phase rank.
 
-    Phase 1: range-partition by ``col`` and rank within each partition.
-    Phase 2: broadcast-join cumulative partition offsets.  This is the
-    scalable replacement for a global ``row_number()`` window (single task)
-    and for the reference's sort-based densify
+    Phase 1: pick ~``partitions``·32 boundary keys by a DETERMINISTIC hash
+    sample (xxhash64(key) mod s == 0 — a pure function of the data, unlike
+    ``repartitionByRange`` whose reservoir-sampled boundaries change per
+    execution) and reduce them to ``partitions`` bucket boundaries.
+    Phase 2: bucket = #boundaries <= key (a broadcast literal comparison —
+    monotone, so bucket order == key order), rank within each bucket
+    (window PARTITIONED by bucket), add broadcast cumulative bucket
+    offsets.  No single-task window, no ``spark_partition_id`` (whose
+    value is re-derived per sub-plan and broke rank/offset agreement).
+
+    The scalable replacement for a global ``row_number()`` window and for
+    the reference's sort-based densify
     (/root/reference/datasets/wiki-vote/scripts/process.cpp:92-96).
     """
-    part = (
-        df.select(col)
-        .distinct()
-        .repartitionByRange(partitions, F.col(col))
-        .withColumn("_pid", F.spark_partition_id())
+    keys = df.select(col).distinct()
+    n = keys.count()
+    # deterministic boundary sample: expect ~partitions*32 keys
+    target = max(int(partitions) * 32, 1)
+    s = max(n // target, 1)
+    sample = sorted(
+        r[0] for r in keys.filter(
+            F.pmod(F.xxhash64(F.col(col)), F.lit(int(s))) == 0
+        ).collect()
     )
-    w = Window.partitionBy("_pid").orderBy(col)
+    step = max(len(sample) // max(int(partitions), 1), 1)
+    bounds = sample[step::step][: max(int(partitions) - 1, 0)]
+    bucket = sum(
+        (F.col(col) >= F.lit(b)).cast("int") for b in bounds
+    ) if bounds else F.lit(0)
+    part = keys.withColumn("_bkt", bucket.cast("long"))
+    w = Window.partitionBy("_bkt").orderBy(col)
     ranked = part.withColumn("_rn", F.row_number().over(w))
+    btot = part.groupBy("_bkt").agg(F.count(F.lit(1)).alias("_cnt"))
     offsets = (
-        ranked.groupBy("_pid")
-        .agg(F.count(F.lit(1)).alias("_cnt"))
-        .withColumn(
-            "_offset",
-            F.coalesce(
-                F.sum("_cnt").over(
-                    Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
-                ),
-                F.lit(0),
-            ),
-        )
-        .select("_pid", "_offset")
+        btot.select(F.col("_bkt").alias("_ba"))
+        .join(btot.select(F.col("_bkt").alias("_bb"), "_cnt"),
+              F.col("_bb") < F.col("_ba"), "left")
+        .groupBy(F.col("_ba").alias("_bkt"))
+        .agg(F.coalesce(F.sum("_cnt"), F.lit(0)).alias("_offset"))
     )
     return (
-        ranked.join(F.broadcast(offsets), "_pid")
+        ranked.join(F.broadcast(offsets), "_bkt")
         .select(col, (F.col("_offset") + F.col("_rn") - 1).alias("id"))
     )
 

@@ -1186,10 +1186,24 @@ def _generic_patterns_sql() -> str:
     )
 
 
+def _eps_row(spark, est: float, exact: int, eps: float,
+             exact_alias: str, flag_alias: str):
+    """One-row (exact, within_eps) DataFrame — the DRIVER-CHECKABLE shape
+    for randomized estimators: all randomness is hash-derived (see
+    algos/triangles.py), so a fixed seed reproduces the same estimate at
+    any parallelism, and the oracle asserts the exact count plus
+    ``within_eps = TRUE`` (the reference's own acceptance criterion,
+    ε = 5 %, /root/reference/applications/Triangle.cpp:117-118)."""
+    ok = exact > 0 and abs(est - exact) <= eps * exact
+    return spark.createDataFrame(
+        [(int(exact), bool(ok))], f"{exact_alias} long, {flag_alias} boolean"
+    )
+
+
 def q_adaptive_triangle(spark, sf_dir):
     """Sequential adaptive-stopping estimate (IEStop) over batches of
-    sampled-triangle estimators — rows-only check (randomized); statistical
-    exactness is asserted in tests/ (reference: /root/reference/sampling/main.cpp:97-146)."""
+    sampled-triangle estimators (reference: /root/reference/sampling/main.cpp:97-146).
+    Deterministic given the seeds — the gate hash-checks exact + ε-bound."""
     from . import adaptive
     from .algos import triangles
 
@@ -1198,10 +1212,18 @@ def q_adaptive_triangle(spark, sf_dir):
     est = stop.run(
         lambda n: triangles.triangle_count_sampled(e, 2048, seed=100 + n)
     )
+    exact = triangles.triangle_count(e)
     e.unpersist()
-    return spark.createDataFrame(
-        [(float(est), int(stop.n))], "estimate double, num_batches int"
-    )
+    return _eps_row(spark, est, exact, 0.10, "exact_triangles", "within_10pct")
+
+
+ADAPTIVE_TRIANGLE_SQL = f"""
+WITH {EDGES_B_SQL}, {OE_B_SQL}
+SELECT CAST(count(*) AS BIGINT) AS exact_triangles, TRUE AS within_10pct
+FROM oe_b e1
+JOIN oe_b e2 ON e1.b = e2.a
+JOIN oe_b e3 ON e3.a = e1.a AND e3.b = e2.b
+"""
 
 
 def q_stream_ingest(spark, sf_dir):
@@ -1220,69 +1242,185 @@ def q_stream_ingest(spark, sf_dir):
 
 
 def q_four_chain_sampled(spark, sf_dir):
-    """Sampled 4-chain estimate via the middle-edge plan (rows-only check:
-    randomized; statistical exactness asserted in tests/)."""
-    from .algos import triangles
+    """Sampled 4-chain estimate via the middle-edge plan — deterministic
+    hash-seeded randomness; gate hash-checks exact count + ε-bound."""
+    from .algos import motifs, triangles
 
-    est = triangles.four_chain_count_sampled(
-        edges_b(spark, sf_dir), num_estimators=8192, seed=11
-    )
-    return spark.createDataFrame([(float(est),)], "estimate double")
+    eb = edges_b(spark, sf_dir).persist()
+    est = triangles.four_chain_count_sampled(eb, num_estimators=8192, seed=11)
+    exact = motifs.four_chain_count(eb)
+    eb.unpersist()
+    return _eps_row(spark, est, exact, 0.05, "exact_four_chains", "within_5pct")
+
+
+FOUR_CHAIN_SAMPLED_SQL = f"""
+WITH {EDGES_B_SQL}, {UND_B_SQL}
+SELECT CAST(count(*) / 2 AS BIGINT) AS exact_four_chains, TRUE AS within_5pct
+FROM und_b e1
+JOIN und_b e2 ON e1.dst = e2.src AND e2.dst <> e1.src
+JOIN und_b e3 ON e2.dst = e3.src AND e3.dst <> e2.src AND e3.dst <> e1.src
+"""
 
 
 def q_five_chain_sampled(spark, sf_dir):
-    """Runtime-k sampled chain estimate at k=5 (rows-only: randomized;
-    statistical exactness asserted in tests/)."""
-    from .algos import triangles
+    """Runtime-k sampled chain estimate at k=5 — deterministic hash-seeded
+    randomness; gate hash-checks the exact count + ε-bound."""
+    from .algos import motifs, triangles
 
-    est = triangles.k_chain_count_sampled(
-        edges_b(spark, sf_dir), k=5, num_estimators=8192, seed=13
-    )
-    return spark.createDataFrame([(float(est),)], "estimate double")
+    eb = edges_b(spark, sf_dir).persist()
+    est = triangles.k_chain_count_sampled(eb, k=5, num_estimators=8192, seed=13)
+    exact = motifs.k_chain_count(eb, 5)
+    eb.unpersist()
+    return _eps_row(spark, est, exact, 0.10, "exact_five_chains", "within_10pct")
+
+
+FIVE_CHAIN_SAMPLED_SQL = f"""
+WITH {EDGES_B_SQL}, {UND_B_SQL}
+SELECT CAST(count(*) / 2 AS BIGINT) AS exact_five_chains, TRUE AS within_10pct
+FROM und_b e1
+JOIN und_b e2 ON e1.dst = e2.src AND e2.dst <> e1.src
+JOIN und_b e3 ON e2.dst = e3.src AND e3.dst <> e2.src AND e3.dst <> e1.src
+JOIN und_b e4 ON e3.dst = e4.src AND e4.dst <> e3.src AND e4.dst <> e2.src
+                 AND e4.dst <> e1.src
+"""
 
 
 def q_profiled_triangle(spark, sf_dir):
-    """ErrorProfile-driven estimation lifecycle (rows-only: randomized):
-    pilot batches on a 50%-sampled graph measure the estimator's
-    coefficient of variation, size_estimators picks the batch budget for
-    (eps, conf), then the final run executes that budget on the full graph
-    — the reference's profile-then-run flow
-    (/root/reference/src/ErrorLatencyProfile.cpp:72-207) with the 10%%
-    profiling subgraph of :83 as the Bernoulli edge sample."""
+    """ErrorProfile-driven estimation lifecycle: pilot batches on a
+    half-sampled graph measure the estimator's coefficient of variation,
+    size_estimators picks the batch budget for (eps, conf), then the final
+    run executes that budget on the full graph — the reference's
+    profile-then-run flow (/root/reference/src/ErrorLatencyProfile.cpp:72-207)
+    with the profiling subgraph of :83 as a DETERMINISTIC hash half-sample
+    (edge kept iff xxhash64(src,dst,seed) is even — partition-independent,
+    unlike DataFrame.sample whose draws follow partition layout)."""
     from . import adaptive
     from .algos import triangles
 
     e = edges_b(spark, sf_dir).persist()
-    pilot_graph = e.sample(fraction=0.5, seed=404).persist()
+    pilot_graph = e.filter(
+        F.pmod(F.xxhash64("src", "dst", F.lit(404)), F.lit(2)) == 0
+    ).persist()
     pilot = [
-        triangles.triangle_count_sampled(pilot_graph, 512, seed=200 + i)
+        triangles.triangle_count_sampled(pilot_graph, 2048, seed=200 + i)
         for i in range(2)
     ]
     pilot_graph.unpersist()
     n_batches = min(adaptive.size_estimators(pilot, eps=0.1, conf=0.95), 3)
     ests = [
-        triangles.triangle_count_sampled(e, 512, seed=300 + i)
+        triangles.triangle_count_sampled(e, 2048, seed=300 + i)
         for i in range(n_batches)
     ]
+    exact = triangles.triangle_count(e)
     e.unpersist()
-    return spark.createDataFrame(
-        [(float(sum(ests) / len(ests)), int(n_batches))],
-        "estimate double, n_batches int",
-    )
+    return _eps_row(spark, sum(ests) / len(ests), exact, 0.10,
+                    "exact_triangles", "within_10pct")
 
 
 def q_triangle_sampled(spark, sf_dir):
-    """ASAP-style sampled triangle estimate (rows-only check: the estimate
-    is randomized; exactness is asserted statistically in tests/)."""
+    """ASAP-style sampled triangle estimate (Rao-Blackwellized close probe,
+    deterministic hash-seeded randomness); gate hash-checks exact + ε."""
     from .algos.triangles import triangle_count, triangle_count_sampled
 
     e = edges_a(spark, sf_dir)
     est = triangle_count_sampled(e, num_estimators=200_000, seed=42)
     exact = triangle_count(e)
-    rel_err = abs(est - exact) / exact if exact else 0.0
-    return spark.createDataFrame(
-        [(float(est), int(exact), float(rel_err), bool(rel_err <= 0.15))],
-        "estimate double, exact long, rel_err double, within_15pct boolean",
+    return _eps_row(spark, est, exact, 0.05, "exact_triangles", "within_5pct")
+
+
+TRIANGLE_SAMPLED_SQL = f"""
+WITH {EDGES_A_SQL}, {OE_A_SQL}
+SELECT CAST(count(*) AS BIGINT) AS exact_triangles, TRUE AS within_5pct
+FROM oe_a e1
+JOIN oe_a e2 ON e1.b = e2.a
+JOIN oe_a e3 ON e3.a = e1.a AND e3.b = e2.b
+"""
+
+PROFILED_TRIANGLE_SQL = f"""
+WITH {EDGES_B_SQL}, {OE_B_SQL}
+SELECT CAST(count(*) AS BIGINT) AS exact_triangles, TRUE AS within_10pct
+FROM oe_b e1
+JOIN oe_b e2 ON e1.b = e2.a
+JOIN oe_b e3 ON e3.a = e1.a AND e3.b = e2.b
+"""
+
+
+def edges_c(spark, sf_dir):
+    """Dense 25-vertex graph derived from the ``nation`` table (25 rows at
+    EVERY TPC-H scale factor, so this fixture — and the sampled-pattern
+    estimator gates below — behave identically at every sf): edge (i, j),
+    i < j, iff (i*7 + j*13 + 3) % 10 < 6 (~165 edges, avg degree ~13).
+    The generic sampled estimator needs a dense fixture for a checkable
+    ε-bound: its per-trial hit probability scales like 1/prod(candidate
+    slots), so on sparse derived graphs a bound-verifying run would need
+    billions of trials (the reference sizes 2^25 estimators for the same
+    reason, /root/reference/applications/FiveHouse.cpp:66)."""
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+        F.col("n_nationkey").cast("long").alias("i")
+    )
+    return (
+        n.select(F.col("i").alias("src"))
+        .crossJoin(n.select(F.col("i").alias("dst")))
+        .filter(F.col("src") < F.col("dst"))
+        .filter((F.col("src") * 7 + F.col("dst") * 13 + 3) % 10 < 6)
+    )
+
+
+EDGES_C_SQL = """
+edges_c AS (
+  SELECT CAST(a.n_nationkey AS BIGINT) AS src,
+         CAST(b.n_nationkey AS BIGINT) AS dst
+  FROM nation a JOIN nation b ON a.n_nationkey < b.n_nationkey
+  WHERE (a.n_nationkey * 7 + b.n_nationkey * 13 + 3) % 10 < 6
+)"""
+UND_C_SQL = (
+    "und_c AS (SELECT src, dst FROM edges_c "
+    "UNION SELECT dst AS src, src AS dst FROM edges_c)"
+)
+
+
+def q_five_house_sampled(spark, sf_dir):
+    """Generic sampled-pattern estimate of the 5-house via the
+    SamplerGenerator twin (algos/patterns.pattern_count_sampled — the
+    reference's flagship declarative estimator path,
+    /root/reference/src/SamplerGenerator.cpp:379-464, app
+    /root/reference/applications/FiveHouse.cpp:18-27).  Deterministic
+    hash-seeded randomness; the gate hash-checks exact count + ε-bound."""
+    from .algos import patterns
+
+    ec = edges_c(spark, sf_dir).persist()
+    est = patterns.pattern_count_sampled(
+        ec, patterns.PATTERNS["five_house"], num_estimators=100_000, seed=7
+    )
+    exact = patterns.pattern_count(ec, patterns.PATTERNS["five_house"])
+    ec.unpersist()
+    return _eps_row(spark, est, exact, 0.10, "exact_five_houses", "within_10pct")
+
+
+def q_four_clique_sampled(spark, sf_dir):
+    """Generic sampled-pattern estimate of the 4-clique (the reference's
+    FourClique2 app over SamplerGenerator,
+    /root/reference/applications/FourClique2.cpp:18-24; the hand-rolled
+    estimator twin is /root/reference/applications/FourClique.cpp:17-77).
+    Deterministic; gate hash-checks exact + ε-bound."""
+    from .algos import patterns
+
+    ec = edges_c(spark, sf_dir).persist()
+    est = patterns.pattern_count_sampled(
+        ec, patterns.PATTERNS["four_clique"], num_estimators=600_000, seed=7
+    )
+    exact = patterns.pattern_count(ec, patterns.PATTERNS["four_clique"])
+    ec.unpersist()
+    return _eps_row(spark, est, exact, 0.15, "exact_four_cliques", "within_15pct")
+
+
+def _sampled_pattern_sql(name: str, exact_alias: str, flag_alias: str) -> str:
+    from .algos import patterns
+
+    inner = patterns.pattern_count_sql(patterns.PATTERNS[name], "und_c", exact_alias)
+    return (
+        f"WITH {EDGES_C_SQL}, {UND_C_SQL}\n"
+        f"SELECT {exact_alias}, TRUE AS {flag_alias} FROM ({inner})"
     )
 
 
@@ -1367,11 +1505,26 @@ def _register_extensions() -> None:
             "three_motif_counts": (q_three_motif, THREE_MOTIF_SQL),
             "edgelist_roundtrip": (q_edgelist_roundtrip, EDGELIST_ROUNDTRIP_SQL),
             "generic_pattern_counts": (q_generic_patterns, _generic_patterns_sql()),
-            "triangle_sampled_estimate": (q_triangle_sampled, None),
-            "four_chain_sampled_estimate": (q_four_chain_sampled, None),
-            "five_chain_sampled_estimate": (q_five_chain_sampled, None),
-            "adaptive_triangle_estimate": (q_adaptive_triangle, None),
-            "profiled_triangle_estimate": (q_profiled_triangle, None),
+            "triangle_sampled_estimate": (q_triangle_sampled,
+                                          TRIANGLE_SAMPLED_SQL),
+            "four_chain_sampled_estimate": (q_four_chain_sampled,
+                                            FOUR_CHAIN_SAMPLED_SQL),
+            "five_chain_sampled_estimate": (q_five_chain_sampled,
+                                            FIVE_CHAIN_SAMPLED_SQL),
+            "adaptive_triangle_estimate": (q_adaptive_triangle,
+                                           ADAPTIVE_TRIANGLE_SQL),
+            "profiled_triangle_estimate": (q_profiled_triangle,
+                                           PROFILED_TRIANGLE_SQL),
+            "five_house_sampled_estimate": (
+                q_five_house_sampled,
+                _sampled_pattern_sql("five_house", "exact_five_houses",
+                                     "within_10pct"),
+            ),
+            "four_clique_sampled_estimate": (
+                q_four_clique_sampled,
+                _sampled_pattern_sql("four_clique", "exact_four_cliques",
+                                     "within_15pct"),
+            ),
         }
     )
 

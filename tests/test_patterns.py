@@ -42,6 +42,62 @@ def test_pattern_count_matches_specialized(spark, edges30):
     assert patterns.pattern_count(edges30, p["five_house"]) == motifs.five_house_count(edges30)
 
 
+def _dense25(spark):
+    """The suite's edges_c fixture shape: 25 vertices, ~165 edges."""
+    import itertools
+
+    pairs = [
+        (i, j)
+        for i, j in itertools.combinations(range(25), 2)
+        if (i * 7 + j * 13 + 3) % 10 < 6
+    ]
+    return spark.createDataFrame(pairs, "src long, dst long")
+
+
+@pytest.mark.parametrize(
+    "name,n_est,eps",
+    [
+        ("five_house", 100_000, 0.10),
+        ("four_clique", 150_000, 0.35),
+        ("five_star", 50_000, 0.10),
+        ("triangle", 50_000, 0.10),
+        ("four_chain", 50_000, 0.10),
+    ],
+)
+def test_pattern_count_sampled_within_eps(spark, name, n_est, eps):
+    """Generic SamplerGenerator-twin estimator lands within eps of exact
+    (fixed hash seed => deterministic, so this is a regression pin too)."""
+    e = _dense25(spark).persist()
+    exact = patterns.pattern_count(e, patterns.PATTERNS[name])
+    est = patterns.pattern_count_sampled(
+        e, patterns.PATTERNS[name], num_estimators=n_est, seed=7
+    )
+    e.unpersist()
+    assert exact > 0
+    assert abs(est - exact) <= eps * exact, (name, est, exact)
+
+
+def test_pattern_count_sampled_partition_invariant(spark):
+    """Hash-derived randomness: the estimate is a pure function of the data
+    and seed, independent of input partitioning."""
+    e = _dense25(spark)
+    pat = patterns.PATTERNS["five_star"]
+    a = patterns.pattern_count_sampled(e.repartition(1), pat, 20_000, seed=11)
+    b = patterns.pattern_count_sampled(e.repartition(13), pat, 20_000, seed=11)
+    assert a == b
+
+
+def test_pattern_count_sampled_pick_only_unbiased(spark):
+    """rb_depth=0 (the reference's literal pick-then-check semantics,
+    /root/reference/src/SamplerGenerator.cpp:379-464) also converges: wider
+    eps since every step is a one-in-s draw."""
+    e = _dense25(spark)
+    pat = patterns.PATTERNS["triangle"]
+    exact = patterns.pattern_count(e, pat)
+    est = patterns.pattern_count_sampled(e, pat, 150_000, seed=5, rb_depth=0)
+    assert abs(est - exact) <= 0.25 * exact, (est, exact)
+
+
 def test_pattern_validation():
     with pytest.raises(ValueError):
         patterns.plan_pattern([(0, 0)])
