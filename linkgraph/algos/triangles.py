@@ -301,6 +301,80 @@ def k_chain_count_sampled(
     return float(m) * float(total) / float(num_estimators)
 
 
+def three_motif_sampled(
+    edges: DataFrame,
+    num_estimators: int,
+    seed: int = 42,
+    partitions: int | None = None,
+) -> tuple[float, float]:
+    """Sampled 3-motif: (triangle_estimate, three_chain_estimate) sharing
+    ONE persisted 2-edge partial-sample stage — the Spark twin of the
+    reference's cached shared sub-pattern sampling
+    (/root/reference/applications/ThreeMotif.cpp:42-122, cache machinery
+    /root/reference/src/ZGraphInstance.cpp:596-833): there the 2-edge
+    partial samples are stored in per-thread NUMA-local arrays and consumed
+    by both the triangle and the 3-chain estimator; here the conditional
+    candidate table is ``persist()``-ed and BOTH aggregations scan the same
+    InMemoryTableScan.
+
+    3-chain estimate = m * mean(candidate count c)   (every (e1, e2) pick
+    succeeds; /root/reference/applications/ThreeChain.cpp:16-38).
+    Triangle estimate = Rao-Blackwell closure probe over the same
+    candidates: m * #(candidates whose closing edge exists with
+    eid3 > eid2) / N   (same expectation as the pick-then-probe estimator,
+    /root/reference/applications/Triangle.cpp:42-74).
+    """
+    spark = edges.sparkSession
+    P = int(partitions or spark.conf.get("spark.sql.shuffle.partitions"))
+
+    o = _oriented(edges).withColumn(
+        "eid", F.xxhash64(F.col("a"), F.col("b"), F.lit(seed))
+    )
+    from ..ingest import dense_ids
+
+    o = o.withColumn("_key", F.concat_ws("_", "a", "b"))
+    idx = dense_ids(o.select("_key"), "_key", P)
+    o = o.join(idx, "_key").drop("_key").persist()
+    m = o.count()
+
+    est = spark.range(num_estimators).select(
+        F.col("id").alias("est_id"),
+        _pick_mod("id", m, seed).alias("id"),
+    )
+    e1 = est.join(o, "id").select(
+        "est_id", F.col("a").alias("u"), F.col("b").alias("v"),
+        F.col("eid").alias("eid1"),
+    )
+    sym = o.select(F.col("a").alias("x"), F.col("b").alias("w"), "eid").union(
+        o.select(F.col("b").alias("x"), F.col("a").alias("w"), "eid")
+    )
+    # the SHARED 2-edge partial-sample stage
+    cand = (
+        e1.select("est_id", "eid1", "u", "v", F.explode(F.array("u", "v")).alias("x"))
+        .join(sym, "x")
+        .filter(F.col("eid") > F.col("eid1"))
+        .persist()
+    )
+    chain_total = cand.groupBy().count().collect()[0][0]
+    other = F.when(F.col("x") == F.col("u"), F.col("v")).otherwise(F.col("u"))
+    closed = (
+        cand.select(
+            F.col("eid").alias("eid2"),
+            F.least(F.col("w"), other).alias("a"),
+            F.greatest(F.col("w"), other).alias("b"),
+        )
+        .join(o.select("a", "b", F.col("eid").alias("eid3")), ["a", "b"])
+        .filter(F.col("eid3") > F.col("eid2"))
+    )
+    tri_matches = closed.count()
+    cand.unpersist()
+    o.unpersist()
+    return (
+        float(m) * float(tri_matches) / float(num_estimators),
+        float(m) * float(chain_total) / float(num_estimators),
+    )
+
+
 def triangle_count_sampled(
     edges: DataFrame,
     num_estimators: int,

@@ -1414,6 +1414,50 @@ def q_four_clique_sampled(spark, sf_dir):
     return _eps_row(spark, est, exact, 0.15, "exact_four_cliques", "within_15pct")
 
 
+def q_three_motif_sampled(spark, sf_dir):
+    """Sampled cached 3-motif: triangle + 3-chain estimates sharing one
+    persisted 2-edge partial-sample stage (the reference's
+    CachedSubPatterns, /root/reference/applications/ThreeMotif.cpp:42-122).
+    Deterministic hash-seeded randomness; gate hash-checks BOTH exact
+    counts + both ε-bounds."""
+    from .algos import motifs, triangles
+
+    e = edges_a(spark, sf_dir).persist()
+    tri_est, chain_est = triangles.three_motif_sampled(
+        e, num_estimators=200_000, seed=42
+    )
+    tri_exact = triangles.triangle_count(e)
+    chain_exact = motifs.three_chain_count(e)
+    e.unpersist()
+    tri_ok = tri_exact > 0 and abs(tri_est - tri_exact) <= 0.05 * tri_exact
+    chain_ok = (
+        chain_exact > 0 and abs(chain_est - chain_exact) <= 0.05 * chain_exact
+    )
+    return spark.createDataFrame(
+        [(int(tri_exact), int(chain_exact), bool(tri_ok), bool(chain_ok))],
+        "exact_triangles long, exact_three_chains long, "
+        "tri_within_5pct boolean, chain_within_5pct boolean",
+    )
+
+
+THREE_MOTIF_SAMPLED_SQL = f"""
+WITH {EDGES_A_SQL}, {OE_A_SQL}, {UND_A_SQL},
+tri AS (
+  SELECT CAST(count(*) AS BIGINT) AS exact_triangles
+  FROM oe_a e1
+  JOIN oe_a e2 ON e1.b = e2.a
+  JOIN oe_a e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+ch AS (
+  SELECT CAST(coalesce(sum(d * (d - 1) / 2), 0) AS BIGINT) AS exact_three_chains
+  FROM (SELECT count(*) AS d FROM und_a GROUP BY src) t
+)
+SELECT exact_triangles, exact_three_chains,
+       TRUE AS tri_within_5pct, TRUE AS chain_within_5pct
+FROM tri, ch
+"""
+
+
 def _sampled_pattern_sql(name: str, exact_alias: str, flag_alias: str) -> str:
     from .algos import patterns
 
@@ -1524,6 +1568,9 @@ def _register_extensions() -> None:
                 q_four_clique_sampled,
                 _sampled_pattern_sql("four_clique", "exact_four_cliques",
                                      "within_15pct"),
+            ),
+            "three_motif_sampled_estimate": (
+                q_three_motif_sampled, THREE_MOTIF_SAMPLED_SQL,
             ),
         }
     )
@@ -3036,11 +3083,29 @@ FROM deg GROUP BY 1
 REGISTRY["rmat_degree_histogram"] = (q_rmat_degree_histogram, _rmat_hist_sql())
 
 
+EXACT_DIAG_MAX_SOURCES = 20_000
+
+
+def _guard_exact_all_sources(n_sources: int, what: str) -> None:
+    """All-sources BFS diagnostics are O(V·E) — exact small-graph
+    companions of the HyperBall sketch (q_hyperball_ball3), never to be
+    pointed at a full web graph.  Hard guard so a misconfigured run fails
+    fast with the sketch pointer instead of melting the cluster."""
+    if n_sources > EXACT_DIAG_MAX_SOURCES:
+        raise ValueError(
+            f"{what}: {n_sources} BFS sources exceeds the exact-diagnostic "
+            f"cap {EXACT_DIAG_MAX_SOURCES} (O(V*E) all-sources BFS). Use "
+            f"the HyperBall sketch (hyperball_ball3 / algos.hyperball) at "
+            f"scale, or pass a sampled source set."
+        )
+
+
 def q_effective_diameter(spark, sf_dir):
     """Exact diameter + effective diameter (d90) of the undirected derived
     graph from the all-sources distance histogram (the exact counterpart
     of the HyperBall/HyperANF sketch; integer-exact percentile rule
-    10·cum ≥ 9·total)."""
+    10·cum ≥ 9·total).  Guarded: refuses > EXACT_DIAG_MAX_SOURCES sources
+    (the scale path is the HyperBall sketch)."""
     from .algos.paths import distance_histogram
 
     eb = edges_b(spark, sf_dir)
@@ -3049,6 +3114,7 @@ def q_effective_diameter(spark, sf_dir):
         .union(eb.select(F.col("dst").alias("id")))
         .distinct()
     )
+    _guard_exact_all_sources(vb.count(), "effective_diameter")
     hist = distance_histogram(eb, sources=vb, directed=False, partitions=8)
     w_cum = Window.orderBy("dist").rowsBetween(Window.unboundedPreceding, 0)
     w_all = Window.partitionBy()
@@ -5494,7 +5560,8 @@ def q_graph_center(spark, sf_dir):
     """Graph center + radius of the undirected derived graph B: run the
     composite-key multi-source BFS from EVERY vertex, restrict to the
     giant component (max reached count), output the vertices whose
-    eccentricity equals the radius — "the most central hosts"."""
+    eccentricity equals the radius — "the most central hosts".  Guarded:
+    refuses > EXACT_DIAG_MAX_SOURCES sources (scale path: HyperBall)."""
     from .algos.paths import closeness_centrality
 
     eb = edges_b(spark, sf_dir)
@@ -5502,6 +5569,7 @@ def q_graph_center(spark, sf_dir):
         eb.select(F.col("src").alias("id"))
         .union(eb.select(F.col("dst").alias("id"))).distinct()
     )
+    _guard_exact_all_sources(verts_all.count(), "graph_center")
     cc = closeness_centrality(eb, sources=verts_all, directed=False,
                               partitions=8).select("s", "reached", "ecc")
     mx = cc.agg(F.max("reached").alias("m"))

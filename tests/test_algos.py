@@ -117,6 +117,27 @@ def test_four_chain_count_sampled_within_eps(spark, edges30):
     assert abs(est - exact) / exact < 0.15
 
 
+def test_three_motif_sampled_shared_stage(spark, edges30):
+    """Cached 3-motif: one shared 2-edge partial-sample stage feeds both
+    the triangle and 3-chain estimates (ThreeMotif.cpp twin); each lands
+    within eps of its exact count, and the 3-chain leg bit-matches the
+    standalone 3-chain estimator at the same seed (same shared stage)."""
+    from linkgraph.algos.triangles import (
+        three_chain_count_sampled,
+        three_motif_sampled,
+    )
+
+    tri_exact = oracles.triangle_count_oracle(EDGES)
+    chain_exact = oracles.three_chain_count_oracle(V, EDGES)
+    tri_est, chain_est = three_motif_sampled(edges30, num_estimators=20000,
+                                             seed=7, partitions=8)
+    assert abs(tri_est - tri_exact) / tri_exact < 0.15
+    assert abs(chain_est - chain_exact) / chain_exact < 0.10
+    standalone = three_chain_count_sampled(edges30, num_estimators=20000,
+                                           seed=7, partitions=8)
+    assert chain_est == standalone
+
+
 def test_three_chain_count_sampled_exact_expectation(spark, edges30):
     from linkgraph.algos.triangles import three_chain_count_sampled
 
