@@ -155,6 +155,114 @@ def stream_sessionize(
     )
 
 
+def stream_sessionize_buffered(
+    spark: SparkSession,
+    events_dir: str,
+    gap_s: int = 1800,
+    watermark: str = "2 hours",
+    sink_table: str = "stream_sessions_buffered",
+) -> DataFrame:
+    """Order-robust stateful sessionizer: correct even when a user's events
+    arrive OUT OF EVENT-TIME ORDER across micro-batches (the failure mode
+    stream_sessionize documents as a precondition).
+
+    Design: per-user state buffers pending event timestamps; each
+    invocation merges the new batch, then FINALIZES every session that can
+    no longer change — a session ending at te is immutable once
+    te + gap < watermark, because any future event could only join it with
+    ts <= te + gap, and the watermark guarantees no accepted event is older
+    than wm.  Finalized sessions increment a closed counter and their
+    events leave the buffer, so state per user is bounded by the events
+    inside (wm - gap, now] — watermark slack + gap, NOT the full history.
+    Emitted total = closed + sessions(pending buffer); the final emission
+    per user (max emit_seq) equals the batch oracle exactly.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    stream = (
+        _events_stream(spark, events_dir)
+        .withWatermark("ts", watermark)
+        .select("user_id", "ts")
+    )
+
+    def _sessions(ts_sorted: list[float]) -> int:
+        n = 0
+        last = None
+        for t in ts_sorted:
+            if last is None or t - last > gap_s:
+                n += 1
+            last = t
+        return n
+
+    def fn(key, pdf_iter, state: GroupState):
+        if state.exists:
+            pending, closed, n_events, emit_seq = state.get
+            pending = list(pending)
+        else:
+            pending, closed, n_events, emit_seq = [], 0, 0, 0
+        new = pd.concat(list(pdf_iter))
+        n_events += len(new)
+        pending.extend(t.timestamp() for t in new["ts"])
+        pending.sort()
+        wm = state.getCurrentWatermarkMs() / 1000.0
+        # finalize sessions whose end is gap-safely behind the watermark
+        i = 0
+        start = 0
+        while i < len(pending):
+            end_of_session = (
+                i + 1 == len(pending) or pending[i + 1] - pending[i] > gap_s
+            )
+            if end_of_session and pending[i] + gap_s < wm:
+                closed += 1
+                start = i + 1
+            elif end_of_session:
+                break
+            i += 1
+        pending = pending[start:]
+        emit_seq += 1
+        state.update((pending, int(closed), int(n_events), int(emit_seq)))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_sessions": [closed + _sessions(pending)],
+                "n_events": [n_events],
+                "emit_seq": [emit_seq],
+            }
+        )
+
+    out = stream.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=(
+            "user_id long, n_sessions long, n_events long, emit_seq long"
+        ),
+        stateStructType=(
+            "pending array<double>, closed long, n_events long, emit_seq long"
+        ),
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    ckpt = tempfile.mkdtemp(prefix="lg_stream_ckpt_")
+    q = (
+        out.writeStream.format("memory")
+        .queryName(sink_table)
+        .outputMode("update")
+        .option("checkpointLocation", os.path.join(ckpt, "sessions_buf"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    t = spark.table(sink_table)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("emit_seq"))
+    return (
+        t.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("user_id", "n_sessions", "n_events")
+    )
+
+
 def stream_ingest_edges(
     spark: SparkSession,
     pages_path: str,

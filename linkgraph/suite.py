@@ -981,6 +981,19 @@ def q_stream_sessions(spark, sf_dir):
     )
 
 
+def q_stream_sessions_buffered(spark, sf_dir):
+    """Order-robust buffered sessionizer (watermark-finalized per-user
+    event buffer, streaming.stream_sessionize_buffered) — same batch
+    oracle as stream_sessions; the cross-batch out-of-order case is
+    exercised in tests/test_streaming.py."""
+    from . import streaming
+
+    return streaming.stream_sessionize_buffered(
+        spark, f"{sf_dir}/events.parquet",
+        sink_table="q_stream_sessions_buffered",
+    )
+
+
 # ---------------------------------------------------------------------------
 # additional motif / predicate parity queries
 # ---------------------------------------------------------------------------
@@ -1539,6 +1552,8 @@ def _register_extensions() -> None:
             "multimodal_frames": (q_multimodal_frames, multimodal.frame_sample_sql(stride=64)),
             "stream_hourly": (q_stream_hourly, EVENT_HOURLY_SQL),
             "stream_sessions": (q_stream_sessions, EVENT_SESSIONS_SQL),
+            "stream_sessions_buffered": (q_stream_sessions_buffered,
+                                         EVENT_SESSIONS_SQL),
             "stream_ingest_counts": (q_stream_ingest, None),
             "five_house_count": (q_five_house, FIVE_HOUSE_SQL),
             "five_chain_count": (q_five_chain, FIVE_CHAIN_SQL),

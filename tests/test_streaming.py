@@ -44,6 +44,96 @@ def test_stream_sessions_equals_batch(spark, events):
     assert got == exp
 
 
+def test_stream_sessions_buffered_equals_batch(spark, events):
+    from linkgraph import streaming
+    from linkgraph.suite import q_event_sessions
+
+    got = {
+        r["user_id"]: (r["n_sessions"], r["n_events"])
+        for r in streaming.stream_sessionize_buffered(
+            spark, f"{SF}/events.parquet", sink_table="t_sessions_buf"
+        ).collect()
+    }
+    exp = {
+        r["user_id"]: (r["n_sessions"], r["n_events"])
+        for r in q_event_sessions(spark, SF).collect()
+    }
+    assert got == exp
+
+
+def test_stream_sessions_buffered_out_of_order_files(spark, tmp_path):
+    """The buffered sessionizer matches the batch oracle even when a
+    user's events arrive OUT OF EVENT-TIME ORDER across micro-batches
+    (maxFilesPerTrigger=1 over overlapping-window files) — the exact case
+    the plain sessionizer documents as a precondition violation.  Files
+    cover overlapping increasing time windows; disorder stays inside the
+    2h watermark slack so nothing is dropped as late, and the watermark
+    advances enough across batches to exercise session FINALIZATION (not
+    just end-of-stream buffering)."""
+    import os
+    import time
+
+    # 6 users x 30 events over ~30 hours, deterministic pseudo-random gaps
+    base = 1_700_000_000
+    rows = []
+    for u in range(6):
+        t = base + (u * 997) % 3600
+        for i in range(30):
+            t += 120 + ((u * 31 + i * 257) % 5000)  # 2min..~85min gaps
+            rows.append((u, float(t)))
+    # batch oracle: sessions with gap > 1800s
+    exp = {}
+    for u in range(6):
+        ts = sorted(t for uu, t in rows if uu == u)
+        n = 1 + sum(1 for a, b in zip(ts, ts[1:]) if b - a > 1800)
+        exp[u] = (n, len(ts))
+
+    # three files with OVERLAPPING time windows: [0,40%), [30%,70%), [60%,100%)
+    # -> per-user cross-file event-time order is violated in the overlaps
+    ts_all = sorted(t for _, t in rows)
+    lo, hi = ts_all[0], ts_all[-1]
+    span = hi - lo
+    windows = [(0.0, 0.4), (0.3, 0.7), (0.6, 1.01)]
+    seen = set()
+    d = tmp_path / "ev"
+    d.mkdir()
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    for i, (a, b) in enumerate(windows):
+        part = [
+            (u, t) for (u, t) in rows
+            if lo + a * span <= t < lo + b * span and (u, t) not in seen
+        ]
+        seen.update(part)
+        part.sort(key=lambda x: x[1])
+        tbl = pa.table(
+            {
+                "user_id": pa.array([int(u) for u, _ in part], pa.int64()),
+                "ts": pa.array(
+                    [int(t * 1_000_000) for _, t in part],
+                    pa.timestamp("us"),  # no tz -> Spark TIMESTAMP_NTZ
+                ),
+            }
+        )
+        p = str(d / f"part-{i:03d}.parquet")  # flat FILE, not a Spark dir
+        pq.write_table(tbl, p)
+        # file source orders by modification time: pin it increasing
+        os.utime(p, (base + i, base + i))
+        time.sleep(0.01)
+    assert len(seen) == len(rows)
+
+    from linkgraph import streaming
+
+    got = {
+        r["user_id"]: (r["n_sessions"], r["n_events"])
+        for r in streaming.stream_sessionize_buffered(
+            spark, f"{d}/*.parquet", sink_table="t_sessions_ooo"
+        ).collect()
+    }
+    assert got == exp
+
+
 def test_stream_ingest_matches_batch(spark, tmp_path):
     from linkgraph import datagen, ingest, streaming
     from pyspark.sql import functions as F
