@@ -58,12 +58,46 @@ def edgelist_meta(path: str) -> tuple[int, int]:
 
 
 def write_edgelist(edges: DataFrame, path: str, num_vertices: int) -> None:
-    """Write a single ASCII edgelist file with the ``V E`` header."""
+    """Write a single ASCII edgelist file with the ``V E`` header
+    (driver-side collect — byte-exact single-file parity fixture only;
+    the scale sink is :func:`write_edgelist_sharded`)."""
     rows = edges.select("src", "dst").collect()
     with open(path, "w") as f:
         f.write(f"{num_vertices} {len(rows)}\n")
         for r in rows:
             f.write(f"{r['src']} {r['dst']}\n")
+
+
+def write_edgelist_sharded(
+    edges: DataFrame, dir_path: str, num_vertices: int
+) -> None:
+    """Distributed ASCII edgelist sink: executors write the edge body as
+    sharded text (``df.write.text`` — fully parallel, no driver collect);
+    the 2-integer ``V E`` header lands in a sidecar ``_meta`` file (Spark's
+    own _SUCCESS-marker pattern) because a header line inside shard 0 would
+    serialize the whole write through one task."""
+    body = edges.select(
+        F.concat_ws(" ", F.col("src").cast("string"),
+                    F.col("dst").cast("string")).alias("value")
+    )
+    body.write.mode("overwrite").text(dir_path)
+    n = edges.count()
+    with open(os.path.join(dir_path, "_meta"), "w") as f:
+        f.write(f"{num_vertices} {n}\n")
+
+
+def read_edgelist_sharded(spark: SparkSession, dir_path: str) -> DataFrame:
+    """Read a sharded edgelist directory written by write_edgelist_sharded."""
+    raw = spark.read.csv(
+        os.path.join(dir_path, "part-*"), sep=" ", schema="c0 long, c1 long"
+    )
+    return raw.select(F.col("c0").alias("src"), F.col("c1").alias("dst"))
+
+
+def edgelist_sharded_meta(dir_path: str) -> tuple[int, int]:
+    with open(os.path.join(dir_path, "_meta")) as f:
+        v, e = f.readline().split()
+    return int(v), int(e)
 
 
 def read_biedgelist(
@@ -93,13 +127,54 @@ def read_biedgelist(
 
 
 def write_biedgelist(edges: DataFrame, path: str, weighted: bool = False) -> None:
-    """Write a single packed-binary edge file (driver-side; test scale)."""
+    """Write a single packed-binary edge file (driver-side collect —
+    byte-exact single-file parity fixture only; the scale sink is
+    :func:`write_biedgelist_sharded`)."""
     cols = ["src", "dst", "weight"] if weighted else ["src", "dst"]
     rows = edges.select(*cols).collect()
     fmt = "<" + "I" * len(cols)
     with open(path, "wb") as f:
         for r in rows:
             f.write(struct.pack(fmt, *[int(r[c]) for c in cols]))
+
+
+def write_biedgelist_sharded(
+    edges: DataFrame, dir_path: str, weighted: bool = False
+) -> None:
+    """Distributed packed-binary sink: each partition packs its edges with
+    ONE vectorized numpy ``tobytes`` (no per-row Python, no driver collect)
+    and writes its own ``part-NNNNN.biedgelist`` shard.  Record layout is
+    exactly the reference's (2 or 3 little-endian uint32,
+    /root/reference/datasets/toolkits/edgelist_to_biedgelist.cpp:34-38), so
+    ``read_biedgelist`` on the directory round-trips.  Executors write
+    through the mounted filesystem — the same contract as any
+    foreachPartition sink; on a real cluster point dir_path at the shared
+    store."""
+    os.makedirs(dir_path, exist_ok=True)
+    cols = ["src", "dst", "weight"] if weighted else ["src", "dst"]
+    width = len(cols)
+
+    def write_part(it):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        bufs = []
+        for pdf in it:
+            if len(pdf):
+                arr = np.ascontiguousarray(
+                    pdf[cols].to_numpy(dtype="<u4")
+                ).reshape(-1, width)
+                bufs.append(arr.tobytes())
+        if bufs:
+            with open(
+                os.path.join(dir_path, f"part-{pid:05d}.biedgelist"), "wb"
+            ) as f:
+                for b in bufs:
+                    f.write(b)
+        yield pd.DataFrame({"n": [sum(len(b) for b in bufs) // (4 * width)]})
+
+    counted = edges.select(*cols).mapInPandas(write_part, schema="n long")
+    counted.agg(F.sum("n")).collect()  # materialize the write
 
 
 def densify_ids(edges: DataFrame) -> tuple[DataFrame, DataFrame]:

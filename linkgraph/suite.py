@@ -1471,6 +1471,22 @@ FROM tri, ch
 """
 
 
+def q_five_star_sampled(spark, sf_dir):
+    """Generic sampled-pattern estimate of the 5-star (the reference's
+    FiveStar app over SamplerGenerator,
+    /root/reference/applications/FiveStar.cpp:18-26).  Deterministic;
+    gate hash-checks exact + ε-bound."""
+    from .algos import patterns
+
+    ec = edges_c(spark, sf_dir).persist()
+    est = patterns.pattern_count_sampled(
+        ec, patterns.PATTERNS["five_star"], num_estimators=100_000, seed=7
+    )
+    exact = patterns.pattern_count(ec, patterns.PATTERNS["five_star"])
+    ec.unpersist()
+    return _eps_row(spark, est, exact, 0.05, "exact_five_stars", "within_5pct")
+
+
 def _sampled_pattern_sql(name: str, exact_alias: str, flag_alias: str) -> str:
     from .algos import patterns
 
@@ -1586,6 +1602,11 @@ def _register_extensions() -> None:
             ),
             "three_motif_sampled_estimate": (
                 q_three_motif_sampled, THREE_MOTIF_SAMPLED_SQL,
+            ),
+            "five_star_sampled_estimate": (
+                q_five_star_sampled,
+                _sampled_pattern_sql("five_star", "exact_five_stars",
+                                     "within_5pct"),
             ),
         }
     )

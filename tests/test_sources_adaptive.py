@@ -43,6 +43,28 @@ def test_biedgelist_weighted_roundtrip(spark, edges30, tmp_graph_dir):
     assert sorted(tuple(r) for r in back.collect()) == exp
 
 
+def test_edgelist_sharded_roundtrip(spark, edges30, tmp_graph_dir):
+    d = os.path.join(tmp_graph_dir, "g_sharded")
+    sources.write_edgelist_sharded(edges30.repartition(5), d, V)
+    assert sources.edgelist_sharded_meta(d) == (V, len(EDGES))
+    back = sources.read_edgelist_sharded(spark, d)
+    assert sorted((r["src"], r["dst"]) for r in back.collect()) == sorted(EDGES)
+    # distributed sink: multiple shard files, no driver-collect single file
+    parts = [f for f in os.listdir(d) if f.startswith("part-")]
+    assert len(parts) > 1
+
+
+def test_biedgelist_sharded_roundtrip(spark, edges30, tmp_graph_dir):
+    d = os.path.join(tmp_graph_dir, "gb_sharded")
+    sources.write_biedgelist_sharded(edges30.repartition(4), d)
+    parts = [f for f in os.listdir(d) if f.endswith(".biedgelist")]
+    assert len(parts) > 1
+    total = sum(os.path.getsize(os.path.join(d, f)) for f in parts)
+    assert total == 8 * len(EDGES)  # 2 x uint32 / edge, exactly once overall
+    back = sources.read_biedgelist(spark, d)
+    assert sorted((r["src"], r["dst"]) for r in back.collect()) == sorted(EDGES)
+
+
 def test_densify_ids(spark):
     e = spark.createDataFrame(
         [(100, 7), (7, 100), (100, 100), (7, 55), (100, 7)], "src long, dst long"
