@@ -1358,7 +1358,7 @@ JOIN oe_b e3 ON e3.a = e1.a AND e3.b = e2.b
 """
 
 
-def edges_c(spark, sf_dir):
+def edges_dense(spark, sf_dir):
     """Dense 25-vertex graph derived from the ``nation`` table (25 rows at
     EVERY TPC-H scale factor, so this fixture — and the sampled-pattern
     estimator gates below — behave identically at every sf): edge (i, j),
@@ -1367,7 +1367,16 @@ def edges_c(spark, sf_dir):
     ε-bound: its per-trial hit probability scales like 1/prod(candidate
     slots), so on sparse derived graphs a bound-verifying run would need
     billions of trials (the reference sizes 2^25 estimators for the same
-    reason, /root/reference/applications/FiveHouse.cpp:66)."""
+    reason, /root/reference/applications/FiveHouse.cpp:66).
+
+    NOTE: named ``edges_dense`` — NOT ``edges_c`` (taken, customer-derived,
+    line ~1040) or ``edges_d`` (taken, simrank fixture, line ~4831).  A
+    module-level name collision shipped TWICE (commits 5d2465e, 6864538):
+    Python's call-time name resolution silently repointed
+    q_five_chain/q_edgelist_roundtrip at this graph while their SQL
+    oracles kept the import-time CTE.  tests/test_suite_symbols.py now
+    asserts every ``edges_*``/``*_SQL`` module symbol is bound exactly
+    once."""
     n = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
         F.col("n_nationkey").cast("long").alias("i")
     )
@@ -1379,16 +1388,16 @@ def edges_c(spark, sf_dir):
     )
 
 
-EDGES_C_SQL = """
-edges_c AS (
+EDGES_DENSE_SQL = """
+edges_dense AS (
   SELECT CAST(a.n_nationkey AS BIGINT) AS src,
          CAST(b.n_nationkey AS BIGINT) AS dst
   FROM nation a JOIN nation b ON a.n_nationkey < b.n_nationkey
   WHERE (a.n_nationkey * 7 + b.n_nationkey * 13 + 3) % 10 < 6
 )"""
-UND_C_SQL = (
-    "und_c AS (SELECT src, dst FROM edges_c "
-    "UNION SELECT dst AS src, src AS dst FROM edges_c)"
+UND_DENSE_SQL = (
+    "und_dense AS (SELECT src, dst FROM edges_dense "
+    "UNION SELECT dst AS src, src AS dst FROM edges_dense)"
 )
 
 
@@ -1401,7 +1410,7 @@ def q_five_house_sampled(spark, sf_dir):
     hash-seeded randomness; the gate hash-checks exact count + ε-bound."""
     from .algos import patterns
 
-    ec = edges_c(spark, sf_dir).persist()
+    ec = edges_dense(spark, sf_dir).persist()
     est = patterns.pattern_count_sampled(
         ec, patterns.PATTERNS["five_house"], num_estimators=100_000, seed=7
     )
@@ -1418,7 +1427,7 @@ def q_four_clique_sampled(spark, sf_dir):
     Deterministic; gate hash-checks exact + ε-bound."""
     from .algos import patterns
 
-    ec = edges_c(spark, sf_dir).persist()
+    ec = edges_dense(spark, sf_dir).persist()
     est = patterns.pattern_count_sampled(
         ec, patterns.PATTERNS["four_clique"], num_estimators=600_000, seed=7
     )
@@ -1478,7 +1487,7 @@ def q_five_star_sampled(spark, sf_dir):
     gate hash-checks exact + ε-bound."""
     from .algos import patterns
 
-    ec = edges_c(spark, sf_dir).persist()
+    ec = edges_dense(spark, sf_dir).persist()
     est = patterns.pattern_count_sampled(
         ec, patterns.PATTERNS["five_star"], num_estimators=100_000, seed=7
     )
@@ -1490,9 +1499,9 @@ def q_five_star_sampled(spark, sf_dir):
 def _sampled_pattern_sql(name: str, exact_alias: str, flag_alias: str) -> str:
     from .algos import patterns
 
-    inner = patterns.pattern_count_sql(patterns.PATTERNS[name], "und_c", exact_alias)
+    inner = patterns.pattern_count_sql(patterns.PATTERNS[name], "und_dense", exact_alias)
     return (
-        f"WITH {EDGES_C_SQL}, {UND_C_SQL}\n"
+        f"WITH {EDGES_DENSE_SQL}, {UND_DENSE_SQL}\n"
         f"SELECT {exact_alias}, TRUE AS {flag_alias} FROM ({inner})"
     )
 

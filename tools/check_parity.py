@@ -50,17 +50,27 @@ def main():
         if only and name not in only:
             continue
         t0 = time.time()
-        sdf = fn(spark, sf_dir)
-        scols = sdf.columns
-        srows = [tuple(r) for r in sdf.collect()]
+        try:
+            sdf = fn(spark, sf_dir)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as exc:  # a broken query must not abort the sweep
+            print(f"{name:28s} ERR  spark raised: {exc!r}")
+            failures.append(name)
+            continue
         t1 = time.time()
         status = []
         if sql is None:
             print(f"{name:28s} rows={len(srows):6d} (rows-only) spark={t1 - t0:6.1f}s")
             continue
-        res = con.sql(sql)
-        ocols = res.columns
-        orows = res.fetchall()
+        try:
+            res = con.sql(sql)
+            ocols = res.columns
+            orows = res.fetchall()
+        except Exception as exc:
+            print(f"{name:28s} ERR  oracle raised: {exc!r}")
+            failures.append(name)
+            continue
         t2 = time.time()
         if sorted(scols) != sorted(ocols):
             status.append(f"SCHEMA spark={scols} oracle={ocols}")
