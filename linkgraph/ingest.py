@@ -111,7 +111,15 @@ def dense_ids(df: DataFrame, col: str, partitions: int = 32) -> DataFrame:
     the reference's sort-based densify
     (/root/reference/datasets/wiki-vote/scripts/process.cpp:92-96).
     """
-    keys = df.select(col).distinct()
+    # Materialize the (small: one row per distinct key) key table ONCE and
+    # truncate its lineage: everything upstream — possibly an expensive
+    # Arrow-UDF extraction — must not re-execute for the count, the
+    # boundary-sample collect, the rank window, and the offset join below.
+    # Eager localCheckpoint (MEMORY_AND_DISK on executors, GC-cleaned with
+    # the RDD) beats persist() here because the returned DataFrame keeps
+    # referencing ``keys`` after this function exits, so there is no safe
+    # place to unpersist.
+    keys = df.select(col).distinct().localCheckpoint()
     n = keys.count()
     # deterministic boundary sample: expect ~partitions*32 keys
     target = max(int(partitions) * 32, 1)
@@ -178,8 +186,16 @@ def ingest_pages(pages: DataFrame, partitions: int = 32):
 
     Edge table comes back hash-partitioned by ``src`` (the partitioning the
     superstep joins reuse).
+
+    ``url_edges`` is eagerly localCheckpoint-ed so the pandas-UDF outlink
+    extraction executes EXACTLY ONCE per source scan: without it the
+    vertex-map build (count + boundary collect + rank) and the final edge
+    join each re-ran the whole extraction lineage (the 13× ingest bench
+    regression in round 2).  At 10^12-url scale the same staging point is
+    an explicit Parquet write (``write_edge_table``) instead of executor
+    block storage — the plan shape is identical.
     """
-    url_edges = pages_to_url_edges(pages)
+    url_edges = pages_to_url_edges(pages).localCheckpoint()
     vmap = build_vertex_map(pages, url_edges, partitions)
     edges = edges_with_ids(url_edges, vmap).repartition(partitions, "src")
     return vmap, edges

@@ -1239,19 +1239,80 @@ JOIN oe_b e3 ON e3.a = e1.a AND e3.b = e2.b
 """
 
 
+_STREAM_INGEST_N = 200
+
+
+def _stream_ingest_pages(spark):
+    """Closed-form web-pages fixture: page i carries exactly ``2 + i % 4``
+    distinct non-self outlinks, targets ``(i + 7j + 1) % N`` for
+    j = 0..1+i%4 (7j+1 mod 200 ∈ {1,8,15,22,29,36} — never 0, all
+    distinct, so no self-links and no per-page dupes for the extraction
+    UDF to collapse).  Pure column expressions — the fixture's expected
+    output is therefore expressible as plain SQL for the DuckDB oracle,
+    while the Spark side still runs the REAL readStream + pandas-UDF
+    extraction pipeline over it."""
+    n = _STREAM_INGEST_N
+    i = F.col("id").cast("long")
+
+    def link(j):
+        t = (i + j * F.lit(7) + 1) % n
+        return F.concat(
+            F.lit('<a href="https://site'),
+            F.floor(t / 10).cast("long").cast("string"),
+            F.lit(".example/page"),
+            t.cast("string"),
+            F.lit('">link</a>'),
+        )
+
+    links = F.array_join(
+        F.transform(F.sequence(F.lit(0), (i % 4 + 1).cast("int")), link), ""
+    )
+    return spark.range(n).select(
+        F.concat(
+            F.lit("https://site"),
+            F.floor(i / 10).cast("long").cast("string"),
+            F.lit(".example/page"),
+            i.cast("string"),
+        ).alias("url"),
+        F.timestamp_seconds(F.lit(1735689600) + i * 137).alias("warc_ts"),
+        F.encode(
+            F.concat(
+                F.lit("<html><body><p>page "),
+                i.cast("string"),
+                F.lit("</p>"),
+                links,
+                F.lit("</body></html>"),
+            ),
+            "UTF-8",
+        ).alias("html"),
+        F.concat(F.lit("page "), i.cast("string")).alias("text"),
+        F.lit("en").alias("lang"),
+    )
+
+
 def q_stream_ingest(spark, sf_dir):
-    """Streaming ingest: readStream over a synthesized web-pages table ->
-    pandas-UDF outlink extraction per micro-batch -> per-url outlink counts
-    (rows-only check here; streaming == batch parity asserted in tests/)."""
+    """Streaming ingest: readStream over a web-pages table -> pandas-UDF
+    outlink extraction per micro-batch -> per-url outlink counts.  The
+    fixture is closed-form (see _stream_ingest_pages) so the DuckDB oracle
+    computes the expected counts analytically — this was the registry's
+    last rows-only gate."""
     import tempfile
 
-    from . import datagen, streaming
+    from . import streaming
 
-    pages = datagen.synth_pages(spark, 200, partitions=4)
+    pages = _stream_ingest_pages(spark).repartition(4)
     d = tempfile.mkdtemp(prefix="lg_si_") + "/pages.parquet"
     pages.write.mode("overwrite").parquet(d)
     out = streaming.stream_ingest_edges(spark, d, sink_table="q_stream_ingest_t")
-    return out.orderBy("src_url")
+    return out.select("src_url", "n_outlinks")
+
+
+STREAM_INGEST_SQL = f"""
+SELECT 'https://site' || CAST(i // 10 AS VARCHAR) || '.example/page'
+         || CAST(i AS VARCHAR) AS src_url,
+       CAST(2 + i % 4 AS BIGINT) AS n_outlinks
+FROM (SELECT CAST(range AS BIGINT) AS i FROM range(0, {_STREAM_INGEST_N}))
+"""
 
 
 def q_four_chain_sampled(spark, sf_dir):
@@ -1579,7 +1640,7 @@ def _register_extensions() -> None:
             "stream_sessions": (q_stream_sessions, EVENT_SESSIONS_SQL),
             "stream_sessions_buffered": (q_stream_sessions_buffered,
                                          EVENT_SESSIONS_SQL),
-            "stream_ingest_counts": (q_stream_ingest, None),
+            "stream_ingest_counts": (q_stream_ingest, STREAM_INGEST_SQL),
             "five_house_count": (q_five_house, FIVE_HOUSE_SQL),
             "five_chain_count": (q_five_chain, FIVE_CHAIN_SQL),
             "at_least_one_weighted_triangle": (
