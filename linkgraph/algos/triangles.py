@@ -220,6 +220,176 @@ def four_chain_count_sampled(
     return float(m) * float(total) / float(num_estimators)
 
 
+def four_chain_count_sampled_multiplan(
+    edges: DataFrame,
+    num_estimators: int,
+    seed: int = 42,
+    partitions: int | None = None,
+    plan_only: int | None = None,
+) -> float:
+    """Sampled 4-chain estimate via the reference's THREE-ORIENTATION
+    importance sampler (/root/reference/applications/FourChain.cpp:18-125)
+    — its one genuinely novel estimator-design trick, twinned here as pure
+    column expressions.
+
+    The reference's ``conditional_sample_edge`` only admits edges with id
+    strictly greater than every previously sampled edge's id
+    (/root/reference/src/ZGraphInstance.cpp:128-140, the
+    ``min_valid_edge_id`` fold), so its three sampling orders PARTITION
+    the 4-chains by the id-rank of the middle edge among the chain's
+    three edges:
+
+    * plan 1 (``(0)<->(1)<->(2)``): e0 = end edge, e1 = middle
+      (id > id0, candidates = both endpoints' id-suffixes), e2 = far end
+      (id > id1)  ->  covers chains whose middle edge id is the MEDIAN;
+    * plan 2 (``(0)<->(2)<->(1)``): same order but e2 constrained to
+      id0 < id2 < id1 (the reference does NOT push e1 into the edge list
+      and instead rejects ``id2 >= id1`` explicitly)  ->  middle id is
+      the MAXIMUM;
+    * plan 3 (``(1)<->(0)<->(2)``): e0 = middle edge first, e1 from the
+      src side, e2 from the dst side, both only id > id0  ->  middle id
+      is the MINIMUM.
+
+    Each unordered 4-chain is therefore sampleable by EXACTLY ONE plan in
+    exactly one configuration, so choosing a plan uniformly (the
+    reference's ``sample_interger(1, 3)``) and weighting by
+    3 * m * c1 * c2 is exactly unbiased — for ANY fixed edge-id order
+    (randomness of ids affects variance only; we use the deterministic
+    dense_ids rank so results are partition-invariant and re-runnable).
+
+    ``plan_only`` restricts every trial to one plan with weight
+    m * c1 * c2 (no 1/3 mixture): that alone unbiasedly estimates the
+    count of chains in that plan's id-rank class — the class counts sum
+    to the total (asserted in tests/test_multiplan.py).
+
+    Physical shape: three broadcast-free equi-joins per estimator batch
+    (edge pick, endpoint adjacency, anchor adjacency) over one persisted
+    sorted id-adjacency table; N estimators independent of |E|.
+    """
+    spark = edges.sparkSession
+    P = int(partitions or spark.conf.get("spark.sql.shuffle.partitions"))
+
+    o = _oriented(edges)
+    from ..ingest import dense_ids
+
+    ok = o.withColumn("_key", F.concat_ws("_", "a", "b"))
+    idx = dense_ids(ok.select("_key"), "_key", P)
+    ok = ok.join(idx, "_key").drop("_key").persist()  # (a, b, id)
+    m = ok.count()
+
+    sym = ok.select(
+        F.col("a").alias("x"), F.col("b").alias("w"), F.col("id").alias("eid")
+    ).union(
+        ok.select(
+            F.col("b").alias("x"), F.col("a").alias("w"), F.col("id").alias("eid")
+        )
+    )
+    # sorted by eid (struct's first field): the id-suffix filters below are
+    # deterministic and the uniform index-pick is partition-invariant
+    adj = sym.groupBy("x").agg(
+        F.sort_array(F.collect_list(F.struct("eid", "w"))).alias("nbrs")
+    ).persist()
+
+    if plan_only is not None:
+        assert plan_only in (1, 2, 3)
+        plan_col = F.lit(int(plan_only))
+        mix = 1.0
+    else:
+        plan_col = _pick_mod("id", 3, seed + 90) + 1  # uniform in {1,2,3}
+        mix = 3.0
+
+    est = spark.range(num_estimators).select(
+        F.col("id").alias("est_id"),
+        plan_col.alias("plan"),
+        _pick_mod("id", m, seed).alias("id"),
+        _u("id", seed=seed + 1).alias("r1"),
+        _u("id", seed=seed + 2).alias("r2"),
+    )
+    e0 = est.join(ok, "id").select(
+        "est_id", "plan", "r1", "r2",
+        F.col("a").alias("u"), F.col("b").alias("v"), F.col("id").alias("id0"),
+    )
+    withu = e0.join(adj.withColumnRenamed("x", "u"), "u").withColumnRenamed(
+        "nbrs", "nu"
+    )
+    both = withu.join(adj.withColumnRenamed("x", "v"), "v").withColumnRenamed(
+        "nbrs", "nv"
+    )
+
+    def _suffix(arr):
+        return F.filter(arr, lambda s: s["eid"] > F.col("id0"))
+
+    # e1 candidates: plans 1/2 merge both endpoints' id-suffixes (the
+    # reference sums both vertices' CSR suffixes); plan 3 anchors at the
+    # src side only.  No candidate duplicates: the only edge incident to
+    # both u and v is e0 itself, excluded by eid > id0.
+    cand1 = F.when(
+        F.col("plan") == 3, _suffix(F.col("nu"))
+    ).otherwise(F.concat(_suffix(F.col("nu")), _suffix(F.col("nv"))))
+    picked1 = (
+        both.withColumn("cand1", cand1)
+        .withColumn("c1", F.size("cand1"))
+        .withColumn(
+            "e1",
+            F.try_element_at(
+                "cand1", (F.floor(F.col("r1") * F.col("c1")) + 1).cast("int")
+            ),
+        )
+        .drop("cand1", "nu", "nv")
+    )
+    # plans 1/2: e2 anchored at w = e1's far endpoint (w not in {u,v}: the
+    # only u-v edge is e0); plan 3: e2 anchored at v.  Null anchor (c1=0)
+    # rows drop out of the join = zero-weight trials.
+    anchored = picked1.withColumn(
+        "anchor",
+        F.when(F.col("plan") == 3, F.col("v")).otherwise(F.col("e1.w")),
+    ).join(adj.withColumnRenamed("x", "anchor"), "anchor")
+
+    cand2 = (
+        F.when(
+            F.col("plan") == 1,
+            F.filter("nbrs", lambda s: s["eid"] > F.col("e1.eid")),
+        )
+        .when(
+            F.col("plan") == 2,
+            F.filter(
+                "nbrs",
+                lambda s: (s["eid"] > F.col("id0"))
+                & (s["eid"] < F.col("e1.eid")),
+            ),
+        )
+        .otherwise(_suffix(F.col("nbrs")))
+    )
+    picked2 = (
+        anchored.withColumn("cand2", cand2)
+        .withColumn("c2", F.size("cand2"))
+        .withColumn(
+            "t",
+            F.try_element_at(
+                "cand2", (F.floor(F.col("r2") * F.col("c2")) + 1).cast("int")
+            )["w"],
+        )
+    )
+    # acceptance (the reference's endpoint-distinctness checks): the new
+    # vertex t must avoid all three previous vertices {u, v, e1.w}; for
+    # plans 1/2 t != e1.w is automatic (t is a neighbor of w), for plan 3
+    # t != v is automatic — checking all three unifies the plans.
+    w = F.when(
+        (F.col("c1") > 0)
+        & (F.col("c2") > 0)
+        & (F.col("t") != F.col("u"))
+        & (F.col("t") != F.col("v"))
+        & (F.col("t") != F.col("e1.w")),
+        F.col("c1").cast("double") * F.col("c2"),
+    ).otherwise(F.lit(0.0))
+    total = picked2.agg(
+        F.coalesce(F.sum(w), F.lit(0.0)).alias("s")
+    ).collect()[0]["s"]
+    ok.unpersist()
+    adj.unpersist()
+    return float(mix) * float(m) * float(total) / float(num_estimators)
+
+
 def k_chain_count_sampled(
     edges: DataFrame,
     k: int,

@@ -1336,6 +1336,22 @@ JOIN und_b e3 ON e2.dst = e3.src AND e3.dst <> e2.src AND e3.dst <> e1.src
 """
 
 
+def q_four_chain_multiplan(spark, sf_dir):
+    """Sampled 4-chain estimate via the reference's THREE-ORIENTATION
+    importance sampler (/root/reference/applications/FourChain.cpp:18-125:
+    sample_interger(1,3) plan choice, plan-specific edge-id canonicality) —
+    deterministic hash-seeded randomness; gate hash-checks exact + ε-bound."""
+    from .algos import motifs, triangles
+
+    eb = edges_b(spark, sf_dir).persist()
+    est = triangles.four_chain_count_sampled_multiplan(
+        eb, num_estimators=8192, seed=11
+    )
+    exact = motifs.four_chain_count(eb)
+    eb.unpersist()
+    return _eps_row(spark, est, exact, 0.05, "exact_four_chains", "within_5pct")
+
+
 def q_five_chain_sampled(spark, sf_dir):
     """Runtime-k sampled chain estimate at k=5 — deterministic hash-seeded
     randomness; gate hash-checks the exact count + ε-bound."""
@@ -1654,6 +1670,8 @@ def _register_extensions() -> None:
                                           TRIANGLE_SAMPLED_SQL),
             "four_chain_sampled_estimate": (q_four_chain_sampled,
                                             FOUR_CHAIN_SAMPLED_SQL),
+            "four_chain_multiplan_estimate": (q_four_chain_multiplan,
+                                              FOUR_CHAIN_SAMPLED_SQL),
             "five_chain_sampled_estimate": (q_five_chain_sampled,
                                             FIVE_CHAIN_SAMPLED_SQL),
             "adaptive_triangle_estimate": (q_adaptive_triangle,
