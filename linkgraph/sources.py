@@ -21,6 +21,7 @@ re-read the legacy format; these sources exist for ingest parity.
 from __future__ import annotations
 
 import os
+import shutil
 import struct
 
 import numpy as np
@@ -149,7 +150,12 @@ def write_biedgelist_sharded(
     ``read_biedgelist`` on the directory round-trips.  Executors write
     through the mounted filesystem — the same contract as any
     foreachPartition sink; on a real cluster point dir_path at the shared
-    store."""
+    store.  The target directory is cleared first (``df.write``'s
+    mode='overwrite' semantics): re-writing a dataset with fewer
+    partitions must not leave stale part-*.biedgelist shards behind for
+    ``read_biedgelist``'s directory glob to silently include."""
+    if os.path.isdir(dir_path):
+        shutil.rmtree(dir_path)
     os.makedirs(dir_path, exist_ok=True)
     cols = ["src", "dst", "weight"] if weighted else ["src", "dst"]
     width = len(cols)

@@ -180,11 +180,26 @@ def stream_sessionize_buffered(
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+    # Arrow hands the UDF NAIVE pandas timestamps.  For TIMESTAMP (with
+    # local-tz semantics) they are rendered in the SESSION timezone while
+    # getCurrentWatermarkMs is true UTC epoch, so in a non-UTC session the
+    # finalization cutoff would be offset by the tz delta (LA: -8 h, which
+    # finalizes sessions early and SPLITS any session whose tail arrives in
+    # a later micro-batch) — localize to the session tz before epoch
+    # conversion.  For TIMESTAMP_NTZ the watermark itself treats the
+    # wall-clock value as UTC, so naive-as-UTC (pandas' default) is already
+    # correct and localizing to the session tz would INTRODUCE the offset.
+    from pyspark.sql.types import TimestampNTZType
+
     stream = (
         _events_stream(spark, events_dir)
         .withWatermark("ts", watermark)
         .select("user_id", "ts")
     )
+    if isinstance(stream.schema["ts"].dataType, TimestampNTZType):
+        epoch_tz = "UTC"
+    else:
+        epoch_tz = spark.conf.get("spark.sql.session.timeZone")
 
     def _sessions(ts_sorted: list[float]) -> int:
         n = 0
@@ -203,7 +218,10 @@ def stream_sessionize_buffered(
             pending, closed, n_events, emit_seq = [], 0, 0, 0
         new = pd.concat(list(pdf_iter))
         n_events += len(new)
-        pending.extend(t.timestamp() for t in new["ts"])
+        ts = new["ts"]
+        if getattr(ts.dt, "tz", None) is None:
+            ts = ts.dt.tz_localize(epoch_tz)
+        pending.extend(t.timestamp() for t in ts)
         pending.sort()
         wm = state.getCurrentWatermarkMs() / 1000.0
         # finalize sessions whose end is gap-safely behind the watermark

@@ -65,6 +65,21 @@ def test_biedgelist_sharded_roundtrip(spark, edges30, tmp_graph_dir):
     assert sorted((r["src"], r["dst"]) for r in back.collect()) == sorted(EDGES)
 
 
+def test_biedgelist_sharded_overwrite_clears_stale_shards(
+    spark, edges30, tmp_graph_dir
+):
+    """Re-writing with fewer partitions must not leave stale shards that
+    read_biedgelist's directory glob would silently include as duplicate
+    edges (df.write mode='overwrite' semantics)."""
+    d = os.path.join(tmp_graph_dir, "gb_overwrite")
+    sources.write_biedgelist_sharded(edges30.repartition(4), d)
+    sources.write_biedgelist_sharded(edges30.repartition(1), d)
+    parts = [f for f in os.listdir(d) if f.endswith(".biedgelist")]
+    assert len(parts) == 1
+    back = sources.read_biedgelist(spark, d)
+    assert sorted((r["src"], r["dst"]) for r in back.collect()) == sorted(EDGES)
+
+
 def test_densify_ids(spark):
     e = spark.createDataFrame(
         [(100, 7), (7, 100), (100, 100), (7, 55), (100, 7)], "src long, dst long"

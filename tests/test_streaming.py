@@ -61,15 +61,12 @@ def test_stream_sessions_buffered_equals_batch(spark, events):
     assert got == exp
 
 
-def test_stream_sessions_buffered_out_of_order_files(spark, tmp_path):
-    """The buffered sessionizer matches the batch oracle even when a
-    user's events arrive OUT OF EVENT-TIME ORDER across micro-batches
-    (maxFilesPerTrigger=1 over overlapping-window files) — the exact case
-    the plain sessionizer documents as a precondition violation.  Files
-    cover overlapping increasing time windows; disorder stays inside the
-    2h watermark slack so nothing is dropped as late, and the watermark
-    advances enough across batches to exercise session FINALIZATION (not
-    just end-of-stream buffering)."""
+def _run_buffered_ooo_case(spark, tmp_path, ts_tz=None, sink="t_sessions_ooo"):
+    """Shared driver for the out-of-order multi-batch sessionizer cases.
+    ``ts_tz=None`` writes tz-less parquet (Spark TIMESTAMP_NTZ);
+    ``ts_tz='UTC'`` writes tz-aware parquet (Spark TIMESTAMP with local-tz
+    semantics — the type whose pandas rendering depends on the session
+    timezone)."""
     import os
     import time
 
@@ -112,7 +109,7 @@ def test_stream_sessions_buffered_out_of_order_files(spark, tmp_path):
                 "user_id": pa.array([int(u) for u, _ in part], pa.int64()),
                 "ts": pa.array(
                     [int(t * 1_000_000) for _, t in part],
-                    pa.timestamp("us"),  # no tz -> Spark TIMESTAMP_NTZ
+                    pa.timestamp("us", tz=ts_tz),  # tz=None -> TIMESTAMP_NTZ
                 ),
             }
         )
@@ -128,10 +125,83 @@ def test_stream_sessions_buffered_out_of_order_files(spark, tmp_path):
     got = {
         r["user_id"]: (r["n_sessions"], r["n_events"])
         for r in streaming.stream_sessionize_buffered(
-            spark, f"{d}/*.parquet", sink_table="t_sessions_ooo"
+            spark, f"{d}/*.parquet", sink_table=sink
         ).collect()
     }
     assert got == exp
+
+
+def test_stream_sessions_buffered_out_of_order_files(spark, tmp_path):
+    """The buffered sessionizer matches the batch oracle even when a
+    user's events arrive OUT OF EVENT-TIME ORDER across micro-batches
+    (maxFilesPerTrigger=1 over overlapping-window files) — the exact case
+    the plain sessionizer documents as a precondition violation.  Files
+    cover overlapping increasing time windows; disorder stays inside the
+    2h watermark slack so nothing is dropped as late, and the watermark
+    advances enough across batches to exercise session FINALIZATION (not
+    just end-of-stream buffering)."""
+    _run_buffered_ooo_case(spark, tmp_path, ts_tz=None, sink="t_sessions_ooo")
+
+
+def test_stream_sessions_buffered_non_utc_session(spark, tmp_path):
+    """The finalization cutoff compares pandas wall-clock timestamps
+    against the UTC watermark; for TIMESTAMP (local-tz) columns in a
+    non-UTC session the naive pandas values are session-tz wall times and
+    must be tz-localized first, or the cutoff is offset by the tz delta.
+
+    Surgical three-batch fixture where the LA offset (-8 h) provably flips
+    the outcome (the watermark lags one trigger, so finalization must fire
+    in a batch BEFORE the session tail arrives): batch 1 (user 1 at
+    t0+7000) advances the watermark to t0-200; in batch 2 user 0's open
+    session [t0, t0+600] is NOT finalizable under the correct cutoff
+    (t0+2400 > t0-200) but IS under the -8 h-shifted one
+    (t0-26400 < t0-200); batch 3 delivers the session tail t0+1200, which
+    the buggy version counts as a SECOND session (this exact failure was
+    confirmed by no-op-ing the localization)."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = 1_700_000_000
+    batches = [
+        [(1, base + 7000)],
+        [(0, base), (0, base + 600)],
+        [(0, base + 1200), (1, base + 9000)],
+    ]
+    d = tmp_path / "ev_la"
+    d.mkdir()
+    for i, part in enumerate(batches):
+        tbl = pa.table(
+            {
+                "user_id": pa.array([u for u, _ in part], pa.int64()),
+                "ts": pa.array(
+                    [t * 1_000_000 for _, t in part],
+                    pa.timestamp("us", tz="UTC"),  # Spark TIMESTAMP (LTZ)
+                ),
+            }
+        )
+        p = str(d / f"part-{i:03d}.parquet")
+        pq.write_table(tbl, p)
+        os.utime(p, (base + i, base + i))  # pin source file order
+        time.sleep(0.01)
+
+    from linkgraph import streaming
+
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+    try:
+        got = {
+            r["user_id"]: (r["n_sessions"], r["n_events"])
+            for r in streaming.stream_sessionize_buffered(
+                spark, f"{d}/*.parquet", sink_table="t_sessions_la"
+            ).collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+    # user 0: gaps 600/600 <= 1800 -> ONE session; user 1: gap 2000 -> two
+    assert got == {0: (1, 3), 1: (2, 2)}
 
 
 def test_stream_ingest_matches_batch(spark, tmp_path):
