@@ -39,7 +39,7 @@ ITERS = int(os.environ.get("SCALING_ITERS", "12"))
 DROP = int(os.environ.get("SCALING_DROP", "4"))  # warm-up supersteps dropped
 MULT = int(os.environ.get("SCALING_EDGE_MULT", "96"))  # derived-graph blow-up
 CORE_STEPS = [int(c) for c in os.environ.get("SCALING_CORES", "2,8,32").split(",")]
-REPS = int(os.environ.get("SCALING_REPS", "1"))  # fresh-JVM repetitions, mean reported
+REPS = int(os.environ.get("SCALING_REPS", "3"))  # fresh-JVM reps, MEDIAN gated
 
 
 def _stage_path(mult: int) -> str:
@@ -182,10 +182,15 @@ def main() -> None:
         reps = by_cores[c]
         r = dict(reps[0])
         sps = [x["sec_per_superstep"] for x in reps]
-        r["sec_per_superstep"] = round(sum(sps) / len(sps), 4)
+        srt = sorted(sps)
+        mid = len(srt) // 2
+        med = srt[mid] if len(srt) % 2 else (srt[mid - 1] + srt[mid]) / 2
+        r["sec_per_superstep"] = round(med, 4)  # MEDIAN over reps (gated)
+        r["mean_sec_per_superstep"] = round(sum(sps) / len(sps), 4)
         r["best_sec_per_superstep"] = round(min(sps), 4)
-        r["edges_per_sec_per_superstep"] = round(
-            r["num_edges"] / r["sec_per_superstep"]
+        r["edges_per_sec_per_superstep"] = round(r["num_edges"] / med)
+        r["mean_edges_per_sec_per_superstep"] = round(
+            r["num_edges"] / r["mean_sec_per_superstep"]
         )
         r["best_edges_per_sec_per_superstep"] = round(
             r["num_edges"] / min(sps)
@@ -200,6 +205,9 @@ def main() -> None:
         eff = b["edges_per_sec_per_superstep"] / (
             factor * a["edges_per_sec_per_superstep"]
         )
+        eff_mean = b["mean_edges_per_sec_per_superstep"] / (
+            factor * a["mean_edges_per_sec_per_superstep"]
+        )
         eff_best = b["best_edges_per_sec_per_superstep"] / (
             factor * a["best_edges_per_sec_per_superstep"]
         )
@@ -208,9 +216,13 @@ def main() -> None:
                 "N_cores": a["cores"],
                 "xN_cores": b["cores"],
                 "factor": factor,
+                # gated value: MEDIAN-based efficiency — with >=3
+                # interleaved fresh-JVM reps this is robust to one
+                # contention-polluted rep without best-rep cherry-picking
                 "scaling_efficiency": round(eff, 3),
+                "scaling_efficiency_mean": round(eff_mean, 3),
                 "scaling_efficiency_best_rep": round(eff_best, 3),
-                "pass_0_8": max(eff, eff_best) >= 0.8,
+                "pass_0_8": eff >= 0.8,
             }
         )
     out = {
@@ -225,14 +237,15 @@ def main() -> None:
     rows = "\n".join(
         f"| local[{r['cores']}] | {r['cores']} | {r['partitions']} | "
         f"{r['sec_per_superstep']} | {r['edges_per_sec_per_superstep']:,} | "
+        f"{r['mean_sec_per_superstep']} | "
         f"{r['best_sec_per_superstep']} | "
-        f"{r['best_edges_per_sec_per_superstep']:,} | "
         f"{', '.join(str(x) for x in r['rep_sec_per_superstep'])} |"
         for r in results
     )
     prows = "\n".join(
         f"| {p['N_cores']} -> {p['xN_cores']} | {p['factor']:.0f}x | "
         f"{p['scaling_efficiency']:.3f} | "
+        f"{p['scaling_efficiency_mean']:.3f} | "
         f"{p['scaling_efficiency_best_rep']:.3f} | "
         f"{'PASS' if p['pass_0_8'] else 'below'} |"
         for p in pairs
@@ -253,17 +266,18 @@ likewise averages repetitions, process_result.py:41-48).  The input table
 is parquet-staged once and re-read by every config — identical bytes, and
 the single-core configs don't burn their wall budget re-deriving it.
 
-Both the rep MEAN and the per-config BEST rep are reported: this shared
-sandbox shows 1.5-2.5x transient slowdowns on identical code (documented
-in BASELINE.md), which inflate means asymmetrically; the best rep is the
-least contention-polluted steady state each config reached.
+The GATED value is the per-config MEDIAN over the interleaved reps: with
+>= 3 fresh-JVM reps it is robust to a single contention-polluted rep (this
+shared sandbox shows 1.5-2.5x transient slowdowns on identical code,
+documented in BASELINE.md) without best-rep cherry-picking.  The rep mean
+and per-config best rep are reported as supplementary context only.
 
-| config | cores | shuffle partitions | sec/superstep (mean) | edges/sec (mean) | sec/superstep (best) | edges/sec (best) | per-rep sec |
+| config | cores | shuffle partitions | sec/superstep (median, gated) | edges/sec (median) | sec/superstep (mean) | sec/superstep (best) | per-rep sec |
 |---|---|---|---|---|---|---|---|
 {rows}
 
-| pair | factor | efficiency (mean) | efficiency (best rep) | >= 0.8 |
-|---|---|---|---|---|
+| pair | factor | efficiency (median, gated) | efficiency (mean) | efficiency (best rep) | >= 0.8 |
+|---|---|---|---|---|---|
 {prows}
 
 The low-core pair evidences the CPU-scaling region (the north-rule N vs
