@@ -1489,7 +1489,7 @@ def q_five_house_sampled(spark, sf_dir):
 
     ec = edges_dense(spark, sf_dir).persist()
     est = patterns.pattern_count_sampled(
-        ec, patterns.PATTERNS["five_house"], num_estimators=100_000, seed=7
+        ec, patterns.PATTERNS["five_house"], num_estimators=50_000, seed=7
     )
     exact = patterns.pattern_count(ec, patterns.PATTERNS["five_house"])
     ec.unpersist()
@@ -1566,7 +1566,7 @@ def q_five_star_sampled(spark, sf_dir):
 
     ec = edges_dense(spark, sf_dir).persist()
     est = patterns.pattern_count_sampled(
-        ec, patterns.PATTERNS["five_star"], num_estimators=100_000, seed=7
+        ec, patterns.PATTERNS["five_star"], num_estimators=50_000, seed=7
     )
     exact = patterns.pattern_count(ec, patterns.PATTERNS["five_star"])
     ec.unpersist()
