@@ -1,0 +1,332 @@
+"""Training-corpus assembly operators: token-budget shard packing,
+PII detection/scrubbing statistics, exact-k stratified sampling, and
+domain-mixture reweighting.
+
+These are the corpus-construction steps downstream of the dedup / quality
+layer in an LLM data pipeline: pack the filtered documents into
+fixed-token training shards, account for PII before release, draw
+balanced per-language samples for evaluation sets, and compute the
+per-source sampling weights that reshape the natural domain mix into a
+target mix.
+
+All operators are pure built-in column expressions (JVM-side, no Python
+UDFs) with exact DuckDB SQL twins, and each documents its 100-TB plan:
+the only global-order primitive (shard packing's running token total) is
+computed with the same two-phase bounded-state pattern as
+``ingest.dense_ids`` — per-bucket partial sums plus a broadcast prefix —
+never a single-partition window.
+
+Reference parity: the reference has no corpus layer (it consumes prebuilt
+edge lists); these extend the engine along the training-data axis the
+same way dedup.py / text.py / ann.py do.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import h60, h60_sql
+
+# ---------------------------------------------------------------------------
+# shared: whitespace token count (same token definition as q_doc_token_stats)
+# ---------------------------------------------------------------------------
+
+
+def n_tokens(text: Column) -> Column:
+    return F.size(F.split(F.trim(F.lower(text)), r"\s+")).cast("long")
+
+
+N_TOKENS_SQL = r"CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT)"
+
+
+# ---------------------------------------------------------------------------
+# token-budget shard packing
+# ---------------------------------------------------------------------------
+
+
+def shard_pack(
+    docs: DataFrame,
+    budget: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 32,
+) -> DataFrame:
+    """Assign every document (in ascending ``id_col`` order) to a training
+    shard of ~``budget`` tokens: ``shard_id = floor(tokens_before / budget)``
+    where ``tokens_before`` is the running token total of all earlier docs.
+    A document therefore lands in the shard that was open when it arrived;
+    shards are contiguous id ranges and every shard except the last holds
+    >= budget tokens once closed.  Returns (doc_id, n_tokens, shard_id).
+
+    100-TB plan: the running total is NOT a global-order window (which
+    would be one task).  Two phases, both bounded:
+      1. bucket documents by deterministic id-range boundaries (a pure
+         hash-sample of ids, xxhash64(id) % s == 0, reduced to ``buckets``
+         quantile boundaries — data-deterministic, unlike
+         repartitionByRange's per-run reservoir sample);
+      2. per-bucket token sums -> driver cumsum over ``buckets`` rows ->
+         broadcast prefix offsets; within each bucket an ORDER BY id
+         window (partitioned, so max state = one bucket) adds the local
+         running total to the bucket's offset.
+    Same pattern as ingest.dense_ids (two-phase rank); the collect is
+    ``buckets`` rows, independent of corpus size.
+    """
+    d = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        n_tokens(F.col(text_col)).alias("n_tokens"),
+    )
+    d = d.persist()
+    try:
+        # phase 1: deterministic boundary sample -> `buckets` range bounds
+        n = d.count()
+        s = max(1, n // max(1, buckets * 32))
+        cand = sorted(
+            r["doc_id"]
+            for r in d.select("doc_id")
+            .filter(F.xxhash64(F.col("doc_id"), F.lit(7)) % s == 0)
+            .collect()
+        )
+        step = max(1, len(cand) // buckets)
+        bounds = cand[step::step][: buckets - 1]
+        bucket = sum(
+            (F.col("doc_id") >= F.lit(b)).cast("int") for b in bounds
+        ) if bounds else F.lit(0)
+        b = d.withColumn("_b", bucket.cast("int"))
+
+        # phase 2: per-bucket sums -> broadcast prefix offsets
+        sums = {
+            r["_b"]: r["s"]
+            for r in b.groupBy("_b").agg(F.sum("n_tokens").alias("s")).collect()
+        }
+        off, acc = {}, 0
+        for i in range(len(bounds) + 1):
+            off[i] = acc
+            acc += sums.get(i, 0)
+        offset = F.element_at(
+            F.create_map(*[F.lit(x) for kv in off.items() for x in kv]),
+            F.col("_b"),
+        )
+        w = (
+            Window.partitionBy("_b")
+            .orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        before = offset + F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+        return b.select(
+            "doc_id",
+            "n_tokens",
+            F.floor(before / F.lit(budget)).cast("long").alias("shard_id"),
+        )
+    finally:
+        d.unpersist()
+
+
+def shard_pack_sql(budget: int, table: str = "documents") -> str:
+    return f"""
+WITH t AS (
+  SELECT doc_id, {N_TOKENS_SQL} AS n_tokens FROM {table}
+)
+SELECT doc_id, n_tokens,
+       CAST(floor(coalesce(sum(n_tokens) OVER (
+           ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+       ), 0) / {budget}) AS BIGINT) AS shard_id
+FROM t
+"""
+
+
+# ---------------------------------------------------------------------------
+# PII detection / scrub statistics
+# ---------------------------------------------------------------------------
+
+# dialect-shared regexes (same semantics under Java regex and RE2)
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+"
+IPV4_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+PHONE_RE = r"\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b"
+
+
+def pii_scrub(docs: DataFrame, id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """Per-document PII accounting + the fingerprint of the scrubbed text:
+    (doc_id, n_emails, n_ipv4, n_phones, masked_fp).  Masking replaces
+    emails, then IPv4s, then phone numbers with typed placeholder tokens
+    (the release-audit step of a corpus pipeline); ``masked_fp`` is the
+    cross-engine h60 content hash of the masked text so a manifest can
+    prove which byte-level variant shipped.  Pure column expressions —
+    embarrassingly parallel, no shuffle at all."""
+    t = F.col(text_col)
+    masked = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, EMAIL_RE, "<EMAIL>"), IPV4_RE, "<IP>"
+        ),
+        PHONE_RE,
+        "<PHONE>",
+    )
+    return docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.size(F.regexp_extract_all(t, F.lit(EMAIL_RE), 0)).cast("long").alias("n_emails"),
+        F.size(F.regexp_extract_all(t, F.lit(IPV4_RE), 0)).cast("long").alias("n_ipv4"),
+        F.size(F.regexp_extract_all(t, F.lit(PHONE_RE), 0)).cast("long").alias("n_phones"),
+        h60(masked).alias("masked_fp"),
+    )
+
+
+def pii_scrub_sql(table: str = "documents") -> str:
+    masked = (
+        f"regexp_replace(regexp_replace(regexp_replace(text, "
+        f"'{EMAIL_RE}', '<EMAIL>', 'g'), "
+        f"'{IPV4_RE}', '<IP>', 'g'), "
+        f"'{PHONE_RE}', '<PHONE>', 'g')"
+    )
+    return f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(len(regexp_extract_all(text, '{EMAIL_RE}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '{IPV4_RE}')) AS BIGINT) AS n_ipv4,
+       CAST(len(regexp_extract_all(text, '{PHONE_RE}')) AS BIGINT) AS n_phones,
+       {h60_sql(masked)} AS masked_fp
+FROM {table}
+"""
+
+
+# ---------------------------------------------------------------------------
+# exact-k stratified sampling
+# ---------------------------------------------------------------------------
+
+
+def stratified_sample(
+    docs: DataFrame,
+    k: int,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    seed: int = 7,
+    oversample: int = 4,
+) -> DataFrame:
+    """Exactly ``k`` documents per stratum, chosen as the k smallest
+    deterministic hash ranks (h60(seed || id)) — a reproducible uniform
+    sample (the eval-set / holdout draw of a data pipeline).  Returns
+    (doc_id, stratum).
+
+    100-TB plan: never rank a whole stratum.  A broadcast per-stratum
+    count sets a pre-filter keep probability p = min(1, oversample*k/n);
+    only the ~oversample*k hash-smallest survivors per stratum reach the
+    per-stratum ORDER BY window, so window state is O(oversample*k), not
+    O(n).  The pre-filter keeps every true top-k member unless fewer than
+    k of a stratum's docs hash below p — probability exp(-Theta(k)) by a
+    Chernoff bound at oversample=4 (and shrinking as strata grow); the
+    shortfall assert below turns that tail case into a loud error rather
+    than a silently short sample."""
+    d = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.col(stratum_col).alias("stratum"),
+        (
+            h60(F.concat(F.lit(f"s{seed}:"), F.col(id_col).cast("string")))
+        ).alias("_r"),
+    )
+    counts = {
+        r["stratum"]: r["c"]
+        for r in d.groupBy("stratum").agg(F.count("*").alias("c")).collect()
+    }
+    m = 1 << 60
+    thresh = F.create_map(
+        *[
+            F.lit(x)
+            for s, n in sorted(counts.items())
+            for x in (s, min(m, int(m * min(1.0, oversample * k / max(1, n)))))
+        ]
+    )
+    surv = d.filter(F.col("_r") < F.element_at(thresh, F.col("stratum")))
+    w = Window.partitionBy("stratum").orderBy("_r", "doc_id")
+    out = (
+        surv.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select("doc_id", "stratum")
+    )
+    out = out.persist()
+    short = [
+        r["stratum"]
+        for r in out.groupBy("stratum").count().filter(F.col("count") < k).collect()
+        if counts.get(r["stratum"], 0) >= k
+    ]
+    if short:  # pragma: no cover - probability exp(-Theta(k))
+        raise ValueError(
+            f"stratified_sample pre-filter shortfall in strata {short}; "
+            f"raise oversample (={oversample})"
+        )
+    return out
+
+
+def stratified_sample_sql(
+    k: int,
+    seed: int = 7,
+    oversample: int = 4,
+    table: str = "documents",
+    stratum_col: str = "lang",
+) -> str:
+    m = 1 << 60
+    r = h60_sql(f"'s{seed}:' || CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH d AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, {stratum_col} AS stratum, {r} AS r,
+         count(*) OVER (PARTITION BY {stratum_col}) AS n
+  FROM {table}
+),
+surv AS (
+  SELECT * FROM d
+  WHERE r < least({m}, CAST(floor({m} * least(1.0, {oversample * k}.0 / n)) AS BIGINT))
+)
+SELECT doc_id, stratum FROM surv
+QUALIFY row_number() OVER (PARTITION BY stratum ORDER BY r, doc_id) <= {k}
+"""
+
+
+# ---------------------------------------------------------------------------
+# domain-mixture reweighting
+# ---------------------------------------------------------------------------
+
+
+def domain_mix_weights(
+    docs: DataFrame, source_col: str = "source"
+) -> DataFrame:
+    """Per-source sampling weights that reshape the corpus's natural
+    domain mix into a target mix: weight = target_share / actual_share
+    (>1 upsample, <1 downsample) — the mixture knob of corpus assembly
+    (e.g. boosting under-represented domains before training).  The
+    target here is the deterministic literal mix
+    share(source) ∝ 1 + (numeric suffix of source) % 3, so both engines
+    compute it from the data alone.  Returns one row per source with
+    e6-quantized shares/weights (hash-stable).  Single groupBy over the
+    corpus -> a |sources|-row table; everything after is broadcast-sized.
+    """
+    agg = docs.groupBy(F.col(source_col).alias("source")).agg(
+        F.count("*").alias("n_docs")
+    )
+    t_raw = 1 + F.regexp_extract("source", r"([0-9]+)$", 1).cast("long") % 3
+    a = agg.withColumn("_t", t_raw)
+    tot = a.agg(
+        F.sum("n_docs").alias("nd"), F.sum("_t").alias("tt")
+    ).collect()[0]
+    actual = F.col("n_docs") / F.lit(int(tot["nd"]))
+    target = F.col("_t") / F.lit(int(tot["tt"]))
+    return a.select(
+        "source",
+        "n_docs",
+        F.round(actual * 1e6).cast("long").alias("actual_e6"),
+        F.round(target * 1e6).cast("long").alias("target_e6"),
+        F.round(target / actual * 1e6).cast("long").alias("weight_e6"),
+    )
+
+
+def domain_mix_weights_sql(table: str = "documents") -> str:
+    return f"""
+WITH a AS (
+  SELECT source, count(*) AS n_docs,
+         1 + CAST(regexp_extract(source, '([0-9]+)$', 1) AS BIGINT) % 3 AS t
+  FROM {table} GROUP BY source
+),
+tot AS (SELECT sum(n_docs) AS nd, sum(t) AS tt FROM a)
+SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(round(n_docs * 1e6 / nd) AS BIGINT) AS actual_e6,
+       CAST(round(t * 1e6 / tt) AS BIGINT) AS target_e6,
+       CAST(round((t / CAST(tt AS DOUBLE)) / (n_docs / CAST(nd AS DOUBLE)) * 1e6) AS BIGINT) AS weight_e6
+FROM a, tot
+"""

@@ -5933,3 +5933,184 @@ SELECT id, CAST(w AS BIGINT) AS walks3 FROM x3
 
 REGISTRY["walk_counts_from_seed"] = (
     q_walk_counts_from_seed, WALK_COUNTS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# corpus-assembly operators (linkgraph/corpus.py)
+# ---------------------------------------------------------------------------
+
+
+def q_shard_pack(spark, sf_dir):
+    """Token-budget training-shard packing: shard_id = floor(running token
+    total BEFORE the doc / 2000), docs in doc_id order.  Two-phase
+    bounded-state running sum (per-bucket partials + broadcast prefix),
+    never a global single-partition window — see corpus.shard_pack."""
+    from . import corpus
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return corpus.shard_pack(docs, budget=2000)
+
+
+def q_pii_scrub_stats(spark, sf_dir):
+    """Per-document PII accounting (emails / IPv4s / phone numbers) plus
+    the cross-engine content hash of the scrubbed text — the release
+    audit step.  Pure column expressions, zero shuffle."""
+    from . import corpus
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return corpus.pii_scrub(docs)
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Exactly 10 docs per language by deterministic hash rank — the
+    reproducible eval-set draw.  Pre-filter keeps window state at
+    O(oversample*k) per stratum, not O(stratum)."""
+    from . import corpus
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return corpus.stratified_sample(docs, k=10, seed=7)
+
+
+def q_domain_mix_weights(spark, sf_dir):
+    """Per-source sampling weights reshaping the natural domain mix into
+    a deterministic target mix (share ∝ 1 + suffix % 3) — the mixture
+    knob of corpus assembly.  One groupBy; output is |sources| rows."""
+    from . import corpus
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return corpus.domain_mix_weights(docs)
+
+
+def _register_corpus() -> None:
+    from . import corpus
+
+    REGISTRY["shard_pack"] = (q_shard_pack, corpus.shard_pack_sql(budget=2000))
+    REGISTRY["pii_scrub_stats"] = (q_pii_scrub_stats, corpus.pii_scrub_sql())
+    REGISTRY["stratified_sample"] = (
+        q_stratified_sample, corpus.stratified_sample_sql(k=10, seed=7))
+    REGISTRY["domain_mix_weights"] = (
+        q_domain_mix_weights, corpus.domain_mix_weights_sql())
+
+
+_register_corpus()
+
+
+def q_asof_purchase_view(spark, sf_dir):
+    """As-of (point-in-time) join — the operator Spark lacks and DuckDB
+    ships natively: each purchase matched to the user's LATEST view at or
+    before the purchase ts (inclusive bound, deterministic tie-break; see
+    joins.asof_join).  One shuffle on user_id; streaming window frame."""
+    from . import joins
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts")
+    v = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts")
+    j = joins.asof_join(p, v, key="user_id", payload=["event_id"])
+    return j.select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("event_id_asof").cast("long").alias("view_event_id"),
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.unix_micros(F.col("ts_asof").cast("timestamp"))
+        ).alias("lag_us"),  # NTZ->TZ cast shifts both sides equally; diff is tz-invariant
+    )
+
+
+def _register_joins() -> None:
+    from . import joins
+
+    REGISTRY["asof_purchase_view"] = (
+        q_asof_purchase_view, joins.asof_purchase_view_sql())
+
+
+_register_joins()
+
+
+def q_interval_session_overlap(spark, sf_dir):
+    """Range (interval-overlap) join gate: each purchase's ±15-minute
+    attention window joined to the SAME user's gap-sessions it overlaps —
+    via joins.interval_join's bucketed equi-join plan (explode to
+    30-minute buckets, emit-once on the first shared bucket), never a
+    cartesian product.  Output: one row per overlapping (purchase,
+    session) pair with the overlap length in seconds."""
+    from . import joins
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    flagged = ev.withColumn(
+        "new_s", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    ).withColumn(
+        "session_seq",
+        F.sum("new_s").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    sessions = flagged.groupBy("user_id", "session_seq").agg(
+        F.min(F.unix_timestamp("ts")).alias("s_start"),
+        F.max(F.unix_timestamp("ts")).alias("s_end"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id"),
+        F.col("user_id"),
+        (F.unix_timestamp("ts") - 900).alias("p_start"),
+        (F.unix_timestamp("ts") + 900).alias("p_end"),
+    )
+    j = joins.interval_join(
+        purchases, sessions,
+        l_start="p_start", l_end="p_end",
+        r_start="s_start", r_end="s_end",
+        bucket_width=1800, key="user_id",
+    )
+    return j.select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("session_seq").cast("long").alias("session_seq"),
+        (
+            F.least("p_end", "s_end") - F.greatest("p_start", "s_start")
+        ).cast("long").alias("overlap_s"),
+    )
+
+
+INTERVAL_SESSION_OVERLAP_SQL = """
+WITH f AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts - lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_seq,
+         ts
+  FROM f
+),
+sess AS (
+  -- floor() mirrors Spark unix_timestamp's whole-second truncation
+  SELECT user_id, session_seq,
+         min(CAST(floor(epoch(ts)) AS BIGINT)) AS s_start,
+         max(CAST(floor(epoch(ts)) AS BIGINT)) AS s_end
+  FROM s GROUP BY user_id, session_seq
+),
+p AS (
+  SELECT event_id, user_id,
+         CAST(floor(epoch(ts)) AS BIGINT) - 900 AS p_start,
+         CAST(floor(epoch(ts)) AS BIGINT) + 900 AS p_end
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT CAST(p.event_id AS BIGINT) AS event_id,
+       CAST(p.user_id AS BIGINT) AS user_id,
+       CAST(sess.session_seq AS BIGINT) AS session_seq,
+       CAST(least(p_end, s_end) - greatest(p_start, s_start) AS BIGINT) AS overlap_s
+FROM p JOIN sess ON p.user_id = sess.user_id
+                AND p.p_start <= sess.s_end AND sess.s_start <= p.p_end
+"""
+
+REGISTRY["interval_session_overlap"] = (
+    q_interval_session_overlap, INTERVAL_SESSION_OVERLAP_SQL)

@@ -1,0 +1,120 @@
+"""Corpus-assembly operators (linkgraph/corpus.py): token-budget shard
+packing, PII scrub stats, exact-k stratified sampling, domain-mix weights.
+Each checked against a brute-force sequential recompute; the distributed
+two-phase paths must also be invariant to input partitioning."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from linkgraph import corpus
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = []
+    langs = ["en", "de", "fr", "zh"]
+    for i in range(200):
+        body = " ".join(f"w{j % 17}" for j in range(3 + (i * 13) % 40))
+        if i % 9 == 0:
+            body += f" contact bob{i}@example.com now"
+        if i % 14 == 0:
+            body += " from 10.0.0.1 and 192.168.1.255"
+        if i % 23 == 0:
+            body += " call 555-123-4567"
+        rows.append((i, body, langs[i % 4], f"src{i % 6}"))
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    ).persist()
+
+
+def _brute_shards(pdf, budget):
+    out = {}
+    acc = 0
+    for r in pdf.sort_values("doc_id").itertuples():
+        out[r.doc_id] = acc // budget
+        acc += r.n_tokens
+    return out
+
+
+def test_shard_pack_matches_sequential(docs):
+    res = corpus.shard_pack(docs, budget=100, buckets=8).toPandas()
+    brute = _brute_shards(res, 100)
+    got = dict(zip(res["doc_id"], res["shard_id"]))
+    assert got == brute
+    # shards are contiguous in doc order and start at 0
+    s = res.sort_values("doc_id")["shard_id"].tolist()
+    assert s[0] == 0 and all(b - a in (0, 1) for a, b in zip(s, s[1:]))
+
+
+def test_shard_pack_partition_invariant(docs):
+    a = corpus.shard_pack(docs.repartition(1), budget=100, buckets=8)
+    b = corpus.shard_pack(docs.repartition(13), budget=100, buckets=3)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_pii_scrub_counts_and_mask(spark):
+    d = spark.createDataFrame(
+        [
+            (0, "mail a@b.com and c.d+x@e.org, ip 1.2.3.4, tel 555-123-4567"),
+            (1, "no pii here"),
+            (2, "999.999.999.999 is still ipv4-shaped; 12-34-56 is not a phone"),
+        ],
+        "doc_id long, text string",
+    )
+    r = {x["doc_id"]: x for x in corpus.pii_scrub(d).collect()}
+    assert (r[0]["n_emails"], r[0]["n_ipv4"], r[0]["n_phones"]) == (2, 1, 1)
+    assert (r[1]["n_emails"], r[1]["n_ipv4"], r[1]["n_phones"]) == (0, 0, 0)
+    assert (r[2]["n_emails"], r[2]["n_ipv4"], r[2]["n_phones"]) == (0, 1, 0)
+    expected0 = "mail <EMAIL> and <EMAIL>, ip <IP>, tel <PHONE>"
+    fp = d.filter("doc_id = 0").select(
+        F.conv(F.substring(F.md5(F.lit(expected0)), 1, 15), 16, 10)
+        .cast("long").alias("h")
+    ).collect()[0]["h"]
+    assert r[0]["masked_fp"] == fp
+    # unmodified text keeps its own hash
+    fp1 = d.filter("doc_id = 1").select(
+        F.conv(F.substring(F.md5("text"), 1, 15), 16, 10)
+        .cast("long").alias("h")
+    ).collect()[0]["h"]
+    assert r[1]["masked_fp"] == fp1
+
+
+def test_stratified_sample_exact_k_and_top_ranks(docs):
+    k = 7
+    res = corpus.stratified_sample(docs, k=k, seed=3).toPandas()
+    assert res.groupby("stratum").size().eq(k).all()
+    # members are exactly the k hash-smallest of each stratum (brute force)
+    from linkgraph.dedup import h60
+
+    full = docs.select(
+        "doc_id", F.col("lang").alias("stratum"),
+        h60(F.concat(F.lit("s3:"), F.col("doc_id").cast("string"))).alias("r"),
+    ).toPandas()
+    for s, grp in full.groupby("stratum"):
+        want = set(grp.sort_values(["r", "doc_id"]).head(k)["doc_id"])
+        got = set(res[res["stratum"] == s]["doc_id"])
+        assert got == want, s
+
+
+def test_stratified_sample_partition_invariant(docs):
+    a = corpus.stratified_sample(docs.repartition(1), k=5, seed=9)
+    b = corpus.stratified_sample(docs.repartition(11), k=5, seed=9)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_domain_mix_weights(docs):
+    res = {r["source"]: r for r in corpus.domain_mix_weights(docs).collect()}
+    assert len(res) == 6
+    n_tot = sum(r["n_docs"] for r in res.values())
+    t_raw = {s: 1 + int(s[3:]) % 3 for s in res}
+    t_tot = sum(t_raw.values())
+    for s, r in res.items():
+        actual = r["n_docs"] / n_tot
+        target = t_raw[s] / t_tot
+        assert r["actual_e6"] == round(actual * 1e6)
+        assert r["target_e6"] == round(target * 1e6)
+        assert abs(r["weight_e6"] - target / actual * 1e6) <= 1
+    # applying the weights reproduces the target mix exactly
+    mix = sum(r["n_docs"] * r["weight_e6"] for r in res.values())
+    for s, r in res.items():
+        assert abs(r["n_docs"] * r["weight_e6"] / mix - t_raw[s] / t_tot) < 1e-4
