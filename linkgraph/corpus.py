@@ -330,3 +330,152 @@ SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
        CAST(round((t / CAST(tt AS DOUBLE)) / (n_docs / CAST(nd AS DOUBLE)) * 1e6) AS BIGINT) AS weight_e6
 FROM a, tot
 """
+
+
+# ---------------------------------------------------------------------------
+# context-window chunking
+# ---------------------------------------------------------------------------
+
+
+def chunk_docs(
+    docs: DataFrame,
+    chunk: int,
+    stride: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split every document into overlapping ``chunk``-token windows that
+    start every ``stride`` tokens (stride < chunk => overlapping training
+    examples; stride == chunk => disjoint) — the context-window sample
+    construction step of an LLM pipeline.  Tail windows shorter than
+    ``chunk`` are kept.  Returns (doc_id, chunk_id, chunk_tokens,
+    chunk_fp) where chunk_fp is the cross-engine h60 fingerprint of the
+    space-joined window (what a manifest would store per sample).
+
+    100-TB plan: pure per-row array expressions (split -> sequence ->
+    explode -> slice) — embarrassingly parallel, zero shuffle, whole-stage
+    codegen end to end; output size = ~(chunk/stride)x input tokens, the
+    unavoidable cost of overlap."""
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    d = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"), toks.alias("_toks")
+    )
+    n = F.size("_toks")
+    d = d.select(
+        "doc_id",
+        "_toks",
+        F.explode(
+            F.sequence(F.lit(0), n - 1, F.lit(stride))
+        ).alias("_s"),
+    )
+    window = F.slice("_toks", F.col("_s") + 1, chunk)
+    return d.select(
+        "doc_id",
+        (F.col("_s") / stride).cast("long").alias("chunk_id"),
+        F.size(window).cast("long").alias("chunk_tokens"),
+        h60(F.array_join(window, " ")).alias("chunk_fp"),
+    )
+
+
+def chunk_docs_sql(chunk: int, stride: int, table: str = "documents") -> str:
+    win = f"list_slice(toks, s + 1, s + {chunk})"
+    return f"""
+WITH t AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+  FROM {table}
+),
+c AS (
+  SELECT doc_id, toks, unnest(range(0, greatest(len(toks), 1), {stride})) AS s
+  FROM t
+)
+SELECT doc_id,
+       CAST(s / {stride} AS BIGINT) AS chunk_id,
+       CAST(len({win}) AS BIGINT) AS chunk_tokens,
+       {h60_sql(f"array_to_string({win}, ' ')")} AS chunk_fp
+FROM c
+"""
+
+
+# ---------------------------------------------------------------------------
+# bigram-LM cross-entropy (perplexity) scoring
+# ---------------------------------------------------------------------------
+
+
+def bigram_xent(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Score every document by its cross-entropy under an add-one-smoothed
+    bigram LM trained on the WHOLE corpus — the classic LM-quality filter
+    (high xent = unusual/garbled text, low = repetitive boilerplate).
+    p(w2|w1) = (C(w1,w2) + 1) / (C(w1,*) + V); xent = -mean log2 p over
+    the doc's bigrams.  Docs with < 2 tokens have no bigrams and are
+    omitted.  Returns (doc_id, n_bigrams, xent_e6) with the mean
+    e6-quantized (1-ulp libm differences are ~1e-15 relative — far below
+    the quantization step).
+
+    100-TB plan: two shuffles build the model (bigram counts, first-token
+    counts — both token-keyed groupBys with map-side partial agg), two
+    equi-joins score the corpus against it.  The model tables scale with
+    vocab^2 worst case, NOT corpus size; hot tokens are classic AQE
+    skew-join territory.  No Python anywhere — log2/sum/count are
+    whole-stage codegen."""
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    t = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"), toks.alias("_toks")
+    )
+    b = t.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(_toks) - 1), "
+                "i -> struct(element_at(_toks, i) AS w1, "
+                "element_at(_toks, i + 1) AS w2))"
+            )
+        ).alias("_bg"),
+    ).select("doc_id", F.col("_bg.w1").alias("w1"), F.col("_bg.w2").alias("w2"))
+    b = b.persist()
+    try:
+        c2 = b.groupBy("w1", "w2").agg(F.count("*").alias("n2"))
+        c1 = b.groupBy("w1").agg(F.count("*").alias("n1"))
+        v = (
+            t.select(F.explode("_toks").alias("w"))
+            .agg(F.countDistinct("w").alias("v"))
+            .collect()[0]["v"]
+        )
+        scored = (
+            b.join(c2, ["w1", "w2"])
+            .join(c1, ["w1"])
+            .withColumn(
+                "_lp",
+                F.log2((F.col("n2") + 1) / (F.col("n1") + F.lit(int(v)))),
+            )
+        )
+        return scored.groupBy("doc_id").agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.round(-F.avg("_lp") * 1e6).cast("long").alias("xent_e6"),
+        )
+    finally:
+        b.unpersist()
+
+
+def bigram_xent_sql(table: str = "documents") -> str:
+    return f"""
+WITH t AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+  FROM {table}
+),
+b AS (
+  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+  FROM t, unnest(range(1, len(toks))) AS u(i)
+),
+c2 AS (SELECT w1, w2, count(*) AS n2 FROM b GROUP BY 1, 2),
+c1 AS (SELECT w1, count(*) AS n1 FROM b GROUP BY 1),
+v AS (SELECT count(DISTINCT tok) AS v FROM t, unnest(toks) AS z(tok))
+SELECT b.doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(round(-avg(log2((n2 + 1) / (n1 + v.v))) * 1e6) AS BIGINT) AS xent_e6
+FROM b JOIN c2 USING (w1, w2) JOIN c1 USING (w1), v
+GROUP BY b.doc_id
+"""

@@ -6114,3 +6114,34 @@ FROM p JOIN sess ON p.user_id = sess.user_id
 
 REGISTRY["interval_session_overlap"] = (
     q_interval_session_overlap, INTERVAL_SESSION_OVERLAP_SQL)
+
+
+def q_chunk_docs(spark, sf_dir):
+    """Context-window chunking gate: 128-token windows every 64 tokens
+    (overlapping training examples), tail kept, per-window content
+    fingerprint.  Zero-shuffle whole-stage-codegen array expressions —
+    see corpus.chunk_docs."""
+    from . import corpus
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return corpus.chunk_docs(docs, chunk=128, stride=64)
+
+
+def q_bigram_xent(spark, sf_dir):
+    """Bigram-LM cross-entropy quality score per document (add-one
+    smoothing, corpus-trained) — see corpus.bigram_xent."""
+    from . import corpus
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return corpus.bigram_xent(docs)
+
+
+def _register_corpus2() -> None:
+    from . import corpus
+
+    REGISTRY["chunk_docs"] = (
+        q_chunk_docs, corpus.chunk_docs_sql(chunk=128, stride=64))
+    REGISTRY["bigram_xent"] = (q_bigram_xent, corpus.bigram_xent_sql())
+
+
+_register_corpus2()

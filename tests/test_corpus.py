@@ -118,3 +118,68 @@ def test_domain_mix_weights(docs):
     mix = sum(r["n_docs"] * r["weight_e6"] for r in res.values())
     for s, r in res.items():
         assert abs(r["n_docs"] * r["weight_e6"] / mix - t_raw[s] / t_tot) < 1e-4
+
+
+def test_chunk_docs_matches_sequential(docs):
+    chunk, stride = 16, 8
+    res = corpus.chunk_docs(docs, chunk=chunk, stride=stride).toPandas()
+    src = {r["doc_id"]: r["text"] for r in docs.collect()}
+    want = []
+    for did, text in src.items():
+        toks = text.strip().lower().split()
+        toks = toks if toks else [""]
+        for ci, s in enumerate(range(0, len(toks), stride)):
+            want.append((did, ci, len(toks[s:s + chunk])))
+    got = sorted(zip(res["doc_id"], res["chunk_id"], res["chunk_tokens"]))
+    assert got == sorted(want)
+    # disjoint chunking (stride == chunk) partitions every token exactly once
+    dis = corpus.chunk_docs(docs, chunk=16, stride=16).groupBy("doc_id").agg(
+        F.sum("chunk_tokens").alias("s")).toPandas()
+    ntok = {did: len(t.strip().lower().split()) for did, t in src.items()}
+    assert dict(zip(dis["doc_id"], dis["s"])) == ntok
+
+
+def test_chunk_docs_fp_is_window_content_hash(spark):
+    from linkgraph.dedup import h60
+
+    d = spark.createDataFrame([(0, "a b c d e")], "doc_id long, text string")
+    res = {r["chunk_id"]: r for r in
+           corpus.chunk_docs(d, chunk=3, stride=2).collect()}
+    for cid, text in {0: "a b c", 1: "c d e", 2: "e"}.items():
+        fp = spark.range(1).select(h60(F.lit(text)).alias("h")).collect()[0]["h"]
+        assert res[cid]["chunk_fp"] == fp, cid
+    assert res[2]["chunk_tokens"] == 1  # short tail kept
+
+
+def test_bigram_xent_matches_sequential(docs):
+    import math
+    from collections import Counter
+
+    res = corpus.bigram_xent(docs).toPandas()
+    src = {r["doc_id"]: r["text"] for r in docs.collect()}
+    toks = {d: (t.strip().lower().split() or [""]) for d, t in src.items()}
+    bgs = {d: list(zip(t, t[1:])) for d, t in toks.items()}
+    c2 = Counter(b for bb in bgs.values() for b in bb)
+    c1 = Counter(b[0] for bb in bgs.values() for b in bb)
+    v = len({w for t in toks.values() for w in t})
+    got = {r.doc_id: (r.n_bigrams, r.xent_e6)
+           for r in res.itertuples(index=False)}
+    for d, bb in bgs.items():
+        if not bb:
+            assert d not in got
+            continue
+        xent = -sum(
+            math.log2((c2[b] + 1) / (c1[b[0]] + v)) for b in bb
+        ) / len(bb)
+        assert got[d][0] == len(bb)
+        assert abs(got[d][1] - round(xent * 1e6)) <= 1, d
+
+
+def test_bigram_xent_orders_quality(spark):
+    # a doc of corpus-typical bigrams scores lower xent than a doc of
+    # bigrams seen nowhere else
+    rows = [(i, "the cat sat on the mat " * 5) for i in range(20)]
+    rows.append((100, "zq xv qj vk wz jx " * 5))
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    res = {r["doc_id"]: r["xent_e6"] for r in corpus.bigram_xent(d).collect()}
+    assert res[100] > res[0]
