@@ -300,3 +300,50 @@ def normalize_urls(urls: pd.Series) -> pd.Series:
     SQL twin (suite `url_normalize`), not just exercised inside
     extract_outlinks."""
     return urls.map(lambda u: normalize_url(u) if u is not None else None)
+
+
+# ---------------------------------------------------------------------------
+# anchor-text extraction (the web-search relevance signal)
+# ---------------------------------------------------------------------------
+
+# shared Java-regex / RE2 dialect: double-quoted hrefs, non-greedy body,
+# case-insensitive + dotall via inline flags (no lookaround — RE2-safe)
+ANCHOR_RE = r'(?is)<a\s[^>]*?href\s*=\s*"([^"<>\s]+)"[^>]*?>(.*?)</a>'
+
+
+def anchor_pairs(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """(src_url, href, anchor) for every ``<a href="...">text</a>`` in
+    every page — the classic link-graph signal (anchor text describes the
+    TARGET page; aggregated per target it powered early web ranking).
+    Inner markup is stripped and whitespace collapsed, so
+    ``<a href=u><b>two  words</b></a>`` yields anchor ``"two words"``.
+
+    Stays entirely JVM-side (`regexp_extract_all` with group indexes +
+    an index-lambda `transform` zip + `explode`) — no Python, no shuffle;
+    cites the reference's text→graph preprocessor
+    (datasets/wiki-vote/scripts/process.cpp:31-120) which drops anchor
+    text on the floor; this keeps it."""
+    h = F.col(html_col)
+    if dict(pages.dtypes).get(html_col) == "binary":
+        h = h.cast("string")
+    hrefs = F.regexp_extract_all(h, F.lit(ANCHOR_RE), 1)
+    texts = F.regexp_extract_all(h, F.lit(ANCHOR_RE), 2)
+    pair = F.transform(
+        hrefs,
+        lambda x, i: F.struct(
+            x.alias("href"), F.element_at(texts, i + 1).alias("_raw")
+        ),
+    )
+    out = pages.select(
+        F.col(url_col).alias("src_url"), F.explode(pair).alias("_p")
+    )
+    anchor = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.col("_p._raw"), r"<[^>]*>", ""), r"\s+", " "
+        )
+    )
+    return out.select(
+        "src_url", F.col("_p.href").alias("href"), anchor.alias("anchor")
+    )

@@ -6145,3 +6145,76 @@ def _register_corpus2() -> None:
 
 
 _register_corpus2()
+
+
+def q_anchor_text_stats(spark, sf_dir):
+    """Anchor-text aggregation — the web-ranking signal: every
+    ``<a href>``'s target paired with its (markup-stripped) anchor text,
+    counted per (href, anchor) with distinct source pages.  The page
+    fixture is synthesized column-wise from `documents` with the same
+    formula in both engines (two anchors per page, the second nested in
+    <b> to exercise inner-markup stripping).  See ingest.anchor_pairs —
+    all JVM-side regexp, one groupBy."""
+    from . import ingest
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = F.col("doc_id").cast("long")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    exc1 = F.regexp_replace(F.array_join(F.slice(toks, 1, 4), " "), "[<>]", "")
+    exc2 = F.regexp_replace(F.array_join(F.slice(toks, 5, 4), " "), "[<>]", "")
+    s = lambda c: c.cast("string")  # noqa: E731
+    pages = docs.select(
+        F.concat(
+            F.lit("http://s"), s(d % 50), F.lit(".example/d"), s(d)
+        ).alias("src_url"),
+        F.concat(
+            F.lit('<html><body><div><a href="http://t'), s((d * 7) % 100),
+            F.lit(".example/p"), s(d % 10), F.lit('">'), exc1,
+            F.lit('</a> filler <a class="x" href="http://t'),
+            s((d * 13) % 100), F.lit(".example/q"), s(d % 5),
+            F.lit('"><b>'), exc2, F.lit("</b></a></div></body></html>"),
+        ).alias("html"),
+    )
+    pairs = ingest.anchor_pairs(pages, url_col="src_url", html_col="html")
+    return pairs.groupBy("href", "anchor").agg(
+        F.count("*").cast("long").alias("n"),
+        F.countDistinct("src_url").cast("long").alias("n_pages"),
+    )
+
+
+ANCHOR_TEXT_STATS_SQL = r"""
+WITH t AS (
+  SELECT CAST(doc_id AS BIGINT) AS d,
+         regexp_split_to_array(trim(text), '\s+') AS toks
+  FROM documents
+),
+pages AS (
+  SELECT 'http://s' || CAST(d % 50 AS VARCHAR) || '.example/d' || CAST(d AS VARCHAR) AS src_url,
+         '<html><body><div><a href="http://t' || CAST((d * 7) % 100 AS VARCHAR)
+         || '.example/p' || CAST(d % 10 AS VARCHAR) || '">'
+         || regexp_replace(array_to_string(list_slice(toks, 1, 4), ' '), '[<>]', '', 'g')
+         || '</a> filler <a class="x" href="http://t' || CAST((d * 13) % 100 AS VARCHAR)
+         || '.example/q' || CAST(d % 5 AS VARCHAR) || '"><b>'
+         || regexp_replace(array_to_string(list_slice(toks, 5, 8), ' '), '[<>]', '', 'g')
+         || '</b></a></div></body></html>' AS html
+  FROM t
+),
+e AS (
+  SELECT src_url,
+         regexp_extract_all(html, '(?is)<a\s[^>]*?href\s*=\s*"([^"<>\s]+)"[^>]*?>(.*?)</a>', 1) AS hs,
+         regexp_extract_all(html, '(?is)<a\s[^>]*?href\s*=\s*"([^"<>\s]+)"[^>]*?>(.*?)</a>', 2) AS ts
+  FROM pages
+),
+pairs AS (
+  SELECT src_url, u.z[1] AS href,
+         trim(regexp_replace(regexp_replace(u.z[2], '<[^>]*>', '', 'g'),
+                             '\s+', ' ', 'g')) AS anchor
+  FROM e, unnest(list_zip(hs, ts)) AS u(z)
+)
+SELECT href, anchor,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(count(DISTINCT src_url) AS BIGINT) AS n_pages
+FROM pairs GROUP BY 1, 2
+"""
+
+REGISTRY["anchor_text_stats"] = (q_anchor_text_stats, ANCHOR_TEXT_STATS_SQL)

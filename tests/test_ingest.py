@@ -234,3 +234,29 @@ def test_conditional_sample_vertex(spark):
     a, _ = conditional_sample_vertex(v, -1, seed=7)
     b, _ = conditional_sample_vertex(v, a, seed=7)
     assert b is None or b > a
+
+
+def test_anchor_pairs_extraction(spark):
+    from linkgraph.ingest import anchor_pairs
+
+    html = (
+        '<html><A HREF="http://up.example/1">Upper  Case</A>'
+        '<a class="x" href="http://b.example/2"><b>bold <i>deep</i></b></a>'
+        '<a href="http://c.example/3"></a>'          # empty anchor
+        '<a name="noharef">skip me</a>'              # no href -> skipped
+        '<p>text</p></html>'
+    )
+    pages = spark.createDataFrame(
+        [("http://src.example", html)], "url string, html string"
+    )
+    got = {(r["href"], r["anchor"]) for r in anchor_pairs(pages).collect()}
+    assert got == {
+        ("http://up.example/1", "Upper Case"),       # ws collapsed, (?i)
+        ("http://b.example/2", "bold deep"),         # nested markup stripped
+        ("http://c.example/3", ""),
+    }
+    # binary html column decodes transparently
+    pages_b = spark.createDataFrame(
+        [("u", html.encode())], "url string, html binary"
+    )
+    assert anchor_pairs(pages_b).count() == 3
