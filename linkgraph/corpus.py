@@ -479,3 +479,84 @@ SELECT b.doc_id,
 FROM b JOIN c2 USING (w1, w2) JOIN c1 USING (w1), v
 GROUP BY b.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# mixture materialization (apply domain weights -> replicated/filtered corpus)
+# ---------------------------------------------------------------------------
+
+
+def materialize_mixture(
+    docs: DataFrame,
+    seed: int = 11,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Materialize the reweighted corpus that ``domain_mix_weights``
+    prescribes: every document is emitted ``floor(w)`` times plus one
+    more with probability ``frac(w)`` — decided by an EXACT integer
+    compare of a hash draw against ``weight_e6 % 1e6`` (no floats, no
+    RNG), so the output is bit-identical across engines, partitionings
+    and reruns, and E[copies] = w exactly (the corpus the training run
+    actually consumes).  Returns (doc_id, source, copy_id).
+
+    100-TB plan: the weight table is |sources| rows (broadcast join);
+    replication is explode(sequence) — output sized sum(w_i), the
+    unavoidable cost of upsampling; no shuffle beyond the one groupBy
+    inside the weight computation."""
+    w = domain_mix_weights(docs, source_col=source_col).select(
+        "source", "weight_e6"
+    )
+    d = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.col(source_col).alias("source"),
+    )
+    j = d.join(F.broadcast(w), "source")
+    base = (F.col("weight_e6") / 1_000_000).cast("long")
+    frac = F.col("weight_e6") % 1_000_000
+    hmod = (
+        h60(F.concat(F.lit(f"mix{seed}:"), F.col("doc_id").cast("string")))
+        % 1_000_000
+    )
+    k = (base + (hmod < frac).cast("long")).alias("k")
+    n = j.select("doc_id", "source", k)
+    # sequence(1, 0) would step BACKWARDS in Spark; clamp then filter
+    return (
+        n.withColumn(
+            "copy_id",
+            F.explode(F.sequence(F.lit(1), F.greatest(F.col("k"), F.lit(1)))),
+        )
+        .filter(F.col("copy_id") <= F.col("k"))
+        .select("doc_id", "source", F.col("copy_id").cast("long").alias("copy_id"))
+    )
+
+
+def materialize_mixture_sql(seed: int = 11, table: str = "documents") -> str:
+    h = h60_sql(f"'mix{seed}:' || CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH a AS (
+  SELECT source, count(*) AS n_docs,
+         1 + CAST(regexp_extract(source, '([0-9]+)$', 1) AS BIGINT) % 3 AS t
+  FROM {table} GROUP BY source
+),
+tot AS (SELECT sum(n_docs) AS nd, sum(t) AS tt FROM a),
+w AS (
+  SELECT source,
+         CAST(round((t / CAST(tt AS DOUBLE)) / (n_docs / CAST(nd AS DOUBLE)) * 1e6) AS BIGINT) AS weight_e6
+  FROM a, tot
+),
+j AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, d.source,
+         weight_e6 // 1000000 AS base,
+         weight_e6 % 1000000 AS frac,
+         {h} % 1000000 AS hmod
+  FROM {table} d JOIN w USING (source)
+),
+n AS (
+  SELECT doc_id, source,
+         base + CASE WHEN hmod < frac THEN 1 ELSE 0 END AS k
+  FROM j
+)
+SELECT doc_id, source, CAST(u.c AS BIGINT) AS copy_id
+FROM n, unnest(range(1, k + 1)) AS u(c)
+"""

@@ -6218,3 +6218,23 @@ FROM pairs GROUP BY 1, 2
 """
 
 REGISTRY["anchor_text_stats"] = (q_anchor_text_stats, ANCHOR_TEXT_STATS_SQL)
+
+
+def q_mixture_materialize(spark, sf_dir):
+    """Materialized reweighted corpus (floor(w) copies + hash-exact
+    fractional copy per doc; E[copies] = the domain_mix_weights target)
+    — see corpus.materialize_mixture."""
+    from . import corpus
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return corpus.materialize_mixture(docs, seed=11)
+
+
+def _register_corpus3() -> None:
+    from . import corpus
+
+    REGISTRY["mixture_materialize"] = (
+        q_mixture_materialize, corpus.materialize_mixture_sql(seed=11))
+
+
+_register_corpus3()

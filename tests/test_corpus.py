@@ -183,3 +183,39 @@ def test_bigram_xent_orders_quality(spark):
     d = spark.createDataFrame(rows, "doc_id long, text string")
     res = {r["doc_id"]: r["xent_e6"] for r in corpus.bigram_xent(d).collect()}
     assert res[100] > res[0]
+
+
+def test_materialize_mixture_exact(docs):
+    from linkgraph.dedup import h60
+
+    res = corpus.materialize_mixture(docs, seed=5).toPandas()
+    w = {r["source"]: r["weight_e6"]
+         for r in corpus.domain_mix_weights(docs).collect()}
+    hmod = {
+        r["doc_id"]: r["h"] % 1_000_000
+        for r in docs.select(
+            "doc_id",
+            h60(F.concat(F.lit("mix5:"), F.col("doc_id").cast("string"))).alias("h"),
+        ).collect()
+    }
+    src = {r["doc_id"]: r["source"] for r in docs.collect()}
+    want = {}
+    for did, s in src.items():
+        k = w[s] // 1_000_000 + (1 if hmod[did] < w[s] % 1_000_000 else 0)
+        if k:
+            want[did] = k
+    got = res.groupby("doc_id").size().to_dict()
+    assert got == want
+    # copy ids are exactly 1..k per doc
+    for did, grp in res.groupby("doc_id"):
+        assert sorted(grp["copy_id"]) == list(range(1, want[did] + 1))
+    # expectation property: total materialized rows ~ sum of weights
+    tot = sum(want.values())
+    exp = sum(w[src[d]] / 1e6 for d in src)
+    assert abs(tot - exp) < len(src) ** 0.5 * 3 + 2
+
+
+def test_materialize_mixture_partition_invariant(docs):
+    a = corpus.materialize_mixture(docs.repartition(1), seed=5)
+    b = corpus.materialize_mixture(docs.repartition(9), seed=5)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
