@@ -347,3 +347,66 @@ def anchor_pairs(
     return out.select(
         "src_url", F.col("_p.href").alias("href"), anchor.alias("anchor")
     )
+
+
+# ---------------------------------------------------------------------------
+# redirect-chain resolution (functional-graph closure by pointer doubling)
+# ---------------------------------------------------------------------------
+
+
+def resolve_redirects(
+    redirects: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_rounds: int = 40,
+) -> DataFrame:
+    """Resolve every redirect source to its FINAL target with the hop
+    count: (src, final, hops).  The crawl-canonicalization step — 301
+    chains must collapse to the terminal url before ids are assigned,
+    else the link graph splits pages across chain aliases.
+
+    100-TB plan: POINTER DOUBLING, not chain walking — each round
+    self-joins the current (src -> 2^t-step ancestor, hops) map on
+    ancestor = src, squaring the resolved path length, so a depth-D
+    chain set needs ceil(log2 D) shuffles total (a sequential walk
+    needs D).  State stays (src, final, hops) — never materializes
+    paths.  Assumes acyclic redirects (a crawl dedups 301 loops
+    upstream); the round cap turns an unexpected cycle into a loud
+    error instead of an infinite loop."""
+    m = redirects.select(
+        F.col(src_col).cast("long").alias("u"),
+        F.col(dst_col).cast("long").alias("v"),
+        F.lit(1).cast("long").alias("h"),
+    ).persist()
+    for _ in range(max_rounds):
+        nxt = m.alias("a").join(
+            m.select(
+                F.col("u").alias("_ju"),
+                F.col("v").alias("_jv"),
+                F.col("h").alias("_jh"),
+            ).alias("b"),
+            F.col("a.v") == F.col("b._ju"),
+            "left",
+        )
+        m2 = nxt.select(
+            F.col("a.u").alias("u"),
+            F.coalesce(F.col("b._jv"), F.col("a.v")).alias("v"),
+            (F.col("a.h") + F.coalesce(F.col("b._jh"), F.lit(0))).alias("h"),
+        ).persist()
+        still = m2.join(
+            m.select(F.col("u").alias("_t")).distinct(),
+            m2["v"] == F.col("_t"),
+            "left_semi",
+        ).limit(1).count()
+        m.unpersist()
+        m = m2
+        if still == 0:
+            return m.select(
+                F.col("u").alias("src"),
+                F.col("v").alias("final"),
+                F.col("h").alias("hops"),
+            )
+    raise ValueError(
+        f"resolve_redirects: chains not closed after {max_rounds} doubling "
+        "rounds — redirect cycle suspected"
+    )

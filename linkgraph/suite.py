@@ -6238,3 +6238,48 @@ def _register_corpus3() -> None:
 
 
 _register_corpus3()
+
+
+def q_redirect_resolution(spark, sf_dir):
+    """Redirect-chain canonicalization: every url resolved to its final
+    target + hop count via POINTER DOUBLING (log2(depth) self-joins, not
+    depth sequential walks) — see ingest.resolve_redirects.  Fixture:
+    doc_id redirects to doc_id-1 unless divisible by 16 (chains up to 15
+    hops; multiples of 16 are terminal)."""
+    from . import ingest
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = F.col("doc_id").cast("long")
+    r = docs.filter(d % 16 != 0).select(d.alias("src"), (d - 1).alias("dst"))
+    resolved = ingest.resolve_redirects(r)
+    ids = docs.select(d.alias("url_id"))
+    return ids.join(
+        resolved, ids["url_id"] == resolved["src"], "left"
+    ).select(
+        "url_id",
+        F.coalesce("final", "url_id").cast("long").alias("final_id"),
+        F.coalesce("hops", F.lit(0)).cast("long").alias("hops"),
+    )
+
+
+REDIRECT_RESOLUTION_SQL = """
+WITH RECURSIVE r AS (
+  SELECT CAST(doc_id AS BIGINT) AS src, CAST(doc_id AS BIGINT) - 1 AS dst
+  FROM documents WHERE doc_id % 16 <> 0
+),
+walk AS (
+  SELECT src, dst, CAST(1 AS BIGINT) AS hops FROM r
+  UNION ALL
+  SELECT w.src, r2.dst, w.hops + 1 FROM walk w JOIN r r2 ON w.dst = r2.src
+),
+f AS (
+  SELECT src, dst AS final, hops FROM walk
+  QUALIFY row_number() OVER (PARTITION BY src ORDER BY hops DESC) = 1
+)
+SELECT CAST(d.doc_id AS BIGINT) AS url_id,
+       coalesce(f.final, CAST(d.doc_id AS BIGINT)) AS final_id,
+       CAST(coalesce(f.hops, 0) AS BIGINT) AS hops
+FROM documents d LEFT JOIN f ON CAST(d.doc_id AS BIGINT) = f.src
+"""
+
+REGISTRY["redirect_resolution"] = (q_redirect_resolution, REDIRECT_RESOLUTION_SQL)

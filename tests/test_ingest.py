@@ -260,3 +260,39 @@ def test_anchor_pairs_extraction(spark):
         [("u", html.encode())], "url string, html binary"
     )
     assert anchor_pairs(pages_b).count() == 3
+
+
+def test_resolve_redirects_chains(spark):
+    from linkgraph.ingest import resolve_redirects
+
+    # two chains (5->4->3->0 via 3->0, 9->8) and one direct hop
+    r = spark.createDataFrame(
+        [(5, 4), (4, 3), (3, 0), (9, 8), (7, 2)], "src long, dst long"
+    )
+    got = {x["src"]: (x["final"], x["hops"])
+           for x in resolve_redirects(r).collect()}
+    assert got == {5: (0, 3), 4: (0, 2), 3: (0, 1), 9: (8, 1), 7: (2, 1)}
+
+
+def test_resolve_redirects_partition_invariant_and_depth(spark):
+    from linkgraph.ingest import resolve_redirects
+
+    # one long chain: 63 -> 62 -> ... -> 0 (depth 63 => 6 doubling rounds)
+    r = spark.createDataFrame(
+        [(i, i - 1) for i in range(1, 64)], "src long, dst long"
+    )
+    a = resolve_redirects(r.repartition(1))
+    b = resolve_redirects(r.repartition(7))
+    ra = sorted(map(tuple, a.collect()))
+    assert ra == sorted(map(tuple, b.collect()))
+    assert ra == [(i, 0, i) for i in range(1, 64)]
+
+
+def test_resolve_redirects_cycle_errors(spark):
+    import pytest as _pt
+
+    from linkgraph.ingest import resolve_redirects
+
+    r = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
+    with _pt.raises(ValueError, match="cycle"):
+        resolve_redirects(r, max_rounds=6)
