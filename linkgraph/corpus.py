@@ -560,3 +560,66 @@ n AS (
 SELECT doc_id, source, CAST(u.c AS BIGINT) AS copy_id
 FROM n, unnest(range(1, k + 1)) AS u(c)
 """
+
+
+# ---------------------------------------------------------------------------
+# cross-document boilerplate flagging (CCNet-style repeated-paragraph removal)
+# ---------------------------------------------------------------------------
+
+
+def boilerplate_flags(
+    docs: DataFrame,
+    seg: int = 4,
+    min_df: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document boilerplate accounting: split every document into
+    disjoint ``seg``-token segments (via ``chunk_docs`` with
+    stride == seg), flag segments whose fingerprint occurs in >= ``min_df``
+    DISTINCT documents (navigation chrome / footers / licence blurbs
+    repeat across pages; body text doesn't), and report
+    (doc_id, n_segments, n_boiler, boiler_permille) — the CCNet-style
+    paragraph-dedup signal used to strip template text before training.
+
+    100-TB plan: one fingerprint-keyed groupBy builds the df table
+    (segment-vocabulary sized, NOT corpus sized after the distinct), one
+    equi-join flags segments, one per-doc agg; hot fingerprints (the
+    boilerplate itself!) are exactly the keys AQE skew-split handles."""
+    segs = chunk_docs(docs, chunk=seg, stride=seg,
+                      id_col=id_col, text_col=text_col)
+    segs = segs.persist()
+    try:
+        df_tab = segs.groupBy("chunk_fp").agg(
+            F.countDistinct("doc_id").alias("_df")
+        )
+        flagged = segs.join(df_tab, "chunk_fp").select(
+            "doc_id", (F.col("_df") >= min_df).cast("long").alias("_b")
+        )
+        return flagged.groupBy("doc_id").agg(
+            F.count("*").cast("long").alias("n_segments"),
+            F.sum("_b").cast("long").alias("n_boiler"),
+            F.round(F.sum("_b") * 1000 / F.count("*")).cast("long")
+            .alias("boiler_permille"),
+        )
+    finally:
+        segs.unpersist()
+
+
+def boilerplate_flags_sql(
+    seg: int = 4, min_df: int = 2, table: str = "documents"
+) -> str:
+    chunks = chunk_docs_sql(chunk=seg, stride=seg, table=table)
+    return f"""
+WITH segs AS ({chunks}),
+dfreq AS (
+  SELECT chunk_fp, count(DISTINCT doc_id) AS df FROM segs GROUP BY chunk_fp
+)
+SELECT s.doc_id,
+       CAST(count(*) AS BIGINT) AS n_segments,
+       CAST(sum(CASE WHEN d.df >= {min_df} THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+       CAST(round(sum(CASE WHEN d.df >= {min_df} THEN 1 ELSE 0 END) * 1000.0
+                  / count(*)) AS BIGINT) AS boiler_permille
+FROM segs s JOIN dfreq d USING (chunk_fp)
+GROUP BY s.doc_id
+"""

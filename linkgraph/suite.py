@@ -6283,3 +6283,23 @@ FROM documents d LEFT JOIN f ON CAST(d.doc_id AS BIGINT) = f.src
 """
 
 REGISTRY["redirect_resolution"] = (q_redirect_resolution, REDIRECT_RESOLUTION_SQL)
+
+
+def q_boilerplate_flags(spark, sf_dir):
+    """CCNet-style cross-document boilerplate accounting: disjoint
+    4-token segments, flagged when the same segment fingerprint occurs
+    in >= 2 distinct documents — see corpus.boilerplate_flags."""
+    from . import corpus
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return corpus.boilerplate_flags(docs, seg=4, min_df=2)
+
+
+def _register_corpus4() -> None:
+    from . import corpus
+
+    REGISTRY["boilerplate_flags"] = (
+        q_boilerplate_flags, corpus.boilerplate_flags_sql(seg=4, min_df=2))
+
+
+_register_corpus4()

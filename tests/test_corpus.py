@@ -219,3 +219,29 @@ def test_materialize_mixture_partition_invariant(docs):
     a = corpus.materialize_mixture(docs.repartition(1), seed=5)
     b = corpus.materialize_mixture(docs.repartition(9), seed=5)
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_boilerplate_flags_exact(spark):
+    # footer segment "visit our shop now" repeats across 3 docs ->
+    # boilerplate; unique bodies are not flagged
+    rows = [
+        (0, "alpha beta gamma delta visit our shop now"),
+        (1, "epsilon zeta eta theta visit our shop now"),
+        (2, "iota kappa lam mu visit our shop now"),
+        (3, "nu xi omicron pi rho sigma tau upsilon"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_segments"], r["n_boiler"], r["boiler_permille"])
+           for r in corpus.boilerplate_flags(d, seg=4, min_df=2).collect()}
+    assert got == {
+        0: (2, 1, 500),
+        1: (2, 1, 500),
+        2: (2, 1, 500),
+        3: (2, 0, 0),
+    }
+
+
+def test_boilerplate_flags_partition_invariant(docs):
+    a = corpus.boilerplate_flags(docs.repartition(1), seg=4, min_df=2)
+    b = corpus.boilerplate_flags(docs.repartition(9), seg=4, min_df=2)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
