@@ -1587,8 +1587,27 @@ def _sampled_pattern_sql(name: str, exact_alias: str, flag_alias: str) -> str:
 # registry
 # ---------------------------------------------------------------------------
 
+class _Registry(dict):
+    """Rejects duplicate keys at IMPORT time.  The silent-overwrite twin
+    of the module-level name-shadowing bug that shipped twice (commits
+    5d2465e, 6864538): a second REGISTRY entry under an existing name
+    would replace its (query, oracle) pair with no test failing."""
+
+    def __setitem__(self, key, value):
+        if key in self:
+            raise ValueError(f"duplicate registry key: {key!r}")
+        super().__setitem__(key, value)
+
+    def update(self, other=(), **kw):  # dict.update bypasses __setitem__
+        items = other.items() if hasattr(other, "items") else other
+        for k, v in items:
+            self[k] = v
+        for k, v in kw.items():
+            self[k] = v
+
+
 # name -> (spark_fn, oracle_sql | None)
-REGISTRY: dict = {
+REGISTRY: dict = _Registry({
     "degrees": (q_degrees, DEGREES_SQL),
     "triangle_count": (q_triangle_count, TRIANGLE_SQL),
     "pagerank_5iter": (q_pagerank5, PAGERANK5_SQL),
@@ -1613,7 +1632,7 @@ REGISTRY: dict = {
     "event_hourly": (q_event_hourly, EVENT_HOURLY_SQL),
     "pricing_summary": (q_pricing_summary, PRICING_SUMMARY_SQL),
     "top_customer_per_nation": (q_top_customer_per_nation, TOP_CUSTOMER_SQL),
-}
+})
 
 
 def _register_extensions() -> None:

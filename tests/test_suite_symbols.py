@@ -93,3 +93,21 @@ def test_registry_sql_mentions_matching_fixture():
                 f"{sorted(sql_fixtures)}"
             )
     assert not mismatches, "; ".join(mismatches)
+
+
+def test_registry_rejects_duplicate_keys():
+    """A second REGISTRY entry under an existing name would silently
+    replace its (query, oracle) pair — the dict-key twin of the
+    name-shadowing bug above.  suite.REGISTRY is a guarded dict that
+    raises at IMPORT time on any duplicate registration (including via
+    .update); verify the guard is installed and fires."""
+    import pytest as _pt
+
+    from linkgraph import suite
+
+    assert type(suite.REGISTRY).__name__ == "_Registry"
+    key = next(iter(suite.REGISTRY))
+    with _pt.raises(ValueError, match="duplicate registry key"):
+        suite.REGISTRY[key] = suite.REGISTRY[key]
+    with _pt.raises(ValueError, match="duplicate registry key"):
+        suite.REGISTRY.update({key: suite.REGISTRY[key]})
