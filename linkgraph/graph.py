@@ -286,3 +286,65 @@ def conditional_sample_vertex(
         .orderBy("_h").limit(1).collect()[0]
     )
     return int(row["id"]), 1.0 / n
+
+
+def link_prediction_pairs(
+    edges: DataFrame,
+    num_vertices: int,
+    k: int = 3,
+    seed: int = 9,
+    oversample_extra: int = 4,
+) -> DataFrame:
+    """Training pairs for link prediction: every input edge with
+    label 1 plus, per distinct source, ``k`` deterministic NEGATIVE
+    examples (label 0) — vertices not adjacent to the source in either
+    direction.  The negatives are hash draws (h60(seed||src||i) mod V,
+    2k+oversample_extra candidates, first-i dedup, anti-join against the
+    symmetric edge set, first k by draw index), so the output is
+    bit-identical across engines, partitionings and reruns — the
+    graph-to-training-data step of an embedding / GNN pipeline.
+
+    Requires a DENSE 0..num_vertices-1 id space (what ingest.dense_ids
+    produces) so the modulo draw lands on real vertices.
+
+    100-TB plan: candidates = |sources|*(2k+extra) rows (explode, no
+    Python); the anti-join is one shuffle on (src, dst) against the edge
+    set; per-source windows hold <= 2k+extra rows.  A source adjacent to
+    nearly all V can fall short of k — at that degree/V ratio negative
+    sampling itself is ill-posed; callers check counts."""
+    n_cand = 2 * k + oversample_extra
+    from .dedup import h60
+
+    sym = edges.select("src", "dst").union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    srcs = edges.select("src").distinct()
+    cand = srcs.withColumn(
+        "i", F.explode(F.sequence(F.lit(1), F.lit(n_cand)))
+    ).withColumn(
+        "dst",
+        h60(
+            F.concat(
+                F.lit(f"neg{seed}:"),
+                F.col("src").cast("string"),
+                F.lit(":"),
+                F.col("i").cast("string"),
+            )
+        )
+        % num_vertices,
+    ).filter(F.col("dst") != F.col("src"))
+    # first-i dedup of repeated draws, then keep the k earliest non-edges
+    cd = cand.groupBy("src", "dst").agg(F.min("i").alias("i"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("src").orderBy("i")
+    neg = (
+        cd.join(sym, ["src", "dst"], "left_anti")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select("src", "dst", F.lit(0).cast("long").alias("label"))
+    )
+    pos = edges.select(
+        "src", "dst", F.lit(1).cast("long").alias("label")
+    )
+    return pos.unionByName(neg)

@@ -6322,3 +6322,52 @@ def _register_corpus4() -> None:
 
 
 _register_corpus4()
+
+
+def q_link_prediction_pairs(spark, sf_dir):
+    """Link-prediction training pairs: every edge (label 1) + 3
+    deterministic hash negatives per source (label 0, anti-joined
+    against the symmetric edge set) — see graph.link_prediction_pairs."""
+    from .graph import link_prediction_pairs
+
+    return link_prediction_pairs(
+        edges_a(spark, sf_dir), num_vertices=V_A, k=3, seed=9
+    ).select(
+        F.col("src").cast("long").alias("src"),
+        F.col("dst").cast("long").alias("dst"),
+        "label",
+    )
+
+
+_H_NEG = (
+    "CAST(('0x' || substr(md5('neg9:' || CAST(src AS VARCHAR) || ':' "
+    "|| CAST(u.i AS VARCHAR)), 1, 15)) AS BIGINT)"
+)
+
+LINK_PREDICTION_SQL = f"""
+WITH {EDGES_A_SQL},
+sym AS (
+  SELECT src, dst FROM edges_a
+  UNION
+  SELECT dst AS src, src AS dst FROM edges_a
+),
+srcs AS (SELECT DISTINCT src FROM edges_a),
+cand AS (
+  SELECT src, u.i, {_H_NEG} % {V_A} AS dst
+  FROM srcs, unnest(range(1, 11)) AS u(i)
+),
+cd AS (
+  SELECT src, dst, min(i) AS i FROM cand WHERE dst <> src GROUP BY src, dst
+),
+neg AS (
+  SELECT c.src, c.dst, c.i FROM cd c
+  LEFT JOIN sym s ON c.src = s.src AND c.dst = s.dst
+  WHERE s.src IS NULL
+  QUALIFY row_number() OVER (PARTITION BY c.src ORDER BY c.i) <= 3
+)
+SELECT src, dst, CAST(1 AS BIGINT) AS label FROM edges_a
+UNION ALL
+SELECT src, dst, CAST(0 AS BIGINT) AS label FROM neg
+"""
+
+REGISTRY["link_prediction_pairs"] = (q_link_prediction_pairs, LINK_PREDICTION_SQL)

@@ -368,3 +368,29 @@ def test_embedding_norms_nonzero(spark):
 
     rows = suite.q_embedding_norms(spark, "/root/testdata/sf0.001").collect()
     assert all(r["sq_norm_e12"] > 0 and not r["is_zero"] for r in rows)
+
+
+def test_link_prediction_pairs(spark):
+    from linkgraph.graph import link_prediction_pairs
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 0), (0, 2)], "src long, dst long"
+    )
+    res = link_prediction_pairs(edges, num_vertices=8, k=2, seed=4).collect()
+    pos = {(r["src"], r["dst"]) for r in res if r["label"] == 1}
+    neg = [(r["src"], r["dst"]) for r in res if r["label"] == 0]
+    assert pos == {(0, 1), (1, 2), (2, 3), (3, 0), (0, 2)}
+    adj = pos | {(b, a) for a, b in pos}
+    assert len(neg) == len(set(neg))
+    for s, d in neg:
+        assert (s, d) not in adj and s != d and 0 <= d < 8
+    from collections import Counter
+
+    per_src = Counter(s for s, _ in neg)
+    assert all(v == 2 for v in per_src.values())
+    assert set(per_src) == {0, 1, 2, 3}
+    # deterministic across partitionings
+    res2 = link_prediction_pairs(
+        edges.repartition(5), num_vertices=8, k=2, seed=4
+    ).collect()
+    assert sorted(map(tuple, res)) == sorted(map(tuple, res2))
