@@ -348,3 +348,46 @@ def link_prediction_pairs(
         "src", "dst", F.lit(1).cast("long").alias("label")
     )
     return pos.unionByName(neg)
+
+
+def feature_propagation(
+    edges: DataFrame, vertices: DataFrame, hops: int = 2
+) -> DataFrame:
+    """GNN-preprocessing feature propagation: seed every vertex with its
+    symmetric degree (x0), then ``hops`` rounds of neighbor-MEAN
+    aggregation over the undirected adjacency, RE-QUANTIZED to e6
+    integers after every hop (exactly like the PageRank superstep state)
+    so no float ever accumulates in engine- or partition-specific order.
+    Isolated vertices aggregate to 0.  Returns
+    (id, x0, x1_e6, x2_e6, ...) — the input features a downstream
+    GraphSAGE-style model trains on.
+
+    100-TB plan: one shuffle per hop (neighbor join + grouped avg with
+    map-side partials), state is one integer per vertex; hub skew is the
+    same salted-adjacency territory as PageRank (gate uses the plain
+    join — AQE splits the hot keys)."""
+    sym = edges.select("src", "dst").union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    x = vertices.select("id").join(
+        sym.groupBy(F.col("src").alias("id")).agg(
+            F.count("*").cast("long").alias("x")
+        ),
+        "id",
+        "left",
+    ).select("id", F.coalesce("x", F.lit(0)).alias("x"))
+    out = x.select("id", F.col("x").alias("x0"))
+    for h in range(1, hops + 1):
+        nb = sym.join(
+            x.select(F.col("id").alias("dst"), F.col("x").alias("_nx")), "dst"
+        )
+        agg = nb.groupBy(F.col("src").alias("id")).agg(
+            F.round(F.avg("_nx") * (1_000_000 if h == 1 else 1))
+            .cast("long")
+            .alias("x")
+        )
+        x = vertices.select("id").join(agg, "id", "left").select(
+            "id", F.coalesce("x", F.lit(0)).alias("x")
+        )
+        out = out.join(x.select("id", F.col("x").alias(f"x{h}_e6")), "id")
+    return out

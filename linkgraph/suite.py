@@ -6371,3 +6371,53 @@ SELECT src, dst, CAST(0 AS BIGINT) AS label FROM neg
 """
 
 REGISTRY["link_prediction_pairs"] = (q_link_prediction_pairs, LINK_PREDICTION_SQL)
+
+
+def q_feature_propagation(spark, sf_dir):
+    """2-hop GNN feature propagation (neighbor-mean aggregation of the
+    symmetric degree, e6-requantized per hop) — see
+    graph.feature_propagation."""
+    from .graph import feature_propagation
+
+    return feature_propagation(
+        edges_a(spark, sf_dir), verts(spark, V_A), hops=2
+    ).select(
+        "id",
+        F.col("x0").cast("long").alias("x0"),
+        F.col("x1_e6").cast("long").alias("x1_e6"),
+        F.col("x2_e6").cast("long").alias("x2_e6"),
+    )
+
+
+FEATURE_PROPAGATION_SQL = f"""
+WITH {EDGES_A_SQL}, {VERTS_A_SQL},
+sym AS (
+  SELECT src, dst FROM edges_a
+  UNION
+  SELECT dst AS src, src AS dst FROM edges_a
+),
+x0 AS (
+  SELECT v.id, CAST(coalesce(d.x, 0) AS BIGINT) AS x
+  FROM verts_a v LEFT JOIN (
+    SELECT src AS id, count(*) AS x FROM sym GROUP BY src
+  ) d USING (id)
+),
+x1 AS (
+  SELECT v.id, CAST(coalesce(a.x, 0) AS BIGINT) AS x
+  FROM verts_a v LEFT JOIN (
+    SELECT s.src AS id, CAST(round(avg(n.x) * 1e6) AS BIGINT) AS x
+    FROM sym s JOIN x0 n ON s.dst = n.id GROUP BY s.src
+  ) a USING (id)
+),
+x2 AS (
+  SELECT v.id, CAST(coalesce(a.x, 0) AS BIGINT) AS x
+  FROM verts_a v LEFT JOIN (
+    SELECT s.src AS id, CAST(round(avg(n.x)) AS BIGINT) AS x
+    FROM sym s JOIN x1 n ON s.dst = n.id GROUP BY s.src
+  ) a USING (id)
+)
+SELECT x0.id, x0.x AS x0, x1.x AS x1_e6, x2.x AS x2_e6
+FROM x0 JOIN x1 USING (id) JOIN x2 USING (id)
+"""
+
+REGISTRY["feature_propagation"] = (q_feature_propagation, FEATURE_PROPAGATION_SQL)

@@ -394,3 +394,21 @@ def test_link_prediction_pairs(spark):
         edges.repartition(5), num_vertices=8, k=2, seed=4
     ).collect()
     assert sorted(map(tuple, res)) == sorted(map(tuple, res2))
+
+
+def test_feature_propagation_hand_case(spark):
+    from linkgraph.graph import feature_propagation
+
+    # path 0-1-2 plus isolated 3: sym degrees [1,2,1,0]
+    edges = spark.createDataFrame([(0, 1), (1, 2)], "src long, dst long")
+    verts = spark.createDataFrame([(i,) for i in range(4)], "id long")
+    got = {r["id"]: (r["x0"], r["x1_e6"], r["x2_e6"])
+           for r in feature_propagation(edges, verts, hops=2).collect()}
+    # x1: v0 <- mean(x0[1]) = 2; v1 <- mean(1,1) = 1; v2 <- 2; v3 isolated -> 0
+    # x2: v0 <- mean(x1[1]) = 1e6; v1 <- mean(2e6, 2e6) = 2e6; v2 <- 1e6
+    assert got == {
+        0: (1, 2_000_000, 1_000_000),
+        1: (2, 1_000_000, 2_000_000),
+        2: (1, 2_000_000, 1_000_000),
+        3: (0, 0, 0),
+    }
