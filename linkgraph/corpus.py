@@ -623,3 +623,99 @@ SELECT s.doc_id,
 FROM segs s JOIN dfreq d USING (chunk_fp)
 GROUP BY s.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# per-stratum quality-cutoff filtering (score-ranked keep list)
+# ---------------------------------------------------------------------------
+
+_QF_STOPWORDS = ("the", "a", "and", "of", "to", "in")
+
+
+def quality_score(docs: DataFrame, text_col: str = "text") -> Column:
+    """Stopword-ratio quality heuristic, e6-quantized (higher = more
+    natural text) — the same formula as the `doc_quality` gate."""
+    words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    stops = F.size(F.filter(words, lambda w: w.isin(*_QF_STOPWORDS)))
+    return F.round(stops / F.size(words) * 1e6).cast("long")
+
+
+def quality_filter(
+    docs: DataFrame,
+    keep_permille: int = 800,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Keep EXACTLY ceil(n * keep_permille/1000) documents per stratum,
+    ranked by (quality score DESC, doc_id ASC) — the per-language
+    quality-cutoff filter of a corpus pipeline (drop the worst 20% of
+    each language rather than a global cutoff that would empty
+    low-resource strata).  Returns (doc_id, stratum, score_e6).
+
+    100-TB plan: never rank a stratum.  Phase 1 collects the
+    (stratum, score) HISTOGRAM — bounded by e6 score granularity, not
+    corpus size — and derives per stratum the threshold score t, with
+    tie_keep = how many score==t docs still fit.  Phase 2 keeps
+    score > t with a pure broadcast-map filter and ranks ONLY the
+    score==t tie group by doc_id (window state = tie-group size; a
+    degenerate single-score stratum degrades to one ranked partition —
+    raise score granularity if that ever bites)."""
+    d = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.col(stratum_col).alias("stratum"),
+        quality_score(docs, text_col).alias("score_e6"),
+    )
+    hist = d.groupBy("stratum", "score_e6").count().collect()
+    by_s: dict = {}
+    for r in hist:
+        by_s.setdefault(r["stratum"], []).append((r["score_e6"], r["count"]))
+    thr, tie = {}, {}
+    for s, pairs in by_s.items():
+        n = sum(c for _, c in pairs)
+        k = (n * keep_permille + 999) // 1000
+        acc = 0
+        for score, c in sorted(pairs, reverse=True):
+            if acc + c >= k:
+                thr[s] = score
+                tie[s] = k - acc
+                break
+            acc += c
+    strata = sorted(thr)
+    thr_m = F.create_map(*[F.lit(x) for s in strata for x in (s, thr[s])])
+    tie_m = F.create_map(*[F.lit(x) for s in strata for x in (s, tie[s])])
+    t_col = F.element_at(thr_m, F.col("stratum"))
+    above = d.filter(F.col("score_e6") > t_col)
+    w = Window.partitionBy("stratum").orderBy("doc_id")
+    at = (
+        d.filter(F.col("score_e6") == t_col)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= F.element_at(tie_m, F.col("stratum")))
+        .drop("_rn")
+    )
+    return above.unionByName(at)
+
+
+def quality_filter_sql(
+    keep_permille: int = 800, table: str = "documents",
+    stratum_col: str = "lang",
+) -> str:
+    sw = _QF_STOPWORDS
+    return f"""
+WITH d AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, {stratum_col} AS stratum,
+         CAST(round(len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                                     x -> x IN {sw!r}))
+                    / len(regexp_split_to_array(trim(lower(text)), '\\s+')) * 1e6)
+              AS BIGINT) AS score_e6
+  FROM {table}
+),
+r AS (
+  SELECT *, count(*) OVER (PARTITION BY stratum) AS n,
+         row_number() OVER (PARTITION BY stratum
+                            ORDER BY score_e6 DESC, doc_id ASC) AS rn
+  FROM d
+)
+SELECT doc_id, stratum, score_e6
+FROM r WHERE rn <= (n * {keep_permille} + 999) // 1000
+"""

@@ -6421,3 +6421,23 @@ FROM x0 JOIN x1 USING (id) JOIN x2 USING (id)
 """
 
 REGISTRY["feature_propagation"] = (q_feature_propagation, FEATURE_PROPAGATION_SQL)
+
+
+def q_quality_filter(spark, sf_dir):
+    """Per-language quality-cutoff keep list (exact ceil(80%) per
+    stratum by stopword-ratio score; bounded-histogram threshold, no
+    full-stratum ranking) — see corpus.quality_filter."""
+    from . import corpus
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return corpus.quality_filter(docs, keep_permille=800)
+
+
+def _register_corpus5() -> None:
+    from . import corpus
+
+    REGISTRY["quality_filter"] = (
+        q_quality_filter, corpus.quality_filter_sql(keep_permille=800))
+
+
+_register_corpus5()

@@ -245,3 +245,32 @@ def test_boilerplate_flags_partition_invariant(docs):
     a = corpus.boilerplate_flags(docs.repartition(1), seg=4, min_df=2)
     b = corpus.boilerplate_flags(docs.repartition(9), seg=4, min_df=2)
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_quality_filter_exact_rank_semantics(docs):
+    res = corpus.quality_filter(docs, keep_permille=700,
+                                stratum_col="lang").toPandas()
+    # brute force: rank by (score desc, doc_id asc), keep ceil(0.7 n)
+    full = docs.select(
+        "doc_id", F.col("lang").alias("stratum"),
+        corpus.quality_score(docs).alias("score_e6"),
+    ).toPandas()
+    import math
+
+    for s, grp in full.groupby("stratum"):
+        k = math.ceil(len(grp) * 700 / 1000)
+        want = set(
+            grp.sort_values(["score_e6", "doc_id"],
+                            ascending=[False, True]).head(k)["doc_id"]
+        )
+        got = set(res[res["stratum"] == s]["doc_id"])
+        assert got == want, s
+    # scores in the output match the scoring expression
+    m = full.set_index("doc_id")["score_e6"].to_dict()
+    assert all(m[r.doc_id] == r.score_e6 for r in res.itertuples(index=False))
+
+
+def test_quality_filter_partition_invariant(docs):
+    a = corpus.quality_filter(docs.repartition(1), keep_permille=500)
+    b = corpus.quality_filter(docs.repartition(11), keep_permille=500)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
