@@ -410,3 +410,54 @@ def resolve_redirects(
         f"resolve_redirects: chains not closed after {max_rounds} doubling "
         "rounds — redirect cycle suspected"
     )
+
+
+# ---------------------------------------------------------------------------
+# URL feature extraction + C4-style crawl filtering verdict
+# ---------------------------------------------------------------------------
+
+URL_EXT_BLACKLIST = (
+    "jpg", "jpeg", "png", "gif", "pdf", "zip", "exe", "css", "js",
+)
+
+
+def url_features(
+    urls: DataFrame,
+    url_col: str = "url",
+    max_depth: int = 6,
+    max_params: int = 4,
+) -> DataFrame:
+    """Per-URL structural features + a C4-style keep/drop verdict — the
+    crawl-frontier filter that runs BEFORE fetch at 10^12-url scale, so
+    it must be pure column expressions (it is: regexp extracts only, no
+    Python, no shuffle).  keep = http(s) scheme AND extension not in the
+    binary/asset blacklist AND path depth <= max_depth AND <= max_params
+    query parameters.  Adds scheme, host, tld, path depth, extension and
+    query-parameter count alongside the verdict."""
+    u = F.col(url_col)
+    scheme = F.regexp_extract(u, r"^([a-z][a-z0-9+.-]*):", 1)
+    host = F.regexp_extract(u, r"^[a-z][a-z0-9+.-]*://([^/?#]+)", 1)
+    tld = F.regexp_extract(host, r"\.([a-z0-9-]+)$", 1)
+    path = F.regexp_extract(u, r"^[a-z][a-z0-9+.-]*://[^/?#]+([^?#]*)", 1)
+    depth = F.size(F.filter(F.split(path, "/"), lambda x: x != ""))
+    ext = F.regexp_extract(path, r"\.([a-z0-9]+)$", 1)
+    query = F.regexp_extract(u, r"\?([^#]*)", 1)
+    n_params = F.when(query == "", F.lit(0)).otherwise(
+        F.size(F.split(query, "&"))
+    )
+    keep = (
+        scheme.isin("http", "https")
+        & ~ext.isin(*URL_EXT_BLACKLIST)
+        & (depth <= max_depth)
+        & (n_params <= max_params)
+    )
+    return urls.select(
+        "*",
+        scheme.alias("scheme"),
+        host.alias("host"),
+        tld.alias("tld"),
+        depth.cast("long").alias("path_depth"),
+        ext.alias("ext"),
+        n_params.cast("long").alias("n_params"),
+        keep.cast("long").alias("keep"),
+    )

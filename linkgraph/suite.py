@@ -6441,3 +6441,75 @@ def _register_corpus5() -> None:
 
 
 _register_corpus5()
+
+
+def q_url_filter_features(spark, sf_dir):
+    """URL structural features + C4-style crawl keep/drop verdict over a
+    deterministic varied-url fixture (schemes, tlds, depths, asset
+    extensions, query strings from doc ids) — see ingest.url_features.
+    Pure regexp column expressions, zero shuffle."""
+    from . import ingest
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = F.col("doc_id").cast("long")
+    s = lambda c: c.cast("string")  # noqa: E731
+    url = F.concat(
+        F.when(d % 7 == 0, F.lit("ftp")).otherwise(F.lit("https")),
+        F.lit("://h"), s(d % 30), F.lit(".example."),
+        F.element_at(
+            F.array(F.lit("com"), F.lit("org"), F.lit("net"), F.lit("io")),
+            (d % 4 + 1).cast("int"),
+        ),
+        F.repeat(F.lit("/s"), (d % 9).cast("int")),
+        F.when(d % 5 == 0, F.lit("/img.jpg"))
+        .when(d % 5 == 1, F.lit("/page.html"))
+        .otherwise(F.lit("")),
+        F.when(d % 6 == 0, F.lit("?a=1&b=2&c=3&d=4&e=5"))
+        .when(d % 6 == 3, F.lit("?x=1"))
+        .otherwise(F.lit("")),
+    )
+    urls = docs.select(d.alias("doc_id"), url.alias("url"))
+    return ingest.url_features(urls)
+
+
+URL_FILTER_FEATURES_SQL = r"""
+WITH u AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         (CASE WHEN doc_id % 7 = 0 THEN 'ftp' ELSE 'https' END)
+         || '://h' || CAST(doc_id % 30 AS VARCHAR) || '.example.'
+         || (['com', 'org', 'net', 'io'])[CAST(doc_id % 4 AS INT) + 1]
+         || repeat('/s', CAST(doc_id % 9 AS INT))
+         || (CASE WHEN doc_id % 5 = 0 THEN '/img.jpg'
+                  WHEN doc_id % 5 = 1 THEN '/page.html' ELSE '' END)
+         || (CASE WHEN doc_id % 6 = 0 THEN '?a=1&b=2&c=3&d=4&e=5'
+                  WHEN doc_id % 6 = 3 THEN '?x=1' ELSE '' END) AS url
+  FROM documents
+),
+f AS (
+  SELECT doc_id, url,
+         regexp_extract(url, '^([a-z][a-z0-9+.-]*):', 1) AS scheme,
+         regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1) AS host,
+         regexp_extract(url, '^[a-z][a-z0-9+.-]*://[^/?#]+([^?#]*)', 1) AS path,
+         regexp_extract(url, '\?([^#]*)', 1) AS query
+  FROM u
+),
+g AS (
+  SELECT doc_id, url, scheme, host,
+         regexp_extract(host, '\.([a-z0-9-]+)$', 1) AS tld,
+         CAST(len(list_filter(regexp_split_to_array(path, '/'), x -> x <> ''))
+              AS BIGINT) AS path_depth,
+         regexp_extract(path, '\.([a-z0-9]+)$', 1) AS ext,
+         CAST(CASE WHEN query = '' THEN 0
+                   ELSE len(regexp_split_to_array(query, '&')) END
+              AS BIGINT) AS n_params
+  FROM f
+)
+SELECT doc_id, url, scheme, host, tld, path_depth, ext, n_params,
+       CAST(CASE WHEN scheme IN ('http', 'https')
+                  AND ext NOT IN ('jpg','jpeg','png','gif','pdf','zip','exe','css','js')
+                  AND path_depth <= 6 AND n_params <= 4
+             THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM g
+"""
+
+REGISTRY["url_filter_features"] = (q_url_filter_features, URL_FILTER_FEATURES_SQL)

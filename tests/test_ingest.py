@@ -296,3 +296,25 @@ def test_resolve_redirects_cycle_errors(spark):
     r = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
     with _pt.raises(ValueError, match="cycle"):
         resolve_redirects(r, max_rounds=6)
+
+
+def test_url_features_verdicts(spark):
+    from linkgraph.ingest import url_features
+
+    urls = spark.createDataFrame(
+        [
+            (0, "https://a.example.com/x/y/page.html?p=1"),
+            (1, "http://b.example.org/img.png"),            # asset ext
+            (2, "ftp://c.example.net/file"),                 # bad scheme
+            (3, "https://d.example.io/a/b/c/d/e/f/g"),       # depth 7
+            (4, "https://e.example.com/?a=1&b=2&c=3&d=4&e=5"),  # 5 params
+            (5, "https://f.example.com"),                    # bare host
+        ],
+        "id long, url string",
+    )
+    r = {x["id"]: x for x in url_features(urls).collect()}
+    assert [r[i]["keep"] for i in range(6)] == [1, 0, 0, 0, 0, 1]
+    assert r[0]["path_depth"] == 3 and r[0]["ext"] == "html"
+    assert r[0]["n_params"] == 1 and r[0]["tld"] == "com"
+    assert r[5]["path_depth"] == 0 and r[5]["ext"] == "" and r[5]["n_params"] == 0
+    assert r[2]["scheme"] == "ftp" and r[3]["path_depth"] == 7
