@@ -6513,3 +6513,22 @@ FROM g
 """
 
 REGISTRY["url_filter_features"] = (q_url_filter_features, URL_FILTER_FEATURES_SQL)
+
+
+def q_nfc_stats(spark, sf_dir):
+    """Unicode NFC canonicalization accounting (pre-dedup step) — see
+    text.nfc_stats; Python unicodedata (Arrow pandas UDF) vs DuckDB
+    utf8proc, byte-identical."""
+    from . import text
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return text.nfc_stats(docs)
+
+
+def _register_text2() -> None:
+    from . import text
+
+    REGISTRY["nfc_stats"] = (q_nfc_stats, text.nfc_stats_sql())
+
+
+_register_text2()

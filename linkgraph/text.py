@@ -14,8 +14,12 @@ from exact-row to content-hash identity.
 
 from __future__ import annotations
 
+import unicodedata
+
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from .dedup import h60, h60_sql, tokens
 
@@ -297,3 +301,47 @@ def inverted_index(docs: DataFrame, text_col: str = "text",
                         .cast("array<string>")).alias("postings"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Unicode NFC normalization (pre-dedup canonicalization)
+# ---------------------------------------------------------------------------
+
+
+@F.pandas_udf(T.StringType())
+def nfc_normalize_udf(texts: pd.Series) -> pd.Series:
+    """Vectorized Unicode NFC normalization (Arrow batches)."""
+    return texts.map(
+        lambda t: unicodedata.normalize("NFC", t) if t is not None else None
+    )
+
+
+def nfc_stats(docs: DataFrame, id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """Unicode NFC canonicalization accounting: (doc_id, changed,
+    nfc_fp) where ``changed`` flags documents whose text was not already
+    NFC (decomposed accents, compatibility forms composed differently)
+    and ``nfc_fp`` is the content hash of the normalized text — the
+    canonicalization step that MUST run before any hash-based dedup, or
+    'Café' (composed) and 'Café' (e + combining acute) count as
+    different documents.
+
+    Python's unicodedata (a vectorized Arrow-batched pandas UDF — the
+    sanctioned slow path, since Spark has no NFC builtin) matches
+    DuckDB's utf8proc ``nfc_normalize`` byte-for-byte; the gate proves
+    it on the fixture and the unit test on decomposed/ligature forms."""
+    nfc = nfc_normalize_udf(F.col(text_col))
+    return docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        (nfc != F.col(text_col)).cast("long").alias("changed"),
+        h60(nfc).alias("nfc_fp"),
+    )
+
+
+def nfc_stats_sql(table: str = "documents") -> str:
+    return f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(CASE WHEN nfc_normalize(text) <> text THEN 1 ELSE 0 END AS BIGINT) AS changed,
+       {h60_sql("nfc_normalize(text)")} AS nfc_fp
+FROM {table}
+"""

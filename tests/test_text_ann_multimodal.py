@@ -283,3 +283,23 @@ def test_length_outliers_hand_case(spark, tmp_path):
     assert got[0] == (12, 1, False)   # |10-12|*1e6 <= 4447800*1
     assert got[5] == (12, 1, True)    # 988e6 > 4.4e6
     assert sum(1 for v in got.values() if v[2]) == 1
+
+
+def test_nfc_stats_normalization(spark):
+    from linkgraph import text as T
+    from linkgraph.dedup import h60
+    from pyspark.sql import functions as F
+
+    composed = "Café fine"
+    decomposed = "Café fine"
+    d = spark.createDataFrame(
+        [(0, composed), (1, decomposed), (2, "plain ascii")],
+        "doc_id long, text string",
+    )
+    r = {x["doc_id"]: x for x in T.nfc_stats(d).collect()}
+    assert (r[0]["changed"], r[1]["changed"], r[2]["changed"]) == (0, 1, 0)
+    # both forms canonicalize to the SAME fingerprint (the dedup motive)
+    assert r[0]["nfc_fp"] == r[1]["nfc_fp"]
+    want = d.sparkSession.range(1).select(
+        h60(F.lit(composed)).alias("h")).collect()[0]["h"]
+    assert r[0]["nfc_fp"] == want
