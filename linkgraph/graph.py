@@ -368,7 +368,7 @@ def feature_propagation(
     join — AQE splits the hot keys)."""
     sym = edges.select("src", "dst").union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
+    ).distinct().localCheckpoint(eager=True)  # reused every hop: cut lineage
     x = vertices.select("id").join(
         sym.groupBy(F.col("src").alias("id")).agg(
             F.count("*").cast("long").alias("x")
@@ -388,6 +388,6 @@ def feature_propagation(
         )
         x = vertices.select("id").join(agg, "id", "left").select(
             "id", F.coalesce("x", F.lit(0)).alias("x")
-        )
+        ).localCheckpoint(eager=True)  # next hop + output read this twice
         out = out.join(x.select("id", F.col("x").alias(f"x{h}_e6")), "id")
     return out

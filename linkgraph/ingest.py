@@ -373,11 +373,17 @@ def resolve_redirects(
     paths.  Assumes acyclic redirects (a crawl dedups 301 loops
     upstream); the round cap turns an unexpected cycle into a loud
     error instead of an infinite loop."""
+    # eager localCheckpoint per round (repo convention, cf. pagerank/cc):
+    # lineage is CUT each doubling, so the final plan reads one
+    # materialized table instead of re-deriving every round
     m = redirects.select(
         F.col(src_col).cast("long").alias("u"),
         F.col(dst_col).cast("long").alias("v"),
         F.lit(1).cast("long").alias("h"),
-    ).persist()
+    ).localCheckpoint(eager=True)
+    targets = m.select(F.col("u").alias("_t")).distinct().localCheckpoint(
+        eager=True
+    )
     for _ in range(max_rounds):
         nxt = m.alias("a").join(
             m.select(
@@ -392,13 +398,10 @@ def resolve_redirects(
             F.col("a.u").alias("u"),
             F.coalesce(F.col("b._jv"), F.col("a.v")).alias("v"),
             (F.col("a.h") + F.coalesce(F.col("b._jh"), F.lit(0))).alias("h"),
-        ).persist()
+        ).localCheckpoint(eager=True)
         still = m2.join(
-            m.select(F.col("u").alias("_t")).distinct(),
-            m2["v"] == F.col("_t"),
-            "left_semi",
+            targets, m2["v"] == F.col("_t"), "left_semi"
         ).limit(1).count()
-        m.unpersist()
         m = m2
         if still == 0:
             return m.select(
