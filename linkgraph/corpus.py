@@ -719,3 +719,74 @@ r AS (
 SELECT doc_id, stratum, score_e6
 FROM r WHERE rn <= (n * {keep_permille} + 999) // 1000
 """
+
+
+# ---------------------------------------------------------------------------
+# hashed-feature linear classifier scoring (fastText-style quality model)
+# ---------------------------------------------------------------------------
+
+# Hashing-trick dimensionality and the deterministic weight formula.
+# w(b) = ((b * KNUTH + 12345) % 2001) - 1000, an integer in [-1000, 1000]
+# (e3 fixed point).  b < HC_DIM = 512, so b*KNUTH < 2^41: no int64
+# overflow in either engine, and both operands of every % are positive,
+# so Spark's and DuckDB's % agree.
+HC_DIM = 512
+_HC_KNUTH = 2654435761
+
+
+def hash_classifier_scores(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, n_tokens, score_e3, keep): score every document with a
+    hashed-bag-of-words linear classifier — the fastText-style quality
+    model of GPT-3/LLaMA-class pipelines (score against a
+    reference-corpus classifier, keep docs scoring positive).  Token t
+    maps to bucket h60(t) % HC_DIM; the document score is the sum of the
+    bucket weights, e3-quantized integers end to end so the gate is
+    exact.
+
+    The weight vector here is a deterministic arithmetic formula rather
+    than trained parameters (training is out of scope — the SCORING pass
+    is the part that must scale, and its plan is identical whatever the
+    weights): a per-row higher-order-function fold over the token array,
+    whole-stage codegen, ZERO shuffle and no Python — at 100 TB this is
+    a pure map over document splits, embarrassingly parallel.  Swapping
+    in trained weights = one broadcast array lookup in the same fold."""
+    from .dedup import h60, tokens
+
+    def w_of(t):
+        b = h60(t) % HC_DIM
+        return (b * _HC_KNUTH + 12345) % 2001 - 1000
+
+    toks = tokens(F.col(text_col))
+    score = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + w_of(t)
+    )
+    return docs.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        score.alias("score_e3"),
+        (score > 0).cast("long").alias("keep"),
+    )
+
+
+def hash_classifier_sql(table: str = "documents",
+                        text_expr: str = "text") -> str:
+    """DuckDB twin of :func:`hash_classifier_scores`."""
+    from .dedup import h60_sql
+
+    w = f"regexp_split_to_array(trim(lower({text_expr})), '\\s+')"
+    wexpr = (f"(({h60_sql('t')} % {HC_DIM}) * {_HC_KNUTH} + 12345) "
+             f"% 2001 - 1000")
+    return f"""
+WITH s AS (
+  SELECT CAST(doc_id AS BIGINT) AS id,
+         CAST(len({w}) AS BIGINT) AS n_tokens,
+         CAST(COALESCE(list_sum(list_transform({w}, t -> {wexpr})), 0)
+              AS BIGINT) AS score_e3
+  FROM {table}
+)
+SELECT id, n_tokens, score_e3,
+       CAST(CASE WHEN score_e3 > 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM s
+"""

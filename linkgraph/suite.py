@@ -6532,3 +6532,36 @@ def _register_text2() -> None:
 
 
 _register_text2()
+
+
+def q_topgram_char_mass(spark, sf_dir):
+    """Gopher-style bigram repetition signals (most-common-bigram char
+    mass + duplicated-bigram char mass, exact integer numerators) — see
+    text.topgram_char_mass.  Explode -> (id,gram) -> id aggregations,
+    map-side partial combine on both."""
+    from . import text
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return text.topgram_char_mass(docs)
+
+
+def q_hash_classifier_scores(spark, sf_dir):
+    """fastText-style hashed-bag-of-words classifier scoring pass — see
+    corpus.hash_classifier_scores.  Pure per-row higher-order fold,
+    whole-stage codegen, zero shuffle."""
+    from . import corpus
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return corpus.hash_classifier_scores(docs)
+
+
+def _register_text3() -> None:
+    from . import corpus, text
+
+    REGISTRY["topgram_char_mass"] = (
+        q_topgram_char_mass, text.topgram_char_mass_sql())
+    REGISTRY["hash_classifier_scores"] = (
+        q_hash_classifier_scores, corpus.hash_classifier_sql())
+
+
+_register_text3()

@@ -345,3 +345,83 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
        {h60_sql("nfc_normalize(text)")} AS nfc_fp
 FROM {table}
 """
+
+
+def topgram_char_mass(docs: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """(id, n_grams, top2_mass, dup2_mass): Gopher-style word-bigram
+    repetition signals — ``top2_mass`` is the largest character mass any
+    single bigram accounts for (count x chars, the "fraction of characters
+    in the most common 2-gram" numerator) and ``dup2_mass`` sums the
+    character mass of every bigram occurring 2+ times (the "characters in
+    duplicate n-grams" numerator).  Masses are exact integers; callers
+    divide by their own denominator, so no float crosses the gate.
+
+    Complements :func:`repetition_stats` (distinct/total ratio): a doc
+    that repeats ONE phrase a thousand times and a doc with uniformly
+    mild repetition can share a distinct/total ratio but differ wildly
+    here.  Plan: explode bigrams -> two aggregations keyed by (id, gram)
+    then id — both partial-aggregate map-side, no skew (keys are spread
+    per document), left join restores gram-less docs.  Scales linearly
+    in corpus size; nothing is per-vocabulary or per-corpus global."""
+    w = tokens(F.col(text_col))
+    gram = F.transform(
+        F.sequence(F.lit(1), F.size(w) - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at(w, i.cast("int")),
+            F.element_at(w, (i + 1).cast("int")),
+        ),
+    )
+    # sequence(1, 0) DESCENDS in Spark: guard docs with < 2 words
+    grams = F.when(F.size(w) >= 2, gram).otherwise(
+        F.array().cast("array<string>")
+    )
+    base = docs.select(F.col(id_col).cast("long").alias("id"),
+                       grams.alias("grams"))
+    g = base.select("id", F.explode("grams").alias("g"))
+    c = g.groupBy("id", "g").agg(F.count("*").alias("cnt"))
+    mass = (F.col("cnt") * F.length("g")).cast("long")
+    a = c.groupBy("id").agg(
+        F.sum("cnt").cast("long").alias("n_grams"),
+        F.max(mass).alias("top2_mass"),
+        F.sum(F.when(F.col("cnt") >= 2, mass).otherwise(F.lit(0)))
+        .cast("long").alias("dup2_mass"),
+    )
+    return base.select("id").join(a, "id", "left").select(
+        "id",
+        F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+        F.coalesce("top2_mass", F.lit(0)).cast("long").alias("top2_mass"),
+        F.coalesce("dup2_mass", F.lit(0)).cast("long").alias("dup2_mass"),
+    )
+
+
+def topgram_char_mass_sql(table: str = "documents",
+                          text_expr: str = "text") -> str:
+    """DuckDB twin of :func:`topgram_char_mass` (1-indexed lists; word
+    split mirrors dedup.tokens: split(trim(lower(text)), '\\s+'))."""
+    return f"""
+WITH t AS (
+  SELECT CAST(doc_id AS BIGINT) AS id,
+         regexp_split_to_array(trim(lower({text_expr})), '\\s+') AS w
+  FROM {table}
+),
+g AS (
+  SELECT id,
+         unnest(list_transform(range(1, len(w)),
+                               i -> w[i] || ' ' || w[i + 1])) AS g
+  FROM t
+),
+c AS (SELECT id, g, count(*) AS cnt FROM g GROUP BY 1, 2),
+a AS (
+  SELECT id,
+         SUM(cnt) AS n_grams,
+         MAX(cnt * len(g)) AS top2_mass,
+         SUM(CASE WHEN cnt >= 2 THEN cnt * len(g) ELSE 0 END) AS dup2_mass
+  FROM c GROUP BY 1
+)
+SELECT t.id,
+       CAST(COALESCE(a.n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(COALESCE(a.top2_mass, 0) AS BIGINT) AS top2_mass,
+       CAST(COALESCE(a.dup2_mass, 0) AS BIGINT) AS dup2_mass
+FROM t LEFT JOIN a ON t.id = a.id
+"""

@@ -274,3 +274,40 @@ def test_quality_filter_partition_invariant(docs):
     a = corpus.quality_filter(docs.repartition(1), keep_permille=500)
     b = corpus.quality_filter(docs.repartition(11), keep_permille=500)
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_hash_classifier_matches_python(docs):
+    from linkgraph.oracles import h60_oracle
+
+    def w_of(tok):
+        b = h60_oracle(tok) % corpus.HC_DIM
+        return (b * 2654435761 + 12345) % 2001 - 1000
+
+    got = {r["id"]: r for r in corpus.hash_classifier_scores(docs).collect()}
+    for row in docs.select("doc_id", "text").collect():
+        toks = row["text"].strip().lower().split()
+        want = sum(w_of(t) for t in toks)
+        g = got[row["doc_id"]]
+        assert g["n_tokens"] == len(toks), row["doc_id"]
+        assert g["score_e3"] == want, row["doc_id"]
+        assert g["keep"] == (1 if want > 0 else 0), row["doc_id"]
+
+
+def test_hash_classifier_separates_planted_classes(spark):
+    # two vocabularies drawn from opposite-sign weight buckets must land
+    # on opposite sides of the 0 threshold
+    from linkgraph.oracles import h60_oracle
+
+    def w_of(tok):
+        b = h60_oracle(tok) % corpus.HC_DIM
+        return (b * 2654435761 + 12345) % 2001 - 1000
+
+    vocab = [f"tok{i}" for i in range(200)]
+    pos = [t for t in vocab if w_of(t) > 200][:10]
+    neg = [t for t in vocab if w_of(t) < -200][:10]
+    assert len(pos) == 10 and len(neg) == 10
+    d = spark.createDataFrame(
+        [(0, " ".join(pos)), (1, " ".join(neg))], "doc_id long, text string"
+    )
+    got = {r["id"]: r for r in corpus.hash_classifier_scores(d).collect()}
+    assert got[0]["keep"] == 1 and got[1]["keep"] == 0

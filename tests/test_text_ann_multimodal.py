@@ -303,3 +303,36 @@ def test_nfc_stats_normalization(spark):
     want = d.sparkSession.range(1).select(
         h60(F.lit(composed)).alias("h")).collect()[0]["h"]
     assert r[0]["nfc_fp"] == want
+
+
+def test_topgram_char_mass_hand_case(spark):
+    from collections import Counter
+
+    cases = [
+        (0, "a b a b a b"),            # bigrams: 'a b'x3, 'b a'x2
+        (1, "x y z"),                  # all bigrams unique
+        (2, "solo"),                   # no bigram
+        (3, "  Mixed   CASE mixed case  "),  # lowercased + multi-space
+    ]
+    d = spark.createDataFrame(cases, "doc_id long, text string")
+    got = {r["id"]: r for r in text.topgram_char_mass(d).collect()}
+    for i, t in cases:
+        w = t.strip().lower().split()
+        grams = [f"{a} {b}" for a, b in zip(w, w[1:])]
+        cnt = Counter(grams)
+        assert got[i]["n_grams"] == len(grams), i
+        assert got[i]["top2_mass"] == (
+            max((c * len(g) for g, c in cnt.items()), default=0)
+        ), i
+        assert got[i]["dup2_mass"] == sum(
+            c * len(g) for g, c in cnt.items() if c >= 2
+        ), i
+
+
+def test_topgram_partition_invariant(spark):
+    rows = [(i, " ".join(f"w{(i * j) % 5}" for j in range(12)))
+            for i in range(40)]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    a = text.topgram_char_mass(d.repartition(1))
+    b = text.topgram_char_mass(d.repartition(7))
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
