@@ -98,3 +98,59 @@ def test_cli_new_graph_jobs(spark, tmp_path, edges30):
     comp = oracles.components_oracle(30, rows)
     verts = {v for e in rows for v in e}
     assert labs == {v: int(comp[v]) for v in verts}
+
+
+def test_spark_submit_py_files_launch(spark, edges30, tmp_path):
+    """The north rule's literal launch mode: spark-submit --py-files
+    linkgraph.zip from a NEUTRAL cwd (the package is importable only
+    from the shipped zip), fresh driver JVM, output read back and
+    checked against the pure-python PageRank oracle."""
+    import os
+    import shutil
+    import subprocess
+    import zipfile
+
+    import linkgraph
+
+    submit = shutil.which("spark-submit") or "/opt/spark/bin/spark-submit"
+    if not os.path.exists(submit):
+        pytest.skip("spark-submit not on PATH")
+
+    pkg = os.path.dirname(os.path.abspath(linkgraph.__file__))
+    zpath = str(tmp_path / "linkgraph.zip")
+    with zipfile.ZipFile(zpath, "w") as z:
+        for root, _dirs, files in os.walk(pkg):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    z.write(full, os.path.join(
+                        "linkgraph", os.path.relpath(full, pkg)))
+
+    edges_path = str(tmp_path / "edges.parquet")
+    edges30.write.mode("overwrite").parquet(edges_path)
+    main_py = str(tmp_path / "submit_job.py")
+    shutil.copy(
+        os.path.join(os.path.dirname(pkg), "tools", "submit_job.py"), main_py)
+
+    ranks_path = str(tmp_path / "ranks.parquet")
+    metrics_path = str(tmp_path / "metrics.json")
+    proc = subprocess.run(
+        [submit, "--master", "local[2]",
+         "--conf", "spark.sql.shuffle.partitions=4",
+         "--conf", "spark.ui.enabled=false",
+         "--conf", "spark.driver.memory=2g",
+         "--py-files", zpath, main_py,
+         "pagerank", "--input", edges_path, "--output", ranks_path,
+         "--tol", "1e-6", "--max-iter", "60",
+         "--metrics-out", metrics_path],
+        cwd=str(tmp_path), capture_output=True, text=True, timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr[-4000:]
+
+    got = {r["id"]: r["rank"]
+           for r in lgio.read_table(spark, ranks_path).collect()}
+    exp = oracles.pagerank_oracle(30, datagen.expected_edges(30))
+    assert np.allclose([got[i] for i in range(30)],
+                       [exp[i] for i in range(30)], atol=1e-6)
+    ms = json.load(open(metrics_path))
+    assert ms[-1]["l1_delta"] < 1e-6
