@@ -64,3 +64,43 @@ def test_incomplete_checkpoint_ignored(spark, edges30, tmp_path):
     os.makedirs(os.path.join(ck, "iter_00002", "state"), exist_ok=True)
     mgr = CheckpointManager(ck)
     assert mgr.latest() == 1
+
+
+def test_components_resume_equals_uninterrupted(spark, edges30, tmp_path):
+    from linkgraph.algos import connected_components
+
+    vertices = spark.createDataFrame([(i,) for i in range(V)], "id long")
+    full, full_m = connected_components(edges30, vertices=vertices, partitions=8)
+
+    ck = str(tmp_path / "ccr")
+    # "killed" after 2 iterations
+    connected_components(
+        edges30, vertices=vertices, partitions=8, max_iter=2, checkpoint_dir=ck
+    )
+    resumed, metrics = connected_components(
+        edges30, vertices=vertices, partitions=8, checkpoint_dir=ck
+    )
+    assert np.array_equal(_vec(full, "component"), _vec(resumed, "component"))
+    # metrics lineage is contiguous across the kill
+    assert [m["iteration"] for m in metrics] == list(range(len(metrics)))
+    assert len(metrics) == len(full_m)
+
+
+def test_labelprop_resume_equals_uninterrupted(spark, edges30, tmp_path):
+    from linkgraph.algos import label_propagation
+
+    vertices = spark.createDataFrame([(i,) for i in range(V)], "id long")
+    full, full_m = label_propagation(
+        edges30, vertices=vertices, partitions=8, max_iter=6
+    )
+
+    ck = str(tmp_path / "lpr")
+    label_propagation(
+        edges30, vertices=vertices, partitions=8, max_iter=3, checkpoint_dir=ck
+    )
+    resumed, metrics = label_propagation(
+        edges30, vertices=vertices, partitions=8, max_iter=6, checkpoint_dir=ck
+    )
+    # sync LP with deterministic tie-break: resume must be bit-identical
+    assert np.array_equal(_vec(full, "label"), _vec(resumed, "label"))
+    assert [m["iteration"] for m in metrics] == list(range(len(metrics)))
