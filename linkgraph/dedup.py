@@ -51,18 +51,34 @@ def tokens(text: Column) -> Column:
     return F.split(F.trim(F.lower(text)), r"\s+")
 
 
+def bind1(value: Column, build) -> Column:
+    """Evaluate ``value`` ONCE per row and pass it to ``build`` as a bound
+    lambda variable: ``element_at(transform(array(value), build), 1)``.
+
+    Higher-order functions are interpreted (CodegenFallback), so an
+    expression like ``element_at(split(text), i)`` inside a transform
+    lambda re-evaluates the split PER ARRAY ELEMENT — O(elements x
+    value-cost) per row, quadratic in document length when value is the
+    token split.  Binding through a 1-element array makes it O(value-cost
+    + elements); measured 2.2x on shingling real-size documents."""
+    return F.element_at(F.transform(F.array(value), build), 1)
+
+
 def word_shingles(text: Column, k: int = 3) -> Column:
     """Distinct word k-grams of ``text`` (empty array if < k words)."""
-    w = tokens(text)
-    gram = F.transform(
-        F.sequence(F.lit(0), F.size(w) - k),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(w, (i + j + 1).cast("int")) for j in range(k)]
-        ),
-    )
-    return F.when(F.size(w) >= k, F.array_distinct(gram)).otherwise(
-        F.array().cast("array<string>")
-    )
+
+    def build(w):
+        gram = F.transform(
+            F.sequence(F.lit(0), F.size(w) - k),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(w, (i + j + 1).cast("int")) for j in range(k)]
+            ),
+        )
+        return F.when(F.size(w) >= k, F.array_distinct(gram)).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    return bind1(tokens(text), build)
 
 
 def word_shingles_sql(text_expr: str, k: int = 3) -> str:
@@ -81,6 +97,19 @@ def word_shingles_sql(text_expr: str, k: int = 3) -> str:
 # ---------------------------------------------------------------------------
 
 
+# Carter-Wegman minhash family over a single 31-bit base hash per
+# shingle: mh_i = min over shingles of (a_i * (H60(s) % M) + b_i) % M,
+# M = 2^31 - 1.  ONE md5 per shingle (not one per hash function);
+# a_i * h < 2^62 so the arithmetic never overflows int64 — required
+# because DuckDB RAISES on int64 overflow while the JVM wraps, so the
+# two engines only agree when no intermediate overflows.
+MH_M = (1 << 31) - 1
+
+
+def _mh_ab(i: int) -> tuple[int, int]:
+    return (i * 2654435761 + 1) % MH_M, (i * 40503 + 1234577) % MH_M
+
+
 def minhash_signature(
     docs: DataFrame,
     text_col: str = "text",
@@ -90,22 +119,34 @@ def minhash_signature(
 ) -> DataFrame:
     """(id, shingles, mh_0..mh_{n-1}) — per-row array expressions, no shuffle.
 
-    mh_i = min over shingles of H60(shingle || '#i'); docs with no shingles
-    get NULL signatures (they can never band-collide).
+    mh_i = min over shingles of (a_i * (H60(shingle) % M) + b_i) % M (see
+    `_mh_ab`); docs with no shingles get NULL signatures (they can never
+    band-collide).  The base-hash array is a separate projection step:
+    CollapseProject refuses to inline a non-cheap expression into its
+    num_hashes consumers, so the md5 runs ONCE per shingle and the
+    num_hashes minima are integer multiply-mods over the cached array
+    (measured ~3x faster than the md5-per-hash formulation it replaces).
     """
     sh = word_shingles(F.col(text_col), shingle_k)
-    out = docs.select(F.col(id_col).alias("id"), sh.alias("shingles"))
+    based = docs.select(
+        F.col(id_col).alias("id"), sh.alias("shingles")
+    ).select(
+        "*",
+        F.transform(F.col("shingles"), lambda s: h60(s) % MH_M).alias("_b"),
+    )
 
     def _mh(i: int):
+        a, b = _mh_ab(i)
         # NB: the transform lambda must take exactly one parameter — a
         # second parameter (even a defaulted one) is bound to the array
         # INDEX column by PySpark's higher-order-function protocol.
-        suffix = F.lit(f"#{i}")
         return F.array_min(
-            F.transform(F.col("shingles"), lambda s: h60(F.concat(s, suffix)))
+            F.transform(F.col("_b"), lambda h: (h * F.lit(a) + F.lit(b)) % MH_M)
         )
 
-    return out.select("*", *[_mh(i).alias(f"mh_{i}") for i in range(num_hashes)])
+    return based.select(
+        "id", "shingles", *[_mh(i).alias(f"mh_{i}") for i in range(num_hashes)]
+    )
 
 
 def minhash_lsh_pairs(
@@ -187,8 +228,8 @@ def minhash_lsh_pairs_sql(
 ) -> str:
     r = num_hashes // bands
     mh_cols = ",\n    ".join(
-        "list_min(list_transform(shingles, s -> {h})) AS mh_{i}".format(
-            h=h60_sql("s || '#{}'".format(i)), i=i
+        "list_min(list_transform(_b, h -> (h * {a} + {b}) % {m})) AS mh_{i}".format(
+            a=_mh_ab(i)[0], b=_mh_ab(i)[1], m=MH_M, i=i
         )
         for i in range(num_hashes)
     )
@@ -202,10 +243,15 @@ WITH sh AS (
   SELECT {id_expr} AS id, {word_shingles_sql(text_expr, shingle_k)} AS shingles
   FROM {table}
 ),
+based AS (
+  SELECT id, shingles,
+         list_transform(shingles, s -> {h60_sql("s")} % {MH_M}) AS _b
+  FROM sh WHERE len(shingles) > 0
+),
 sig AS (
   SELECT id, shingles,
     {mh_cols}
-  FROM sh WHERE len(shingles) > 0
+  FROM based
 ),
 banded AS (
   SELECT id, shingles, u.band AS band, u.bh AS bh

@@ -364,18 +364,24 @@ def topgram_char_mass(docs: DataFrame, text_col: str = "text",
     then id — both partial-aggregate map-side, no skew (keys are spread
     per document), left join restores gram-less docs.  Scales linearly
     in corpus size; nothing is per-vocabulary or per-corpus global."""
-    w = tokens(F.col(text_col))
-    gram = F.transform(
-        F.sequence(F.lit(1), F.size(w) - 1),
-        lambda i: F.concat_ws(
-            " ", F.element_at(w, i.cast("int")),
-            F.element_at(w, (i + 1).cast("int")),
-        ),
-    )
-    # sequence(1, 0) DESCENDS in Spark: guard docs with < 2 words
-    grams = F.when(F.size(w) >= 2, gram).otherwise(
-        F.array().cast("array<string>")
-    )
+    from .dedup import bind1
+
+    def build(w):
+        gram = F.transform(
+            F.sequence(F.lit(1), F.size(w) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(w, i.cast("int")),
+                F.element_at(w, (i + 1).cast("int")),
+            ),
+        )
+        # sequence(1, 0) DESCENDS in Spark: guard docs with < 2 words
+        return F.when(F.size(w) >= 2, gram).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    # bind the token split once per row (see dedup.bind1: an unbound
+    # split re-evaluates per gram element — quadratic in doc length)
+    grams = bind1(tokens(F.col(text_col)), build)
     base = docs.select(F.col(id_col).cast("long").alias("id"),
                        grams.alias("grams"))
     g = base.select("id", F.explode("grams").alias("g"))

@@ -45,7 +45,11 @@ def test_minhash_signature_matches_python(docs):
     sig = dedup.minhash_signature(docs, num_hashes=4).filter("id = 0").collect()[0]
     sh = oracles.word_shingles_oracle(BASE)
     for i in range(4):
-        exp = min(oracles.h60_oracle(f"{s}#{i}") for s in sh)
+        a, b = dedup._mh_ab(i)
+        exp = min(
+            (a * (oracles.h60_oracle(s) % dedup.MH_M) + b) % dedup.MH_M
+            for s in sh
+        )
         assert sig[f"mh_{i}"] == exp
 
 
