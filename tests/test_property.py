@@ -199,3 +199,34 @@ def test_wl_property(spark, rows):
     for v, c in color.items():
         canon[c] = min(canon.get(c, v), v)
     assert got == {v: canon[c] for v, c in color.items()}
+
+
+words_st = st.lists(
+    st.sampled_from(["a", "bb", "ccc", "dd", "e", "ff", "ggg"]),
+    min_size=0, max_size=12,
+)
+
+
+@settings(**_SETTINGS)
+@given(ws=st.lists(words_st, min_size=1, max_size=6))
+def test_shingle_minhash_property(spark, ws):
+    """Any random token stream: bound-split shingling + Carter-Wegman
+    minhash must equal the pure-python reimplementation exactly
+    (guards the interpreted-HOF rebinding rewrite)."""
+    from linkgraph import dedup
+
+    texts = [(i, "  ".join(w)) for i, w in enumerate(ws)]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    rows = {r["id"]: r
+            for r in dedup.minhash_signature(df, num_hashes=4).collect()}
+    for i, t in texts:
+        sh = oracles.word_shingles_oracle(t)
+        assert sorted(rows[i]["shingles"]) == sorted(sh), i
+        for j in range(4):
+            a, b = dedup._mh_ab(j)
+            exp = min(
+                ((a * (oracles.h60_oracle(s) % dedup.MH_M) + b) % dedup.MH_M
+                 for s in sh),
+                default=None,
+            )
+            assert rows[i][f"mh_{j}"] == exp, (i, j)
