@@ -31,8 +31,17 @@ def connected_components(
     max_iter: int = 100,
     partitions: int | None = None,
     checkpoint_dir: str | None = None,
+    initial_labels: DataFrame | None = None,
 ) -> tuple[DataFrame, list[dict]]:
-    """Returns (labels(id, component), per-iteration metrics)."""
+    """Returns (labels(id, component), per-iteration metrics).
+
+    ``initial_labels`` (id, component) warm-starts the min-label
+    propagation — e.g. the converged labels of a previous crawl before a
+    delta-edge batch.  The update is monotone (``least(own, min
+    neighbor)``), so any start with component <= id per vertex converges
+    to the same fixpoint (the component-min vertex id) in as many rounds
+    as the delta moved the frontier, not the full graph diameter.
+    Checkpoint resume takes precedence over ``initial_labels``."""
     spark = edges.sparkSession
     P = int(partitions or spark.conf.get("spark.sql.shuffle.partitions"))
 
@@ -64,6 +73,17 @@ def connected_components(
         labels = labels.repartition(P, "id").localCheckpoint(eager=True)
         metrics = ckpt.history()
         start_iter = last + 1
+    elif initial_labels is not None:
+        # vertices absent from the warm labels (new pages in the delta)
+        # start from their own id, same as a cold start
+        labels = (
+            v.join(initial_labels.select("id", F.col("component").alias("_w")),
+                   "id", "left")
+            .select("id", F.coalesce(F.least(F.col("_w"), F.col("id")),
+                                     F.col("id")).alias("component"))
+            .repartition(P, "id")
+            .localCheckpoint(eager=True)
+        )
     else:
         labels = v.select("id", F.col("id").alias("component")).localCheckpoint(eager=True)
 

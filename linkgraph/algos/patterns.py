@@ -424,6 +424,11 @@ PATTERNS: dict[str, list[Edge]] = {
     "four_cycle": [(0, 1), (1, 2), (2, 3), (3, 0)],
     "four_clique": [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)],
     "tailed_triangle": [(0, 1), (0, 2), (1, 2), (2, 3)],
+    # 4-clique minus one edge (0-3 missing): the dense near-clique motif
+    "diamond": [(0, 1), (0, 2), (1, 2), (1, 3), (2, 3)],
+    "five_cycle": [(0, 1), (1, 2), (2, 3), (3, 4), (4, 0)],
+    # two triangles sharing vertex 0
+    "bowtie": [(0, 1), (0, 2), (1, 2), (0, 3), (0, 4), (3, 4)],
     # /root/reference/applications/FiveHouse.cpp:18-27
     "five_house": [(0, 1), (0, 2), (1, 2), (1, 3), (2, 4), (3, 4)],
     "five_star": [(0, 1), (0, 2), (0, 3), (0, 4)],

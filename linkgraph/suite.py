@@ -1167,6 +1167,10 @@ SELECT * FROM a UNION ALL SELECT * FROM b
 # five_star is deliberately absent: the generic join chain enumerates
 # sum(deg^4) tuples for stars — the closed-form C(deg,k) agg in
 # motifs.k_star_count is the right plan (tested equal in tests/test_patterns.py)
+# diamond / bowtie / five_cycle run on the dense 25-vertex fixture instead
+# (see q_dense_patterns): on und_b their mechanical SQL twins cost DuckDB
+# minutes (measured 457 s for the 4-pattern variant), and a parity oracle
+# must stay cheap
 GENERIC_PATTERNS = ("four_cycle", "tailed_triangle")
 
 
@@ -6565,3 +6569,401 @@ def _register_text3() -> None:
 
 
 _register_text3()
+
+
+# ---------------------------------------------------------------------------
+# round-3b additions: incremental CC, DOULION, pattern widening, edit-distance
+# dedup verify, politeness crawl scheduler
+# ---------------------------------------------------------------------------
+
+
+def q_incremental_components(spark, sf_dir):
+    """Incremental connected components over an edge-delta batch: converge
+    min-label propagation on the base graph (~90% of edges), then ingest
+    the delta and WARM-START from the converged labels
+    (components.connected_components(initial_labels=...)) — the
+    cheap-recompute path for a continuously-crawled link graph.  The
+    monotone least() update makes the warm fixpoint equal the cold one
+    (component-min vertex id), so the oracle is the full-graph recursive
+    closure shared with `connected_components`."""
+    from .algos import connected_components
+
+    full = edges_b(spark, sf_dir)
+    base = full.filter((F.col("src") * 5 + F.col("dst")) % 10 != 7)
+    base_labels, _ = connected_components(
+        base, vertices=verts(spark, V_B), partitions=8
+    )
+    labels, _ = connected_components(
+        full, vertices=verts(spark, V_B), partitions=8,
+        initial_labels=base_labels,
+    )
+    return labels.select("id", F.col("component").cast("long").alias("component"))
+
+
+REGISTRY["incremental_components"] = (q_incremental_components, COMPONENTS_SQL)
+
+
+def q_doulion_triangle(spark, sf_dir):
+    """DOULION sparsified triangle estimate (Tsourakakis et al., KDD'09):
+    keep each oriented edge with p = 1/2 by a deterministic integer hash,
+    count triangles EXACTLY on the sparsified graph (same oriented 2-join
+    + semi-close plan as `triangle_count`), scale by 1/p^3 = 8 — integer
+    exact, partition-invariant, SQL-reproducible.  The sparsify-then-exact
+    strategy complements the reference's per-estimator sampling
+    (/root/reference/applications/Triangle.cpp:42-74): one Bernoulli pass
+    shrinks E before the join instead of sampling estimators after it.
+    The keep decision is the repo's md5-derived h60 hash of the edge key:
+    a LINEAR hash mod 2 would degenerate to endpoint parity (odd
+    multipliers) and keep only parity-monochromatic triangles — a ~2x
+    structural bias, caught by the ε assert in tests/test_round3b.py."""
+    from .algos import triangle_count
+    from .dedup import h60
+
+    e = edges_a(spark, sf_dir)
+    key = F.concat(F.col("a").cast("string"), F.lit(","),
+                   F.col("b").cast("string"))
+    o = (
+        e.select(F.least("src", "dst").alias("a"),
+                 F.greatest("src", "dst").alias("b"))
+        .distinct()
+        .filter(h60(key) % 2 == 0)
+    )
+    est = 8 * triangle_count(o.select(F.col("a").alias("src"),
+                                      F.col("b").alias("dst")))
+    exact = triangle_count(e)
+    return spark.createDataFrame(
+        [(int(est), int(exact))],
+        "doulion_estimate long, exact_triangles long",
+    )
+
+
+DOULION_SQL = f"""
+WITH {EDGES_A_SQL}, {OE_A_SQL},
+kept AS (SELECT a, b FROM oe_a
+         WHERE CAST(('0x' || substr(md5(CAST(a AS VARCHAR) || ',' ||
+                                        CAST(b AS VARCHAR)), 1, 15))
+                    AS BIGINT) % 2 = 0),
+t1 AS (SELECT CAST(count(*) * 8 AS BIGINT) AS doulion_estimate
+       FROM kept e1 JOIN kept e2 ON e1.b = e2.a
+       JOIN kept e3 ON e3.a = e1.a AND e3.b = e2.b),
+t2 AS (SELECT CAST(count(*) AS BIGINT) AS exact_triangles
+       FROM oe_a e1 JOIN oe_a e2 ON e1.b = e2.a
+       JOIN oe_a e3 ON e3.a = e1.a AND e3.b = e2.b)
+SELECT doulion_estimate, exact_triangles FROM t1 CROSS JOIN t2
+"""
+
+REGISTRY["doulion_triangle_estimate"] = (q_doulion_triangle, DOULION_SQL)
+
+
+DENSE_PATTERNS = ("diamond", "bowtie", "five_cycle")
+
+
+def q_dense_patterns(spark, sf_dir):
+    """diamond / bowtie / exact 5-cycle through the generic pattern
+    compiler (closure-first join plan, algos/patterns.py) — on the dense
+    25-vertex fixture: these patterns are join-heavy for a mechanical SQL
+    oracle on the bigger graphs (C5 has no early closure at all, so
+    intermediates are length-4 paths), and the dense fixture gives rich
+    counts (5.5k / 27.6k / 26.5k at sf0.01) at sub-second oracle cost."""
+    from .algos import patterns
+
+    e = edges_dense(spark, sf_dir).persist()
+    rows = [(n, patterns.pattern_count(e, patterns.PATTERNS[n]))
+            for n in DENSE_PATTERNS]
+    e.unpersist()
+    return spark.createDataFrame(rows, "pattern string, n long")
+
+
+def _dense_patterns_sql() -> str:
+    from .algos import patterns
+
+    subs = [
+        f"SELECT '{n}' AS pattern, n FROM ("
+        + patterns.pattern_count_sql(patterns.PATTERNS[n], "und_dense", "n")
+        + ")"
+        for n in DENSE_PATTERNS
+    ]
+    return (
+        f"WITH {EDGES_DENSE_SQL}, {UND_DENSE_SQL}\n"
+        + "\nUNION ALL\n".join(subs)
+    )
+
+
+REGISTRY["dense_pattern_counts"] = (q_dense_patterns, _dense_patterns_sql())
+
+
+def q_edit_distance_verify(spark, sf_dir):
+    """Near-dup verification by exact edit distance: MinHash+LSH candidate
+    pairs re-scored with Levenshtein distance over the raw texts (the
+    high-precision last stage of a dedup cascade).  The distance runs
+    only on the candidate pairs (bounded by LSH collisions), never
+    all-pairs; JVM-side F.levenshtein, no Python."""
+    from . import dedup
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = dedup.minhash_lsh_pairs(d, num_hashes=16, bands=8,
+                                    jaccard_threshold=0.5)
+    ta = d.select(F.col("doc_id").alias("id_a"), F.col("text").alias("_ta"))
+    tb = d.select(F.col("doc_id").alias("id_b"), F.col("text").alias("_tb"))
+    return (
+        pairs.join(ta, "id_a").join(tb, "id_b")
+        .select(
+            "id_a", "id_b",
+            F.levenshtein("_ta", "_tb").cast("long").alias("edit_distance"),
+        )
+    )
+
+
+def _edit_distance_sql() -> str:
+    from . import dedup
+
+    inner = dedup.minhash_lsh_pairs_sql(num_hashes=16, bands=8,
+                                        jaccard_threshold=0.5)
+    return f"""
+WITH pairs AS ({inner})
+SELECT p.id_a, p.id_b,
+       CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_distance
+FROM pairs p
+JOIN documents a ON a.doc_id = p.id_a
+JOIN documents b ON b.doc_id = p.id_b
+"""
+
+
+REGISTRY["edit_distance_verify"] = (q_edit_distance_verify,
+                                    _edit_distance_sql())
+
+
+def q_crawl_schedule(spark, sf_dir):
+    """Politeness-aware crawl scheduling: per-host fetch order by priority
+    with a fixed inter-request delay — fetch_offset_ms = (rank-1) * 500
+    within each host.  The window is keyed by host (bounded per-host
+    cardinality; hosts themselves scale out), never a global sort."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = F.col("doc_id").cast("long")
+    u = docs.select(
+        d.alias("doc_id"),
+        F.concat(F.lit("h"), (d % 30).cast("string")).alias("host"),
+        ((d * 37) % 100).alias("priority"),
+    )
+    w = Window.partitionBy("host").orderBy(
+        F.col("priority").desc(), F.col("doc_id").asc()
+    )
+    rn = F.row_number().over(w)
+    return u.select(
+        "doc_id", "host",
+        rn.cast("long").alias("fetch_order"),
+        ((rn - 1) * 500).cast("long").alias("fetch_offset_ms"),
+    )
+
+
+CRAWL_SCHEDULE_SQL = """
+WITH u AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         'h' || CAST(doc_id % 30 AS VARCHAR) AS host,
+         (doc_id * 37) % 100 AS priority
+  FROM documents
+)
+SELECT doc_id, host,
+       CAST(row_number() OVER (PARTITION BY host
+                               ORDER BY priority DESC, doc_id ASC) AS BIGINT)
+         AS fetch_order,
+       CAST((row_number() OVER (PARTITION BY host
+                                ORDER BY priority DESC, doc_id ASC) - 1) * 500
+            AS BIGINT) AS fetch_offset_ms
+FROM u
+"""
+
+REGISTRY["crawl_schedule"] = (q_crawl_schedule, CRAWL_SCHEDULE_SQL)
+
+
+def q_recrawl_priority(spark, sf_dir):
+    """Change-rate-driven recrawl scheduling: from the crawl-to-crawl edge
+    delta (same two snapshots as `crawl_delta`), compute each source
+    page's link-change ratio (added+removed over total touched) and bin
+    it into hot / warm / cold recrawl tiers — the freshness policy loop
+    of a continuous crawler.  One full-outer join + one grouped agg."""
+    from .graph import edge_delta
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    s = (F.col("o_orderkey").cast("long") * 13 + 7) % V_B
+    d = (F.col("o_custkey").cast("long") * 17 + 5) % V_B
+
+    def snap(pred):
+        return (o.filter(pred).select(s.alias("src"), d.alias("dst"))
+                .filter(F.col("src") != F.col("dst")))
+
+    old = snap(F.col("o_orderkey") % 10 < 2)
+    new = snap((F.col("o_orderkey") % 10 >= 1) & (F.col("o_orderkey") % 10 <= 2))
+    delta = edge_delta(old, new)
+    changed = F.sum((F.col("status") != "kept").cast("long"))
+    total = F.count(F.lit(1))
+    agg = delta.groupBy("src").agg(
+        changed.alias("changed"), total.alias("total"))
+    ratio_e6 = F.floor(F.col("changed") * F.lit(1000000) / F.col("total"))
+    return agg.select(
+        F.col("src").cast("long").alias("src"),
+        F.col("changed").cast("long").alias("changed"),
+        F.col("total").cast("long").alias("total"),
+        ratio_e6.cast("long").alias("change_ratio_e6"),
+        F.when(ratio_e6 >= 500000, "hot")
+        .when(ratio_e6 >= 100000, "warm")
+        .otherwise("cold").alias("tier"),
+    )
+
+
+RECRAWL_PRIORITY_SQL = f"""
+WITH o_snap AS (
+  SELECT DISTINCT CAST((o_orderkey * 13 + 7) % {V_B} AS BIGINT) AS src,
+         CAST((o_custkey * 17 + 5) % {V_B} AS BIGINT) AS dst
+  FROM orders
+  WHERE o_orderkey % 10 < 2
+    AND (o_orderkey * 13 + 7) % {V_B} <> (o_custkey * 17 + 5) % {V_B}),
+n_snap AS (
+  SELECT DISTINCT CAST((o_orderkey * 13 + 7) % {V_B} AS BIGINT) AS src,
+         CAST((o_custkey * 17 + 5) % {V_B} AS BIGINT) AS dst
+  FROM orders
+  WHERE o_orderkey % 10 BETWEEN 1 AND 2
+    AND (o_orderkey * 13 + 7) % {V_B} <> (o_custkey * 17 + 5) % {V_B}),
+delta AS (
+  SELECT coalesce(o.src, n.src) AS src,
+         CASE WHEN o.src IS NULL THEN 'added'
+              WHEN n.src IS NULL THEN 'removed'
+              ELSE 'kept' END AS status
+  FROM o_snap o FULL OUTER JOIN n_snap n
+    ON o.src = n.src AND o.dst = n.dst),
+agg AS (
+  SELECT src,
+         CAST(sum(CASE WHEN status <> 'kept' THEN 1 ELSE 0 END) AS BIGINT)
+           AS changed,
+         CAST(count(*) AS BIGINT) AS total
+  FROM delta GROUP BY src)
+SELECT src, changed, total,
+       CAST(floor(changed * 1000000 / total) AS BIGINT) AS change_ratio_e6,
+       CASE WHEN floor(changed * 1000000 / total) >= 500000 THEN 'hot'
+            WHEN floor(changed * 1000000 / total) >= 100000 THEN 'warm'
+            ELSE 'cold' END AS tier
+FROM agg
+"""
+
+REGISTRY["recrawl_priority"] = (q_recrawl_priority, RECRAWL_PRIORITY_SQL)
+
+
+def q_robots_filter(spark, sf_dir):
+    """robots.txt-style disallow filtering: a tiny per-host rule table
+    (host -> disallowed path prefix) BROADCAST against the url fixture;
+    a url is allowed iff no rule of its host prefixes its path.  The
+    rules side is O(hosts) — always broadcast at any corpus scale."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = F.col("doc_id").cast("long")
+    path = F.concat(
+        F.repeat(F.lit("/s"), (d % 9).cast("int")),
+        F.when(d % 5 == 0, F.lit("/img.jpg"))
+        .when(d % 5 == 1, F.lit("/page.html"))
+        .otherwise(F.lit("")),
+    )
+    urls = docs.select(
+        d.alias("doc_id"),
+        F.concat(F.lit("h"), (d % 30).cast("string")).alias("host"),
+        path.alias("path"),
+    )
+    rules = [(f"h{m}", "/s/s/s") for m in range(30) if m % 5 == 0]
+    rules += [(f"h{m}", "/page.html") for m in range(30) if m % 3 == 0]
+    rdf = spark.createDataFrame(rules, "host string, dis string")
+    hit = (
+        urls.join(F.broadcast(rdf), "host")
+        .filter(F.col("path").startswith(F.col("dis")))
+        .select("doc_id").distinct()
+    )
+    return (
+        urls.join(hit.withColumn("_hit", F.lit(1)), "doc_id", "left")
+        .select(
+            "doc_id", "host", "path",
+            F.when(F.col("_hit").isNull(), F.lit(1))
+            .otherwise(F.lit(0)).cast("long").alias("allowed"),
+        )
+    )
+
+
+ROBOTS_FILTER_SQL = """
+WITH u AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         'h' || CAST(doc_id % 30 AS VARCHAR) AS host,
+         repeat('/s', CAST(doc_id % 9 AS INT)) ||
+         CASE WHEN doc_id % 5 = 0 THEN '/img.jpg'
+              WHEN doc_id % 5 = 1 THEN '/page.html'
+              ELSE '' END AS path
+  FROM documents),
+rules AS (
+  SELECT 'h' || CAST(m AS VARCHAR) AS host, '/s/s/s' AS dis
+  FROM range(30) t(m) WHERE m % 5 = 0
+  UNION ALL
+  SELECT 'h' || CAST(m AS VARCHAR) AS host, '/page.html' AS dis
+  FROM range(30) t(m) WHERE m % 3 = 0)
+SELECT u.doc_id, u.host, u.path,
+       CAST(CASE WHEN EXISTS (
+              SELECT 1 FROM rules r
+              WHERE r.host = u.host AND u.path LIKE r.dis || '%')
+            THEN 0 ELSE 1 END AS BIGINT) AS allowed
+FROM u
+"""
+
+REGISTRY["robots_filter"] = (q_robots_filter, ROBOTS_FILTER_SQL)
+
+
+def q_partition_edgecut(spark, sf_dir):
+    """Partitioning quality audit: edge-cut of the derived page graph
+    under (a) per-url hash partitioning and (b) host-grouped partitioning
+    (all pages of a host on one partition), P = 8.  The engine's
+    shuffle-cost model for adjacency layout: host-grouped placement turns
+    intra-host links into partition-local edges — the quantity this gate
+    reports is exactly the shuffled fraction per superstep.  Zero-shuffle
+    scan + one global agg."""
+    from .dedup import h60
+
+    e = edges_a(spark, sf_dir)
+    host = lambda c: (F.col(c) % 40).cast("string")  # noqa: E731
+    part_hash = lambda c: h60(F.col(c).cast("string")) % 8  # noqa: E731
+    part_host = lambda c: h60(host(c)) % 8  # noqa: E731
+    return e.agg(
+        F.count(F.lit(1)).cast("long").alias("edges"),
+        F.sum((part_hash("src") != part_hash("dst")).cast("long"))
+        .cast("long").alias("cut_hash"),
+        F.sum((part_host("src") != part_host("dst")).cast("long"))
+        .cast("long").alias("cut_host"),
+        F.floor(
+            F.sum((part_hash("src") != part_hash("dst")).cast("long"))
+            * F.lit(1000000) / F.count(F.lit(1))
+        ).cast("long").alias("cut_hash_e6"),
+        F.floor(
+            F.sum((part_host("src") != part_host("dst")).cast("long"))
+            * F.lit(1000000) / F.count(F.lit(1))
+        ).cast("long").alias("cut_host_e6"),
+    )
+
+
+PARTITION_EDGECUT_SQL = f"""
+WITH {EDGES_A_SQL},
+p AS (
+  SELECT
+    CAST(('0x' || substr(md5(CAST(src AS VARCHAR)), 1, 15)) AS BIGINT) % 8
+      AS ph_s,
+    CAST(('0x' || substr(md5(CAST(dst AS VARCHAR)), 1, 15)) AS BIGINT) % 8
+      AS ph_d,
+    CAST(('0x' || substr(md5(CAST(src % 40 AS VARCHAR)), 1, 15)) AS BIGINT) % 8
+      AS hh_s,
+    CAST(('0x' || substr(md5(CAST(dst % 40 AS VARCHAR)), 1, 15)) AS BIGINT) % 8
+      AS hh_d
+  FROM edges_a)
+SELECT CAST(count(*) AS BIGINT) AS edges,
+       CAST(sum(CASE WHEN ph_s <> ph_d THEN 1 ELSE 0 END) AS BIGINT)
+         AS cut_hash,
+       CAST(sum(CASE WHEN hh_s <> hh_d THEN 1 ELSE 0 END) AS BIGINT)
+         AS cut_host,
+       CAST(floor(sum(CASE WHEN ph_s <> ph_d THEN 1 ELSE 0 END) * 1000000
+                  / count(*)) AS BIGINT) AS cut_hash_e6,
+       CAST(floor(sum(CASE WHEN hh_s <> hh_d THEN 1 ELSE 0 END) * 1000000
+                  / count(*)) AS BIGINT) AS cut_host_e6
+FROM p
+"""
+
+REGISTRY["partition_edgecut"] = (q_partition_edgecut, PARTITION_EDGECUT_SQL)

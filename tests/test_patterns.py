@@ -18,6 +18,9 @@ def test_automorphism_counts():
     assert patterns.automorphisms(patterns.PATTERNS["five_house"]) == 2
     assert patterns.automorphisms(patterns.PATTERNS["five_star"]) == 24
     assert patterns.automorphisms(patterns.PATTERNS["tailed_triangle"]) == 2
+    assert patterns.automorphisms(patterns.PATTERNS["diamond"]) == 4
+    assert patterns.automorphisms(patterns.PATTERNS["five_cycle"]) == 10
+    assert patterns.automorphisms(patterns.PATTERNS["bowtie"]) == 8
 
 
 def test_plan_closure_first():
