@@ -1,0 +1,188 @@
+"""Bounded-state frequency and sampling sketches.
+
+Count-min sketch (Cormode & Muthukrishnan, J. Algorithms '05): a D x W
+integer table replaces the full per-key count table — the standard
+bounded-memory frequency structure for token / host / url streams whose
+key cardinality (web-scale vocab, 10^9+ hosts) dwarfs executor memory.
+The sketch NEVER underestimates (est = min over D row buckets >= exact),
+and overestimates by at most e/W * N with prob 1 - e^-D — both properties
+regression-tested.
+
+Sequential Poisson sampling (Ohlsson, '98; the PPS estimator used for
+survey/corpus subsampling): rank every item by priority u_i / p_i with
+u_i uniform and p_i proportional to a size weight, keep the n smallest —
+an unequal-probability sample whose inclusion odds track the weight.
+The uniform is the deterministic 60-bit md5 hash, so the sample (and its
+SQL twin) is bit-reproducible; ranking is a global top-n (TakeOrdered,
+no full sort at scale).
+
+Mirrors the reference's estimator-vs-exact-oracle testing pattern
+(/root/reference/naive_implementation/) applied to frequency and
+sampling sketches; both are pure column expressions, no Python on the
+hot path.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import h60, h60_sql, tokens
+
+CMS_DEPTH = 4
+CMS_WIDTH = 128
+
+
+def _bucket(key, d):
+    """Row-d bucket of a key: h60(key || ':' || d) % W — one independent
+    hash family member per sketch row."""
+    return h60(F.concat(key, F.lit(":"), F.lit(str(d)))) % CMS_WIDTH
+
+
+def count_min_build(counts: DataFrame, key_col: str, cnt_col: str) -> DataFrame:
+    """Build the D x W sketch from an exact (key, count) table.
+
+    Summing pre-aggregated counts into buckets is identical to streaming
+    the raw occurrences (addition is associative), so the build composes
+    with any upstream partial aggregation — at 100 TB the only shuffled
+    rows are the D x W = 512 bucket partials per map task, never the keys.
+    """
+    rows = [
+        counts.select(
+            F.lit(d).alias("d"),
+            _bucket(F.col(key_col), d).alias("bucket"),
+            F.col(cnt_col).alias("c"),
+        )
+        for d in range(CMS_DEPTH)
+    ]
+    return (
+        reduce(DataFrame.unionByName, rows)
+        .groupBy("d", "bucket")
+        .agg(F.sum("c").cast("long").alias("c"))
+    )
+
+
+def count_min_probe(sketch: DataFrame, keys: DataFrame, key_col: str) -> DataFrame:
+    """Estimated count per key: min over the D bucket sums.
+
+    The sketch is O(D x W) rows — always broadcast; the probe is a keyed
+    equi-join, one row per (key, d), then a grouped min."""
+    probes = reduce(
+        DataFrame.unionByName,
+        [
+            keys.select(
+                F.col(key_col),
+                F.lit(d).alias("d"),
+                _bucket(F.col(key_col), d).alias("bucket"),
+            )
+            for d in range(CMS_DEPTH)
+        ],
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["d", "bucket"])
+        .groupBy(key_col)
+        .agg(F.min("c").cast("long").alias("cms_est"))
+    )
+
+
+def cms_heavy_hitters(docs: DataFrame, text_col: str = "text",
+                      k: int = 20) -> DataFrame:
+    """Exact top-k tokens with their count-min estimates.
+
+    Returns (tok, exact, cms_est, overestimate); CMS guarantees
+    overestimate >= 0 for every key.  The exact side exists only to
+    grade the sketch at test scale — production keeps just the D x W
+    table and probes it."""
+    t = (
+        docs.filter(F.length(F.trim(F.col(text_col))) > 0)
+        .select(F.explode(tokens(F.col(text_col))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact"))
+    )
+    t = t.persist()
+    sketch = count_min_build(t, "tok", "exact")
+    top = t.orderBy(F.col("exact").desc(), F.col("tok").asc()).limit(k)
+    est = count_min_probe(sketch, top.select("tok"), "tok")
+    out = (
+        top.join(est, "tok")
+        .select(
+            "tok", "exact", "cms_est",
+            (F.col("cms_est") - F.col("exact")).cast("long")
+            .alias("overestimate"),
+        )
+    )
+    out = out.localCheckpoint(eager=True)
+    t.unpersist()
+    return out
+
+
+def cms_heavy_hitters_sql(k: int = 20, table: str = "documents",
+                          text_expr: str = "text") -> str:
+    b = h60_sql("tok || ':' || CAST(d AS VARCHAR)")
+    return f"""
+WITH tc AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS exact
+  FROM (SELECT unnest(regexp_split_to_array(trim(lower({text_expr})), '\\s+'))
+          AS tok
+        FROM {table} WHERE len(trim({text_expr})) > 0)
+  GROUP BY tok),
+sk AS (
+  SELECT d, {b} % {CMS_WIDTH} AS bucket, CAST(sum(exact) AS BIGINT) AS c
+  FROM tc CROSS JOIN range({CMS_DEPTH}) t(d)
+  GROUP BY d, {b} % {CMS_WIDTH}),
+top AS (
+  SELECT tok, exact FROM tc ORDER BY exact DESC, tok ASC LIMIT {k}),
+est AS (
+  SELECT p.tok, CAST(min(sk.c) AS BIGINT) AS cms_est
+  FROM (SELECT tok, d, {b} % {CMS_WIDTH} AS bucket
+        FROM top CROSS JOIN range({CMS_DEPTH}) t(d)) p
+  JOIN sk ON sk.d = p.d AND sk.bucket = p.bucket
+  GROUP BY p.tok)
+SELECT top.tok, top.exact, est.cms_est,
+       CAST(est.cms_est - top.exact AS BIGINT) AS overestimate
+FROM top JOIN est ON est.tok = top.tok
+"""
+
+
+# ---------------------------------------------------------------------------
+# sequential Poisson (PPS) sampling
+# ---------------------------------------------------------------------------
+
+def pps_sample(docs: DataFrame, n: int, weight: F.Column,
+               id_col: str = "doc_id") -> DataFrame:
+    """Weight-proportional sample of n rows: priority = u div w with u the
+    deterministic 60-bit hash of the id (uniform on [0, 2^60)) and w >= 1
+    the size weight; keep the n smallest (ties by id).  Heavier rows get
+    smaller priorities, so inclusion probability tracks w (sequential
+    Poisson).  Integer `div` keeps the priority BIGINT-exact in both
+    engines (float division of 2^60-scale values rounds past the 53-bit
+    double mantissa and is not engine-portable).
+
+    Scale: priority is one column expression; selection is a global
+    top-n (per-partition heap + driver merge of n rows), never a full
+    sort."""
+    d = docs.select(
+        F.col(id_col),
+        F.greatest(weight.cast("long"), F.lit(1)).alias("weight"),
+        h60(F.col(id_col).cast("string")).alias("_u"),
+    )
+    return (
+        d.select(id_col, "weight",
+                 F.expr("_u div weight").cast("long").alias("priority"))
+        .orderBy(F.col("priority").asc(), F.col(id_col).asc())
+        .limit(n)
+    )
+
+
+def pps_sample_sql(n: int, weight_sql: str, table: str = "documents",
+                   id_col: str = "doc_id") -> str:
+    u = h60_sql(f"CAST({id_col} AS VARCHAR)")
+    return f"""
+SELECT {id_col}, weight, CAST({u} // weight AS BIGINT) AS priority
+FROM (SELECT {id_col}, greatest(CAST({weight_sql} AS BIGINT), 1) AS weight
+      FROM {table})
+ORDER BY priority ASC, {id_col} ASC
+LIMIT {n}
+"""

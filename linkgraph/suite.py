@@ -6967,3 +6967,45 @@ FROM p
 """
 
 REGISTRY["partition_edgecut"] = (q_partition_edgecut, PARTITION_EDGECUT_SQL)
+
+
+def q_cms_heavy_hitters(spark, sf_dir):
+    """Count-min-sketch frequency estimation graded against the exact
+    top-20 tokens: the D x W = 4 x 128 integer sketch replaces the full
+    vocabulary count table (bounded state at any corpus scale); CMS never
+    underestimates, so overestimate >= 0 for every key."""
+    from . import sketch
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return sketch.cms_heavy_hitters(docs, k=20)
+
+
+def _cms_sql() -> str:
+    from . import sketch
+
+    return sketch.cms_heavy_hitters_sql(k=20)
+
+
+REGISTRY["cms_heavy_hitters"] = (q_cms_heavy_hitters, _cms_sql())
+
+
+def q_pps_sample(spark, sf_dir):
+    """Sequential Poisson (PPS) corpus subsample: 100 documents drawn with
+    inclusion odds proportional to token count — the unequal-probability
+    sampler behind size-weighted corpus mixing.  Priority = h60(id) div
+    weight (BIGINT-exact), selection is a global top-n, never a full
+    sort."""
+    from . import corpus, sketch
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return sketch.pps_sample(docs, n=100,
+                             weight=corpus.n_tokens(F.col("text")))
+
+
+def _pps_sql() -> str:
+    from . import corpus, sketch
+
+    return sketch.pps_sample_sql(n=100, weight_sql=corpus.N_TOKENS_SQL)
+
+
+REGISTRY["pps_weighted_sample"] = (q_pps_sample, _pps_sql())
