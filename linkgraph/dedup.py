@@ -745,3 +745,100 @@ def snm_pairs(
         )
         .filter(F.col("jaccard_e6") >= int(threshold * 1e6))
     )
+
+
+# ---------------------------------------------------------------------------
+# duplicated n-gram span mass (exact-substring dedup signal)
+# ---------------------------------------------------------------------------
+
+
+def dup_span_stats(docs: DataFrame, k: int = 8, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Per-document duplicated k-token-span mass: the fraction of a doc's
+    k-gram positions whose gram occurs >= 2 times anywhere in the corpus
+    (other docs OR repeated within the same doc) — the signal behind
+    exact-substring training-data dedup (Lee et al., ACL'22: substrings
+    repeated verbatim across a corpus are memorization fuel; spans here
+    are token k-grams instead of suffix-array byte ranges, which keeps
+    the plan one explode + one keyed agg instead of a global sort).
+
+    Returns (doc_id, positions, dup_positions, dup_ratio_e6).
+
+    Scale: grams shuffle as 60-bit hashes, never strings; the occurrence
+    count is a partial-agg'd groupBy (hot boilerplate grams combine
+    map-side), and the join back is hash-equi on the gram key.  No
+    windows, no sorts, no all-pairs."""
+    def grams(w):
+        g = F.transform(
+            F.sequence(F.lit(0), F.size(w) - k),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(w, (i + j + 1).cast("int"))
+                       for j in range(k)]
+            ),
+        )
+        return F.when(F.size(w) >= k, g).otherwise(
+            F.array().cast("array<string>"))
+
+    occ = (
+        docs.select(F.col(id_col), bind1(tokens(F.col(text_col)), grams)
+                    .alias("_g"))
+        .select(id_col, F.explode_outer("_g").alias("_gram"))
+        .select(id_col, F.when(F.col("_gram").isNull(), F.lit(None))
+                .otherwise(h60(F.col("_gram"))).alias("gh"))
+    ).persist()
+    counts = (
+        occ.filter(F.col("gh").isNotNull())
+        .groupBy("gh").agg(F.count(F.lit(1)).alias("_n"))
+    )
+    per_doc = (
+        occ.join(counts, "gh", "left")
+        .groupBy(id_col)
+        .agg(
+            F.sum(F.col("gh").isNotNull().cast("long")).alias("positions"),
+            F.sum((F.coalesce(F.col("_n"), F.lit(0)) >= 2).cast("long"))
+            .alias("dup_positions"),
+        )
+    )
+    out = per_doc.select(
+        F.col(id_col),
+        F.col("positions").cast("long").alias("positions"),
+        F.col("dup_positions").cast("long").alias("dup_positions"),
+        F.when(F.col("positions") > 0,
+               F.floor(F.col("dup_positions") * F.lit(1000000)
+                       / F.col("positions")))
+        .otherwise(F.lit(0)).cast("long").alias("dup_ratio_e6"),
+    ).localCheckpoint(eager=True)
+    occ.unpersist()
+    return out
+
+
+def dup_span_stats_sql(k: int = 8, table: str = "documents",
+                       id_col: str = "doc_id", text_expr: str = "text") -> str:
+    w = f"regexp_split_to_array(trim(lower({text_expr})), '\\s+')"
+    parts = " || ' ' || ".join(f"w[i + {j}]" for j in range(k))
+    gh = h60_sql("gram")
+    return f"""
+WITH toks AS (SELECT {id_col}, {w} AS w FROM {table}),
+occ AS (
+  SELECT {id_col}, {gh} AS gh
+  FROM (SELECT {id_col},
+               unnest(list_transform(range(1, len(w) - {k - 2}), i -> {parts}))
+                 AS gram
+        FROM toks WHERE len(w) >= {k})),
+counts AS (SELECT gh, count(*) AS n FROM occ GROUP BY gh),
+per_doc AS (
+  SELECT o.{id_col},
+         CAST(count(*) AS BIGINT) AS positions,
+         CAST(sum(CASE WHEN c.n >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS dup_positions
+  FROM occ o JOIN counts c USING (gh)
+  GROUP BY o.{id_col})
+SELECT t.{id_col},
+       coalesce(p.positions, 0) AS positions,
+       coalesce(p.dup_positions, 0) AS dup_positions,
+       CAST(CASE WHEN coalesce(p.positions, 0) > 0
+                 THEN floor(p.dup_positions * 1000000 / p.positions)
+                 ELSE 0 END AS BIGINT) AS dup_ratio_e6
+FROM (SELECT DISTINCT {id_col} FROM {table}) t
+LEFT JOIN per_doc p USING ({id_col})
+"""

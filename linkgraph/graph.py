@@ -391,3 +391,50 @@ def feature_propagation(
         ).localCheckpoint(eager=True)  # next hop + output read this twice
         out = out.join(x.select("id", F.col("x").alias(f"x{h}_e6")), "id")
     return out
+
+
+def neighbor_sample(edges: DataFrame, k: int,
+                    directed: bool = True) -> DataFrame:
+    """Deterministic per-vertex k-neighbor sample — the GraphSAGE-style
+    minibatch fan-out primitive (Hamilton et al., NeurIPS'17): each
+    vertex keeps its k neighbors with the smallest h60(src:dst) draw, so
+    the sample is a uniform-without-replacement choice that is stable
+    across runs, partitionings, and engines.
+
+    Returns (src, dst, draw_rank) with draw_rank in 1..k.
+
+    Scale: one window keyed by src — per-key work is bounded by vertex
+    degree; hub vertices are the same skew PageRank handles, and a
+    production fan-out would pre-split hubs with the salting in
+    linkgraph.skew before ranking.  No global sort, no collect."""
+    from pyspark.sql import Window
+
+    from .dedup import h60
+
+    e = edges.select("src", "dst")
+    if not directed:
+        e = e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).distinct()
+    draw = h60(F.concat(F.col("src").cast("string"), F.lit(":"),
+                        F.col("dst").cast("string")))
+    w = Window.partitionBy("src").orderBy(draw.asc(), F.col("dst").asc())
+    return (
+        e.select("src", "dst", F.row_number().over(w).alias("draw_rank"))
+        .filter(F.col("draw_rank") <= k)
+        .select("src", "dst", F.col("draw_rank").cast("long").alias("draw_rank"))
+    )
+
+
+def neighbor_sample_sql(k: int, edges_cte: str = "edges_b") -> str:
+    from .dedup import h60_sql
+
+    draw = h60_sql("CAST(src AS VARCHAR) || ':' || CAST(dst AS VARCHAR)")
+    return f"""
+SELECT src, dst, CAST(draw_rank AS BIGINT) AS draw_rank
+FROM (SELECT src, dst,
+             row_number() OVER (PARTITION BY src
+                                ORDER BY {draw} ASC, dst ASC) AS draw_rank
+      FROM {edges_cte})
+WHERE draw_rank <= {k}
+"""

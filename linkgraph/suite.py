@@ -7009,3 +7009,42 @@ def _pps_sql() -> str:
 
 
 REGISTRY["pps_weighted_sample"] = (q_pps_sample, _pps_sql())
+
+
+def q_dup_span_stats(spark, sf_dir):
+    """Per-document duplicated 8-token-span mass — the exact-substring
+    dedup signal (Lee et al., ACL'22) as one explode + one keyed agg;
+    grams shuffle as 60-bit hashes, never strings."""
+    from . import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.dup_span_stats(docs, k=8)
+
+
+def _dup_span_sql() -> str:
+    from . import dedup
+
+    return dedup.dup_span_stats_sql(k=8)
+
+
+REGISTRY["dup_span_stats"] = (q_dup_span_stats, _dup_span_sql())
+
+
+def q_neighbor_sample(spark, sf_dir):
+    """GraphSAGE-style deterministic k=5 neighbor fan-out over the
+    undirected orders graph — the GNN minibatch sampling primitive;
+    per-vertex work bounded by degree (hub skew = the PageRank salting
+    problem, handled the same way at scale)."""
+    from .graph import neighbor_sample
+
+    return neighbor_sample(edges_b(spark, sf_dir), k=5, directed=False)
+
+
+def _neighbor_sample_sql() -> str:
+    from .graph import neighbor_sample_sql
+
+    return (f"WITH {EDGES_B_SQL}, {UND_B_SQL}\n"
+            + neighbor_sample_sql(5, edges_cte="und_b"))
+
+
+REGISTRY["neighbor_sample_k5"] = (q_neighbor_sample, _neighbor_sample_sql())
