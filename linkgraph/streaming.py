@@ -422,3 +422,48 @@ def stream_attribution(
     )
     q.awaitTermination()
     return spark.table(sink_table)
+
+
+def stream_cms_user_counts(
+    spark: SparkSession,
+    events_dir: str,
+    sink_table: str = "stream_cms",
+) -> DataFrame:
+    """Count-min sketch maintained AS the streaming state: the running
+    aggregation is keyed by (d, bucket), so state is bounded at
+    D x W = 512 rows no matter how many users or events flow through —
+    the canonical sketch-instead-of-keyed-state pattern for unbounded
+    key domains (a per-user count would grow state linearly forever).
+
+    Drains the backlog with availableNow (maxFilesPerTrigger=1, so the
+    sketch accumulates across micro-batches); returns the final sketch
+    (d, bucket, c), which the batch/DuckDB twin reproduces exactly —
+    bucket sums are associative, so stream order cannot change them."""
+    from .dedup import h60
+    from .sketch import CMS_DEPTH, CMS_WIDTH
+
+    stream = _events_stream(spark, events_dir)
+    ds = stream.select(
+        F.col("user_id").cast("string").alias("k"),
+        F.explode(F.array(*[F.lit(d) for d in range(CMS_DEPTH)])).alias("d"),
+    )
+    bucket = h60(F.concat(F.col("k"), F.lit(":"),
+                          F.col("d").cast("string"))) % CMS_WIDTH
+    agg = (
+        ds.groupBy(
+            F.col("d").cast("long").alias("d"),
+            bucket.cast("long").alias("bucket"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    ckpt = tempfile.mkdtemp(prefix="lg_stream_ckpt_")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink_table)
+        .outputMode("complete")
+        .option("checkpointLocation", os.path.join(ckpt, "cms"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink_table)

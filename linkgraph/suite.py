@@ -7048,3 +7048,30 @@ def _neighbor_sample_sql() -> str:
 
 
 REGISTRY["neighbor_sample_k5"] = (q_neighbor_sample, _neighbor_sample_sql())
+
+
+def q_stream_cms(spark, sf_dir):
+    """Count-min sketch AS streaming state: D x W = 512 rows of running
+    (d, bucket) counts over the event stream — bounded state for an
+    unbounded user-id domain; bucket sums are associative so the drained
+    sketch equals the batch build exactly."""
+    from . import streaming
+
+    return streaming.stream_cms_user_counts(
+        spark, f"{sf_dir}/events.parquet", sink_table="q_stream_cms"
+    )
+
+
+def _stream_cms_sql() -> str:
+    from .dedup import h60_sql
+    from .sketch import CMS_DEPTH, CMS_WIDTH
+
+    b = h60_sql("CAST(user_id AS VARCHAR) || ':' || CAST(d AS VARCHAR)")
+    return f"""
+SELECT d, {b} % {CMS_WIDTH} AS bucket, CAST(count(*) AS BIGINT) AS c
+FROM events CROSS JOIN range({CMS_DEPTH}) t(d)
+GROUP BY d, {b} % {CMS_WIDTH}
+"""
+
+
+REGISTRY["stream_cms_user_counts"] = (q_stream_cms, _stream_cms_sql())

@@ -117,3 +117,27 @@ def test_pps_partition_invariant(spark):
     b = {r["doc_id"]
          for r in sketch.pps_sample(docs.repartition(13), 50, w).collect()}
     assert a == b
+
+
+def test_stream_cms_equals_batch_build(spark):
+    """The drained streaming sketch equals count_min_build over the batch
+    per-user counts (bucket sums are associative — stream order and
+    micro-batch boundaries cannot change them)."""
+    from linkgraph import streaming
+
+    got = {
+        (r["d"], r["bucket"]): r["c"]
+        for r in streaming.stream_cms_user_counts(
+            spark, f"{SF}/events.parquet",
+            sink_table="t_stream_cms").collect()
+    }
+    users = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .select(F.col("user_id").cast("string").alias("k"))
+        .groupBy("k").agg(F.count(F.lit(1)).alias("c"))
+    )
+    want = {
+        (r["d"], r["bucket"]): r["c"]
+        for r in sketch.count_min_build(users, "k", "c").collect()
+    }
+    assert got == want
