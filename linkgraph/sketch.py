@@ -186,3 +186,65 @@ FROM (SELECT {id_col}, greatest(CAST({weight_sql} AS BIGINT), 1) AS weight
 ORDER BY priority ASC, {id_col} ASC
 LIMIT {n}
 """
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter (bounded-state set membership)
+# ---------------------------------------------------------------------------
+
+BLOOM_WORDS = 64       # filter = 64 x 32-bit words = 2048 bits
+BLOOM_WORD_BITS = 32   # bits stay below 2^31: no sign-bit portability traps
+BLOOM_K = 3            # hash functions
+BLOOM_BITS = BLOOM_WORDS * BLOOM_WORD_BITS
+
+
+def _bloom_pos(key, i):
+    return h60(F.concat(key, F.lit("#"), F.lit(str(i)))) % BLOOM_BITS
+
+
+def bloom_build(keys: DataFrame, key_col: str) -> DataFrame:
+    """Build the filter as (word, bits) rows via a bit_or aggregation —
+    O(BLOOM_WORDS) rows regardless of key-set size, always broadcastable.
+    At 100 TB this carries a benchmark / blocklist key set to every
+    executor when the raw set is too big to broadcast: no false
+    negatives, false positives bounded by (1 - e^{-Kn/M})^K."""
+    rows = [
+        keys.select(_bloom_pos(F.col(key_col), i).alias("p"))
+        for i in range(BLOOM_K)
+    ]
+    return (
+        reduce(DataFrame.unionByName, rows)
+        .select(
+            F.expr(f"p div {BLOOM_WORD_BITS}").cast("long").alias("word"),
+            F.expr(f"shiftleft(cast(1 as bigint), cast(p % {BLOOM_WORD_BITS} as int))")
+            .alias("b"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("b").cast("long").alias("bits"))
+    )
+
+
+def bloom_probe(bloom: DataFrame, keys: DataFrame, key_col: str) -> DataFrame:
+    """Membership test: a key is `maybe` iff ALL K probed bits are set.
+    The filter side is broadcast; the probe is a word-keyed equi-join +
+    grouped count — one row per (key, hash)."""
+    probes = reduce(
+        DataFrame.unionByName,
+        [
+            keys.select(F.col(key_col),
+                        _bloom_pos(F.col(key_col), i).alias("p"))
+            for i in range(BLOOM_K)
+        ],
+    ).select(
+        key_col,
+        F.expr(f"p div {BLOOM_WORD_BITS}").cast("long").alias("word"),
+        F.expr(f"shiftleft(cast(1 as bigint), cast(p % {BLOOM_WORD_BITS} as int))")
+        .alias("m"),
+    )
+    hit = (F.col("bits").bitwiseAND(F.col("m")) != 0).cast("long")
+    return (
+        probes.join(F.broadcast(bloom), "word", "left")
+        .select(key_col, F.coalesce(hit, F.lit(0)).alias("h"))
+        .groupBy(key_col)
+        .agg((F.sum("h") == BLOOM_K).cast("long").alias("maybe"))
+    )

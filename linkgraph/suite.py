@@ -7075,3 +7075,93 @@ GROUP BY d, {b} % {CMS_WIDTH}
 
 
 REGISTRY["stream_cms_user_counts"] = (q_stream_cms, _stream_cms_sql())
+
+
+def q_bloom_decontaminate(spark, sf_dir):
+    """Bloom-filter decontamination: the benchmark set (docs with
+    doc_id % 20 == 0) is carried as a 2048-bit filter over its 5-token
+    shingles — O(words) state vs the raw key set, no false negatives
+    (bloom_hits >= exact_hits per doc, tested), false positives bounded.
+    The scale case for when the probe set is too big to broadcast raw."""
+    from . import dedup, sketch
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sh = dedup.word_shingles(F.col("text"), k=5)
+    bench_keys = (
+        docs.filter(F.col("doc_id") % 20 == 0)
+        .select(F.explode(sh).alias("s")).distinct()
+    )
+    bloom = sketch.bloom_build(bench_keys, "s")
+    pd = (
+        docs.filter(F.col("doc_id") % 20 != 0)
+        .select(F.col("doc_id").cast("long").alias("doc_id"),
+                F.explode_outer(sh).alias("s"))
+    ).persist()
+    keys = pd.filter(F.col("s").isNotNull()).select("s").distinct()
+    maybe = sketch.bloom_probe(bloom, keys, "s")
+    exact = keys.join(bench_keys.withColumn("_e", F.lit(1)), "s", "left")
+    out = (
+        pd.join(maybe, "s", "left")
+        .join(exact.select("s", "_e"), "s", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("s").isNotNull().cast("long")).cast("long")
+            .alias("shingles"),
+            F.sum(F.coalesce(F.col("maybe"), F.lit(0))).cast("long")
+            .alias("bloom_hits"),
+            F.sum(F.coalesce(F.col("_e"), F.lit(0))).cast("long")
+            .alias("exact_hits"),
+        )
+    ).localCheckpoint(eager=True)
+    pd.unpersist()
+    return out
+
+
+def _bloom_decon_sql() -> str:
+    from . import dedup
+    from .sketch import BLOOM_BITS, BLOOM_K, BLOOM_WORD_BITS
+
+    sh = dedup.word_shingles_sql("text", k=5)
+    hp = dedup.h60_sql("s || '#' || CAST(i AS VARCHAR)")
+    one = "CAST(1 AS BIGINT)"
+    return f"""
+WITH bench AS (
+  SELECT DISTINCT unnest({sh}) AS s FROM documents WHERE doc_id % 20 = 0),
+bloom AS (
+  SELECT p // {BLOOM_WORD_BITS} AS word,
+         CAST(bit_or({one} << CAST(p % {BLOOM_WORD_BITS} AS INT)) AS BIGINT)
+           AS bits
+  FROM (SELECT {hp} % {BLOOM_BITS} AS p
+        FROM bench CROSS JOIN range({BLOOM_K}) t(i))
+  GROUP BY p // {BLOOM_WORD_BITS}),
+pd AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, unnest({sh}) AS s
+  FROM documents WHERE doc_id % 20 <> 0),
+keys AS (SELECT DISTINCT s FROM pd),
+probes AS (
+  SELECT s, {hp} % {BLOOM_BITS} AS p
+  FROM keys CROSS JOIN range({BLOOM_K}) t(i)),
+hit AS (
+  SELECT s,
+         CASE WHEN sum(CASE WHEN (b.bits &
+                   ({one} << CAST(p % {BLOOM_WORD_BITS} AS INT))) <> 0
+                 THEN 1 ELSE 0 END) = {BLOOM_K} THEN 1 ELSE 0 END AS maybe
+  FROM probes LEFT JOIN bloom b ON b.word = p // {BLOOM_WORD_BITS}
+  GROUP BY s),
+ex AS (
+  SELECT k.s, CASE WHEN b.s IS NOT NULL THEN 1 ELSE 0 END AS e
+  FROM keys k LEFT JOIN bench b ON b.s = k.s)
+SELECT d.doc_id,
+       CAST(count(pd.s) AS BIGINT) AS shingles,
+       CAST(coalesce(sum(hit.maybe), 0) AS BIGINT) AS bloom_hits,
+       CAST(coalesce(sum(ex.e), 0) AS BIGINT) AS exact_hits
+FROM (SELECT DISTINCT CAST(doc_id AS BIGINT) AS doc_id
+      FROM documents WHERE doc_id % 20 <> 0) d
+LEFT JOIN pd USING (doc_id)
+LEFT JOIN hit ON hit.s = pd.s
+LEFT JOIN ex ON ex.s = pd.s
+GROUP BY d.doc_id
+"""
+
+
+REGISTRY["bloom_decontaminate"] = (q_bloom_decontaminate, _bloom_decon_sql())

@@ -141,3 +141,43 @@ def test_stream_cms_equals_batch_build(spark):
         for r in sketch.count_min_build(users, "k", "c").collect()
     }
     assert got == want
+
+
+def test_bloom_build_matches_python(spark):
+    """Filter words are bit-identical to a pure-Python build."""
+    keys = [f"key{i}" for i in range(200)]
+    df = spark.createDataFrame([(k,) for k in keys], "s string")
+    got = {r["word"]: r["bits"]
+           for r in sketch.bloom_build(df, "s").collect()}
+    want = {}
+    for s in keys:
+        for i in range(sketch.BLOOM_K):
+            p = _h60(f"{s}#{i}") % sketch.BLOOM_BITS
+            w = p // sketch.BLOOM_WORD_BITS
+            want[w] = want.get(w, 0) | (1 << (p % sketch.BLOOM_WORD_BITS))
+    assert got == want
+
+
+def test_bloom_no_false_negatives(spark):
+    """Every inserted key probes `maybe`; disjoint keys mostly don't."""
+    ins = spark.createDataFrame([(f"in{i}",) for i in range(300)], "s string")
+    out = spark.createDataFrame([(f"out{i}",) for i in range(300)], "s string")
+    bloom = sketch.bloom_build(ins, "s")
+    got_in = {r["s"]: r["maybe"]
+              for r in sketch.bloom_probe(bloom, ins, "s").collect()}
+    assert all(v == 1 for v in got_in.values())
+    got_out = [r["maybe"]
+               for r in sketch.bloom_probe(bloom, out, "s").collect()]
+    # n=300, M=2048, K=3 -> theoretical FP ~ 4.5%; allow slack
+    assert sum(got_out) <= 0.15 * len(got_out), sum(got_out)
+
+
+def test_bloom_decontaminate_gate(spark):
+    """Per-doc invariant: bloom_hits >= exact_hits (no false negatives)
+    and both bounded by the shingle count."""
+    from linkgraph import suite
+
+    rows = suite.q_bloom_decontaminate(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["exact_hits"] <= r["bloom_hits"] <= r["shingles"]
