@@ -7165,3 +7165,44 @@ GROUP BY d.doc_id
 
 
 REGISTRY["bloom_decontaminate"] = (q_bloom_decontaminate, _bloom_decon_sql())
+
+
+def q_graphsage_fanout(spark, sf_dir):
+    """GraphSAGE 2-hop minibatch fan-out: from seed vertices (id % 50 ==
+    0), sample k=5 neighbors deterministically, then k=5 neighbors of
+    that frontier — the exact sampled-subgraph shape a GNN trainer
+    consumes.  Each hop is one equi-join against the degree-bounded
+    neighbor_sample table; total rows <= seeds * k + seeds * k^2
+    regardless of graph size."""
+    from .graph import neighbor_sample
+
+    ns = neighbor_sample(edges_b(spark, sf_dir), k=5,
+                         directed=False).persist()
+    h1 = (ns.filter(F.col("src") % 50 == 0)
+          .select("src", "dst", F.lit(1).cast("long").alias("hop")))
+    f1 = h1.select(F.col("dst").alias("src")).distinct()
+    h2 = (ns.join(f1, "src")
+          .select("src", "dst", F.lit(2).cast("long").alias("hop")))
+    out = h1.unionByName(h2).localCheckpoint(eager=True)
+    ns.unpersist()
+    return out
+
+
+def _graphsage_sql() -> str:
+    from .graph import neighbor_sample_sql
+
+    inner = neighbor_sample_sql(5, edges_cte="und_b").strip()
+    return f"""
+WITH {EDGES_B_SQL}, {UND_B_SQL},
+ns AS ({inner}),
+h1 AS (SELECT src, dst, CAST(1 AS BIGINT) AS hop FROM ns WHERE src % 50 = 0),
+f1 AS (SELECT DISTINCT dst FROM h1),
+h2 AS (SELECT ns.src, ns.dst, CAST(2 AS BIGINT) AS hop
+       FROM ns JOIN f1 ON f1.dst = ns.src)
+SELECT src, dst, hop FROM h1
+UNION ALL
+SELECT src, dst, hop FROM h2
+"""
+
+
+REGISTRY["graphsage_fanout_2hop"] = (q_graphsage_fanout, _graphsage_sql())

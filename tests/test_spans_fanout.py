@@ -99,3 +99,18 @@ def test_neighbor_sample_partition_invariant(spark, edges30):
          neighbor_sample(edges30.repartition(7), k=4,
                          directed=False).collect()}
     assert a == b
+
+
+def test_graphsage_fanout_structure(spark):
+    """Hop-1 rows start at seeds; hop-2 sources are exactly the distinct
+    hop-1 destinations; every (src, hop) group has <= 5 rows."""
+    from linkgraph import suite
+
+    rows = suite.q_graphsage_fanout(spark, "/root/testdata/sf0.001").collect()
+    h1 = [r for r in rows if r["hop"] == 1]
+    h2 = [r for r in rows if r["hop"] == 2]
+    assert h1 and h2
+    assert all(r["src"] % 50 == 0 for r in h1)
+    assert {r["src"] for r in h2} == {r["dst"] for r in h1}
+    per = Counter((r["src"], r["hop"]) for r in rows)
+    assert all(v <= 5 for v in per.values())
