@@ -248,3 +248,198 @@ def bloom_probe(bloom: DataFrame, keys: DataFrame, key_col: str) -> DataFrame:
         .groupBy(key_col)
         .agg((F.sum("h") == BLOOM_K).cast("long").alias("maybe"))
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct-count sketch
+# ---------------------------------------------------------------------------
+
+KMV_K = 64                       # sketch size: k smallest hashes per scope
+KMV_SPACE = 1 << 60              # h60 hash space
+KMV_OVERSAMPLE = 8               # pre-filter survivor budget multiplier
+
+
+def kmv_build(pairs: DataFrame, group_col: str, key_col: str,
+              k: int = KMV_K) -> DataFrame:
+    """KMV distinct-count sketch per group (Bar-Yossef et al., RANDOM'02):
+    keep the k smallest 60-bit hashes of the distinct keys in each group.
+    Returns the sketch ROWS (scope, h, n) — n is the group's exact
+    distinct-hash count, carried so the estimator can report exact vs
+    estimated side by side.
+
+    Scale plan: a naive per-group rank sorts every distinct key —
+    unbounded window state at web scale.  Instead the exact per-group
+    count n (one keyed aggregation, map-side combined) sets a hash
+    threshold t ~= OVERSAMPLE * k/n * 2^60 under which ~OVERSAMPLE*k
+    uniform hashes survive, so the rank window runs over O(k) survivors
+    per group regardless of group size — the same bounded-window trick
+    as `corpus.stratified_sample`.  Survivor shortfall (k smallest not
+    all under t) has probability < e^-ck and is regression-tested.
+
+    Mirrors the reference's estimator-vs-exact-counter oracle pattern
+    (/root/reference/naive_implementation/) for distinct counting."""
+    from pyspark.sql import Window
+
+    dk = (
+        pairs.select(F.col(group_col).alias("scope"),
+                     F.col(key_col).cast("string").alias("kk"))
+        .distinct()
+        .select("scope", h60(F.col("kk")).alias("h"))
+        .distinct()                      # h60-collision collapse IS the sketch semantic
+        .persist()
+    )
+    n = dk.groupBy("scope").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    cap = KMV_OVERSAMPLE * k
+    thr = n.select(
+        "scope", "n",
+        F.when(F.col("n") <= cap, F.lit(KMV_SPACE))
+        .otherwise((F.lit(KMV_SPACE) / F.col("n") * F.lit(cap)).cast("long"))
+        .alias("t"),
+    )
+    surv = dk.join(F.broadcast(thr), "scope").filter(F.col("h") <= F.col("t"))
+    w = Window.partitionBy("scope").orderBy("h")
+    out = (
+        surv.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= k)
+        .select("scope", "h", "n")
+        .localCheckpoint(eager=True)
+    )
+    dk.unpersist()
+    return out
+
+
+def _kmv_est(m, hk, k):
+    """(k-1)*2^60/h_k as ONE IEEE-double expression identical in Spark
+    and DuckDB: the constant is exactly representable, BIGINT->DOUBLE
+    rounding and the correctly-rounded divide agree bit-for-bit; exact
+    count when the sketch never filled (m < k)."""
+    return (
+        F.when(m < k, m)
+        .otherwise(F.floor(F.lit(float((k - 1) * KMV_SPACE)) / hk)
+                   .cast("long"))
+        .cast("long")
+    )
+
+
+def kmv_estimate(sketch: DataFrame, k: int = KMV_K) -> DataFrame:
+    """Per-scope distinct estimate from sketch rows:
+    (scope, m, hk, est, exact)."""
+    agg = sketch.groupBy("scope").agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.max("h").cast("long").alias("hk"),
+        F.max("n").cast("long").alias("exact"),
+    )
+    return agg.select(
+        "scope", "m", "hk",
+        _kmv_est(F.col("m"), F.col("hk"), k).alias("est"), "exact",
+    )
+
+
+def kmv_merge(sketch: DataFrame, scope: str, exact: DataFrame,
+              k: int = KMV_K) -> DataFrame:
+    """Union of per-scope sketches: every one of the union's k smallest
+    hashes is inside its own scope's k-smallest list, so re-ranking the
+    merged rows reproduces the union sketch EXACTLY — the mergeability
+    that makes KMV a partial-aggregatable distinct counter at 100 TB
+    (per-partition sketches, tiny shuffle, one re-rank).  `exact` is a
+    1-row (n) DataFrame with the union's true distinct count (not
+    derivable from sketches — that is the point of them)."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy("h")  # merged rows are O(#scopes * k): bounded window
+    topk = (
+        sketch.select("h").distinct()
+        .withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= k)
+    )
+    return (
+        topk.agg(
+            F.count(F.lit(1)).cast("long").alias("m"),
+            F.max("h").cast("long").alias("hk"),
+        )
+        .crossJoin(F.broadcast(exact.select(F.col("n").cast("long").alias("exact"))))
+        .select(
+            F.lit(scope).alias("scope"), "m", "hk",
+            _kmv_est(F.col("m"), F.col("hk"), k).alias("est"), "exact",
+        )
+    )
+
+
+def kmv_sql(group_expr: str, key_expr: str, table: str,
+            k: int = KMV_K) -> str:
+    """DuckDB twin of kmv_build+kmv_estimate over the same (group, key)
+    pairs — identical hash, threshold pre-filter, rank, and estimate
+    formula — plus the union row, which the twin computes as a direct
+    global build (provably equal to the Spark side's sketch MERGE: both
+    are the k smallest distinct hashes of the union)."""
+    h = h60_sql(f"CAST({key_expr} AS VARCHAR)")
+    cap = KMV_OVERSAMPLE * k
+    est_c = float((k - 1) * KMV_SPACE)
+    return f"""
+dk AS MATERIALIZED (
+  SELECT DISTINCT {group_expr} AS scope, {h} AS h FROM {table}),
+n_ AS (SELECT scope, CAST(count(*) AS BIGINT) AS n FROM dk GROUP BY scope),
+thr AS (
+  SELECT scope, n,
+         CASE WHEN n <= {cap} THEN CAST({KMV_SPACE} AS BIGINT)
+              ELSE CAST(CAST({KMV_SPACE} AS DOUBLE) / n * {cap} AS BIGINT)
+         END AS t
+  FROM n_),
+topk AS (
+  SELECT dk.scope, dk.h, thr.n FROM dk JOIN thr ON thr.scope = dk.scope
+  WHERE dk.h <= thr.t
+  QUALIFY row_number() OVER (PARTITION BY dk.scope ORDER BY dk.h) <= {k}),
+per_scope AS (
+  SELECT scope, CAST(count(*) AS BIGINT) AS m, CAST(max(h) AS BIGINT) AS hk,
+         CAST(max(n) AS BIGINT) AS exact
+  FROM topk GROUP BY scope),
+gd AS (SELECT DISTINCT h FROM dk),
+gn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM gd),
+gthr AS (
+  SELECT CASE WHEN n <= {cap} THEN CAST({KMV_SPACE} AS BIGINT)
+              ELSE CAST(CAST({KMV_SPACE} AS DOUBLE) / n * {cap} AS BIGINT)
+         END AS t, n
+  FROM gn),
+gtopk AS (
+  SELECT h, gthr.n FROM gd CROSS JOIN gthr WHERE h <= gthr.t
+  QUALIFY row_number() OVER (ORDER BY h) <= {k}),
+gsk AS (
+  SELECT CAST('__all__' AS VARCHAR) AS scope,
+         CAST(count(*) AS BIGINT) AS m, CAST(max(h) AS BIGINT) AS hk,
+         CAST(max(n) AS BIGINT) AS exact
+  FROM gtopk),
+allsk AS (
+  SELECT * FROM per_scope UNION ALL SELECT * FROM gsk)
+SELECT scope, m, hk,
+       CAST(CASE WHEN m < {k} THEN m
+                 ELSE floor(CAST({est_c!r} AS DOUBLE) / hk)
+            END AS BIGINT) AS est,
+       exact
+FROM allsk"""
+
+
+def bucket_min_estimate(sketch_df: DataFrame, buckets: int = 16) -> DataFrame:
+    """Distinct-count estimate from a bucket-min sketch (streaming.
+    stream_bucket_min_distinct): with sub-space S' = 2^60/B and n
+    distinct keys, E[sum over B buckets of min_i] ~ B^2*S'/(n+B), so
+    n_hat = B^2*S'/sum - B.  Empty buckets contribute S' (the min of
+    zero samples).  One IEEE-double expression on exact integer sums —
+    engine-deterministic (B^2*S' = 2^60*B is a power of two, exactly
+    representable)."""
+    sub_space = KMV_SPACE // buckets
+    agg = sketch_df.agg(
+        F.count(F.lit(1)).cast("long").alias("filled"),
+        F.sum("minh").cast("long").alias("s"),
+    )
+    total = (
+        F.col("s") + (F.lit(buckets) - F.col("filled")) * F.lit(sub_space)
+    ).cast("long")
+    return agg.select(
+        "filled",
+        total.alias("s_total"),
+        F.greatest(
+            F.lit(0),
+            (F.floor(F.lit(float(buckets * buckets * sub_space)) / total)
+             - F.lit(buckets)).cast("long"),
+        ).cast("long").alias("est"),
+    )

@@ -7206,3 +7206,221 @@ SELECT src, dst, hop FROM h2
 
 
 REGISTRY["graphsage_fanout_2hop"] = (q_graphsage_fanout, _graphsage_sql())
+
+
+# ---------------------------------------------------------------------------
+# round-3 additions: link-prediction scores, mixing statistics, KMV sketch
+# ---------------------------------------------------------------------------
+
+
+def _und_b_df(spark, sf_dir):
+    e = edges_b(spark, sf_dir)
+    return e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+
+
+def q_resource_allocation(spark, sf_dir):
+    """Resource-allocation link-prediction scores (Zhou, Lu & Zhang,
+    EPJ B 2009) on the undirected small graph: for every NON-adjacent
+    pair {a,b}, RA(a,b) = sum over shared neighbors w of 1/deg(w) —
+    the degree-penalized shared-neighbor score that beats raw common
+    neighbors on web graphs (hubs contribute little).  Each term is
+    quantized FIRST (1e6 div deg, exact integer division) and summed as
+    BIGINT, so the score is engine- and order-exact — no float-sum
+    nondeterminism.  Plan: wedge equi-join through w (never all pairs),
+    broadcast degree dim, anti-join vs the edge set; per-w fan-out is
+    deg(w)^2 — the documented skew cap is the same high-degree split
+    used by the triangle counter (algos/triangles.py)."""
+    und = _und_b_df(spark, sf_dir).persist()
+    deg = und.groupBy(F.col("src").alias("w")).agg(
+        F.count(F.lit(1)).cast("long").alias("dw")
+    )
+    n1 = und.select(F.col("dst").alias("w"), F.col("src").alias("a"))
+    n2 = und.select(F.col("dst").alias("w2"), F.col("src").alias("b"))
+    pairs = (
+        n1.join(n2, (F.col("w") == F.col("w2")) & (F.col("a") < F.col("b")))
+        .join(F.broadcast(deg), "w")
+        .groupBy("a", "b")
+        .agg(
+            F.sum(F.expr("1000000 div dw")).cast("long").alias("ra_e6"),
+            F.count(F.lit(1)).cast("long").alias("shared"),
+        )
+    )
+    oe = und.filter(F.col("src") < F.col("dst")).select(
+        F.col("src").alias("a"), F.col("dst").alias("b")
+    )
+    out = (
+        pairs.join(oe, ["a", "b"], "left_anti")
+        .filter(F.col("shared") >= 2)
+        .select("a", "b", "shared", "ra_e6")
+    ).localCheckpoint(eager=True)
+    und.unpersist()
+    return out
+
+
+RESOURCE_ALLOCATION_SQL = f"""
+WITH {EDGES_B_SQL}, {UND_B_SQL},
+deg AS (SELECT src AS w, CAST(count(*) AS BIGINT) AS dw FROM und_b GROUP BY src),
+pairs AS (
+  SELECT n1.src AS a, n2.src AS b,
+         CAST(count(*) AS BIGINT) AS shared,
+         CAST(sum(1000000 // d.dw) AS BIGINT) AS ra_e6
+  FROM und_b n1
+  JOIN und_b n2 ON n2.dst = n1.dst AND n1.src < n2.src
+  JOIN deg d ON d.w = n1.dst
+  GROUP BY 1, 2)
+SELECT a, b, shared, ra_e6 FROM pairs p
+WHERE shared >= 2
+  AND NOT EXISTS (SELECT 1 FROM und_b e WHERE e.src = p.a AND e.dst = p.b)
+"""
+
+REGISTRY["resource_allocation_scores"] = (
+    q_resource_allocation, RESOURCE_ALLOCATION_SQL)
+
+
+def q_rich_club(spark, sf_dir):
+    """Rich-club coefficients (Zhou & Mondragon, 2004) of the larger
+    derived graph: for each degree threshold k in {1,2,4,8,16,32},
+    phi(k) = 2*E_k / (N_k*(N_k-1)) over the subgraph induced by vertices
+    with undirected degree > k — do high-degree hubs wire to each other?
+    Exact integer counts; the density is an exact BIGINT integer
+    division (e6).  Plan: one degree aggregation, threshold table
+    broadcast both ways, edge side filtered by two broadcast-hash
+    semijoin-style joins — never an induced-subgraph materialization per
+    threshold."""
+    e = edges_a(spark, sf_dir)
+    und = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    deg = und.groupBy(F.col("src").alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    ).persist()
+    ks = spark.createDataFrame([(k,) for k in (1, 2, 4, 8, 16, 32)], "k long")
+    nk = (
+        ks.join(deg, F.col("d") > F.col("k"))
+        .groupBy("k").agg(F.count(F.lit(1)).cast("long").alias("n_k"))
+    )
+    oe = und.filter(F.col("src") < F.col("dst"))
+    da = F.broadcast(deg.select(F.col("v").alias("src"), F.col("d").alias("da")))
+    db = F.broadcast(deg.select(F.col("v").alias("dst"), F.col("d").alias("db")))
+    ek = (
+        oe.join(da, "src").join(db, "dst")
+        .crossJoin(F.broadcast(ks))
+        .filter((F.col("da") > F.col("k")) & (F.col("db") > F.col("k")))
+        .groupBy("k").agg(F.count(F.lit(1)).cast("long").alias("e_k"))
+    )
+    out = (
+        F.broadcast(nk).join(ek, "k", "full_outer")
+        .select(
+            "k",
+            F.coalesce("n_k", F.lit(0)).cast("long").alias("n_k"),
+            F.coalesce("e_k", F.lit(0)).cast("long").alias("e_k"),
+            F.when(
+                F.coalesce("n_k", F.lit(0)) >= 2,
+                F.expr("(2000000 * coalesce(e_k, 0)) div (n_k * (n_k - 1))"),
+            ).otherwise(F.lit(0)).cast("long").alias("phi_e6"),
+        )
+    )
+    out = out.localCheckpoint(eager=True)
+    deg.unpersist()
+    return out
+
+
+RICH_CLUB_SQL = f"""
+WITH {EDGES_A_SQL}, und_am AS MATERIALIZED (SELECT src, dst FROM edges_a
+  UNION SELECT dst AS src, src AS dst FROM edges_a),
+deg AS MATERIALIZED (
+  SELECT src AS v, CAST(count(*) AS BIGINT) AS d FROM und_am GROUP BY src),
+ks AS (SELECT CAST(unnest([1, 2, 4, 8, 16, 32]) AS BIGINT) AS k),
+nk AS (SELECT k, CAST(count(*) AS BIGINT) AS n_k
+       FROM ks JOIN deg ON deg.d > ks.k GROUP BY k),
+oe AS (SELECT src, dst FROM und_am WHERE src < dst),
+ek AS (SELECT k, CAST(count(*) AS BIGINT) AS e_k
+       FROM oe JOIN deg da ON da.v = oe.src JOIN deg db ON db.v = oe.dst
+       CROSS JOIN ks WHERE da.d > ks.k AND db.d > ks.k GROUP BY k)
+SELECT ks.k,
+       CAST(coalesce(nk.n_k, 0) AS BIGINT) AS n_k,
+       CAST(coalesce(ek.e_k, 0) AS BIGINT) AS e_k,
+       CAST(CASE WHEN coalesce(nk.n_k, 0) >= 2
+                 THEN (2000000 * coalesce(ek.e_k, 0))
+                      // (nk.n_k * (nk.n_k - 1))
+                 ELSE 0 END AS BIGINT) AS phi_e6
+FROM ks LEFT JOIN nk ON nk.k = ks.k LEFT JOIN ek ON ek.k = ks.k
+"""
+
+REGISTRY["rich_club_coefficients"] = (q_rich_club, RICH_CLUB_SQL)
+
+
+def q_kmv_distinct_users(spark, sf_dir):
+    """KMV distinct-user counting per event_type plus a MERGED all-types
+    row: per-scope sketches are built once, the union row re-ranks the
+    merged sketch rows (k smallest of the union are always inside the
+    per-scope k-smallest lists) — the partial-aggregatable distinct
+    counter that replaces count(DISTINCT) at 100 TB.  The oracle builds
+    the union sketch directly from the global hash set; equality with
+    the Spark-side MERGE is exactly the mergeability property."""
+    from . import sketch
+    from .dedup import h60
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pairs = ev.select(
+        F.col("event_type").cast("string").alias("scope"),
+        F.col("user_id").alias("u"),
+    )
+    sk = sketch.kmv_build(pairs, "scope", "u").persist()
+    per_scope = sketch.kmv_estimate(sk)
+    g_exact = (
+        ev.select(h60(F.col("user_id").cast("string")).alias("h"))
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    merged = sketch.kmv_merge(sk, "__all__", g_exact)
+    out = per_scope.unionByName(merged).localCheckpoint(eager=True)
+    sk.unpersist()
+    return out
+
+
+def _kmv_distinct_sql() -> str:
+    from .sketch import kmv_sql
+
+    return "WITH " + kmv_sql(
+        "CAST(event_type AS VARCHAR)", "user_id", "events"
+    ).lstrip()
+
+
+KMV_DISTINCT_SQL = _kmv_distinct_sql()
+
+REGISTRY["kmv_distinct_users"] = (q_kmv_distinct_users, KMV_DISTINCT_SQL)
+
+
+def q_stream_bucket_min(spark, sf_dir):
+    """Streaming bucket-min distinct sketch over the event backlog: the
+    sketch IS the state (16 rows bound an unbounded user domain); min
+    is associative, so the drained sketch equals the batch build
+    bit-for-bit — which is exactly what the oracle checks."""
+    from . import streaming
+
+    out = streaming.stream_bucket_min_distinct(
+        spark, f"{sf_dir}/events.parquet", buckets=16,
+        sink_table="suite_stream_bmin",
+    )
+    return out.select(
+        F.col("bucket").cast("long").alias("bucket"),
+        F.col("minh").cast("long").alias("minh"),
+    )
+
+
+def _stream_bmin_sql() -> str:
+    from .dedup import h60_sql
+
+    h = h60_sql("CAST(user_id AS VARCHAR)")
+    return f"""
+WITH hs AS (SELECT {h} AS h FROM events)
+SELECT CAST(h % 16 AS BIGINT) AS bucket, CAST(min(h // 16) AS BIGINT) AS minh
+FROM hs GROUP BY 1
+"""
+
+
+REGISTRY["stream_bucket_min_distinct"] = (q_stream_bucket_min,
+                                          _stream_bmin_sql())
