@@ -790,3 +790,159 @@ SELECT id, n_tokens, score_e3,
        CAST(CASE WHEN score_e3 > 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
 FROM s
 """
+
+
+# ---------------------------------------------------------------------------
+# BPE merge-rule learning (tokenizer training)
+# ---------------------------------------------------------------------------
+
+BPE_ROUNDS = 6
+
+
+def bpe_train(docs: DataFrame, rounds: int = BPE_ROUNDS,
+              text_col: str = "text") -> DataFrame:
+    """Learn byte-pair-encoding merge rules (Sennrich et al., ACL'16)
+    from the corpus: per round, the corpus-frequency-weighted most
+    common adjacent symbol pair becomes a merge rule and is applied
+    greedily left-to-right (non-overlapping) across the vocabulary.
+    Returns (round, lsym, rsym, pair_count) — the learned tokenizer.
+
+    Spark-first plan: training runs on the WORD-FREQUENCY VOCAB, not
+    the corpus — one corpus-sized aggregation up front, then every
+    round touches only the vocab's symbol table (word, freq, pos, sym),
+    which is orders of magnitude smaller than the corpus at any scale.
+    All per-word operations (adjacent-pair lead, run grouping, reindex)
+    are windows PARTITIONED BY word — state bounded by word length,
+    never a global sort.  The winning rule per round is a 1-row
+    driver scalar (bounded, like the adaptive estimator loop); ties
+    break deterministically by (count DESC, lsym, rsym) so the learned
+    rules are engine- and partitioning-exact.
+
+    Greedy non-overlap is positional: candidate pair positions that
+    form a consecutive run (only possible when lsym == rsym, e.g.
+    'aaaa') overlap pairwise, so greedy left-to-right keeps exactly
+    the even offsets within each run — reproduced verbatim in the SQL
+    twin, making the merge semantics identical by construction."""
+    words = (
+        docs.select(
+            F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"))
+            .alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    syms = words.select(
+        "word", "freq",
+        F.explode(F.sequence(F.lit(1), F.length("word"))).alias("pos"),
+    ).select(
+        "word", "freq", F.col("pos").cast("long").alias("pos"),
+        F.expr("substring(word, pos, 1)").alias("sym"),
+    ).localCheckpoint(eager=True)
+
+    spark = docs.sparkSession
+    w_word = Window.partitionBy("word").orderBy("pos")
+    rules = []
+    for rnd in range(1, rounds + 1):
+        pairs = (
+            syms.withColumn("nsym", F.lead("sym").over(w_word))
+            .filter(F.col("nsym").isNotNull())
+        )
+        top = (
+            pairs.groupBy(F.col("sym").alias("l"), F.col("nsym").alias("r"))
+            .agg(F.sum("freq").cast("long").alias("c"))
+            .orderBy(F.col("c").desc(), "l", "r")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        l, r, c = top[0]["l"], top[0]["r"], top[0]["c"]
+        rules.append((rnd, l, r, int(c)))
+        cand = pairs.filter(
+            (F.col("sym") == l) & (F.col("nsym") == r)).select("word", "pos")
+        runs = cand.withColumn(
+            "grp", F.col("pos") - F.row_number().over(w_word))
+        kept = (
+            runs.withColumn(
+                "off",
+                F.row_number().over(
+                    Window.partitionBy("word", "grp").orderBy("pos")),
+            )
+            .filter(F.col("off") % 2 == 1)
+            .select("word", "pos")
+        )
+        covered = kept.unionByName(
+            kept.select("word", (F.col("pos") + 1).alias("pos")))
+        merged = (
+            syms.join(kept, ["word", "pos"])
+            .select("word", "freq", "pos", F.lit(l + r).alias("sym"))
+        )
+        unchanged = syms.join(covered, ["word", "pos"], "left_anti")
+        # localCheckpoint (not persist): each round's plan references the
+        # previous round's symbol table in THREE branches (pairs, merged,
+        # unchanged), so without lineage truncation the logical plan grows
+        # ~3^rounds and analysis/persist dies with a JVM stack overflow.
+        # Eager checkpoint bounds the plan to one round and also stops the
+        # winner-collect from recomputing the whole history each round.
+        syms = (
+            unchanged.unionByName(merged)
+            .withColumn("pos", F.row_number().over(w_word).cast("long"))
+            .localCheckpoint(eager=True)
+        )
+    return spark.createDataFrame(
+        rules, "round long, lsym string, rsym string, pair_count long")
+
+
+def bpe_train_sql(rounds: int = BPE_ROUNDS, table: str = "documents") -> str:
+    """DuckDB twin of bpe_train: the same rounds unrolled as generated
+    CTEs — identical pair counting, tie-break, greedy-run merge, and
+    positional reindex."""
+    ctes = [f"""
+words AS MATERIALIZED (
+  SELECT word, CAST(count(*) AS BIGINT) AS freq
+  FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+'))
+          AS word FROM {table})
+  WHERE word <> '' GROUP BY word),
+syms_1 AS MATERIALIZED (
+  SELECT word, freq, CAST(pos AS BIGINT) AS pos,
+         substring(word, CAST(pos AS INT), 1) AS sym
+  FROM words, unnest(range(1, CAST(len(word) AS BIGINT) + 1)) t(pos))"""]
+    for i in range(1, rounds + 1):
+        ctes.append(f"""
+pairs_{i} AS MATERIALIZED (
+  SELECT word, freq, pos, sym AS l,
+         lead(sym) OVER (PARTITION BY word ORDER BY pos) AS r
+  FROM syms_{i}),
+rule_{i} AS MATERIALIZED (
+  SELECT l, r, CAST(sum(freq) AS BIGINT) AS c
+  FROM pairs_{i} WHERE r IS NOT NULL GROUP BY l, r
+  ORDER BY c DESC, l, r LIMIT 1),
+kept_{i} AS MATERIALIZED (
+  SELECT word, pos FROM (
+    SELECT word, pos,
+           pos - row_number() OVER (PARTITION BY word ORDER BY pos) AS grp
+    FROM pairs_{i} p
+    WHERE EXISTS (SELECT 1 FROM rule_{i} ru
+                  WHERE ru.l = p.l AND ru.r = p.r))
+  QUALIFY row_number() OVER (PARTITION BY word, grp ORDER BY pos) % 2 = 1),
+syms_{i + 1} AS MATERIALIZED (
+  SELECT word, freq,
+         CAST(row_number() OVER (PARTITION BY word ORDER BY pos) AS BIGINT)
+           AS pos,
+         sym
+  FROM (
+    SELECT s.word, s.freq, s.pos, ru.l || ru.r AS sym
+    FROM syms_{i} s
+    JOIN kept_{i} k ON k.word = s.word AND k.pos = s.pos
+    CROSS JOIN rule_{i} ru
+    UNION ALL
+    SELECT s.word, s.freq, s.pos, s.sym
+    FROM syms_{i} s
+    WHERE NOT EXISTS (SELECT 1 FROM kept_{i} k
+                      WHERE k.word = s.word
+                        AND (k.pos = s.pos OR k.pos + 1 = s.pos))))""")
+    finals = "\nUNION ALL\n".join(
+        f"SELECT CAST({i} AS BIGINT) AS round, l AS lsym, r AS rsym, "
+        f"c AS pair_count FROM rule_{i}"
+        for i in range(1, rounds + 1))
+    return "WITH " + ",".join(ctes) + "\n" + finals

@@ -7424,3 +7424,22 @@ FROM hs GROUP BY 1
 
 REGISTRY["stream_bucket_min_distinct"] = (q_stream_bucket_min,
                                           _stream_bmin_sql())
+
+
+def q_bpe_train(spark, sf_dir):
+    """Tokenizer training: 6 BPE merge rules learned from the corpus
+    (see corpus.bpe_train — vocab-sized iterative state, word-keyed
+    bounded windows, deterministic tie-break)."""
+    from .corpus import bpe_train
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return bpe_train(docs)
+
+
+def _bpe_train_sql() -> str:
+    from .corpus import bpe_train_sql
+
+    return bpe_train_sql()
+
+
+REGISTRY["bpe_train_merges"] = (q_bpe_train, _bpe_train_sql())

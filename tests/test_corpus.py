@@ -311,3 +311,53 @@ def test_hash_classifier_separates_planted_classes(spark):
     )
     got = {r["id"]: r for r in corpus.hash_classifier_scores(d).collect()}
     assert got[0]["keep"] == 1 and got[1]["keep"] == 0
+
+
+def _python_bpe(texts, rounds):
+    """Sequential BPE oracle: freq-weighted pair counts over the word
+    vocab, deterministic (count desc, l, r) tie-break, greedy
+    left-to-right non-overlapping merge."""
+    from collections import Counter
+
+    vocab = Counter()
+    for t in texts:
+        for w in t.strip().lower().split():
+            if w:
+                vocab[w] += 1
+    words = {w: list(w) for w in vocab}
+    rules = []
+    for rnd in range(1, rounds + 1):
+        counts = Counter()
+        for w, syms in words.items():
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] += vocab[w]
+        if not counts:
+            break
+        (l, r), c = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        rules.append((rnd, l, r, c))
+        for w, syms in words.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            words[w] = out
+    return rules
+
+
+def test_bpe_train_matches_python_oracle(spark, docs):
+    got = [
+        (r["round"], r["lsym"], r["rsym"], r["pair_count"])
+        for r in corpus.bpe_train(docs, rounds=5).orderBy("round").collect()
+    ]
+    texts = [r["text"] for r in docs.select("text").collect()]
+    assert got == _python_bpe(texts, 5)
+
+
+def test_bpe_train_partition_invariant(spark, docs):
+    a = corpus.bpe_train(docs.repartition(1), rounds=3).orderBy("round").collect()
+    b = corpus.bpe_train(docs.repartition(13), rounds=3).orderBy("round").collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
