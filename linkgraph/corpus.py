@@ -653,47 +653,130 @@ def quality_filter(
     each language rather than a global cutoff that would empty
     low-resource strata).  Returns (doc_id, stratum, score_e6).
 
-    100-TB plan: never rank a stratum.  Phase 1 collects the
-    (stratum, score) HISTOGRAM — bounded by e6 score granularity, not
-    corpus size — and derives per stratum the threshold score t, with
-    tie_keep = how many score==t docs still fit.  Phase 2 keeps
-    score > t with a pure broadcast-map filter and ranks ONLY the
-    score==t tie group by doc_id (window state = tie-group size; a
-    degenerate single-score stratum degrades to one ranked partition —
-    raise score granularity if that ever bites)."""
+    100-TB plan: never rank a stratum, and never collect anything
+    corpus- or granularity-sized.  Phase 1 finds the per-stratum
+    threshold score t (and tie_keep = how many score==t docs still fit)
+    with a TWO-LEVEL histogram: a coarse (stratum, score//1024) count —
+    <= strata x 978 rows to the driver regardless of corpus size — walks
+    to the coarse bucket containing rank k, then a fine histogram is
+    collected ONLY for that boundary bucket (<= strata x 1024 rows).
+    Phase 2 keeps score > t with a pure broadcast-map filter; the
+    score==t tie group is selected by the SMALLEST tie_keep doc_ids via
+    the same two-phase bounded-state prefix-rank as `shard_pack`:
+    deterministic doc_id boundary sample -> range buckets -> per-bucket
+    counts cumsum'd on the driver (strata x buckets rows) -> broadcast
+    offsets + per-bucket row_number.  Max window state = one bucket of
+    one stratum's tie group, so the degenerate single-score stratum no
+    longer degrades to one ranked partition."""
+    COARSE = 1024
+    TIE_BUCKETS = 32
     d = docs.select(
         F.col(id_col).cast("long").alias("doc_id"),
         F.col(stratum_col).alias("stratum"),
         quality_score(docs, text_col).alias("score_e6"),
-    )
-    hist = d.groupBy("stratum", "score_e6").count().collect()
-    by_s: dict = {}
-    for r in hist:
-        by_s.setdefault(r["stratum"], []).append((r["score_e6"], r["count"]))
-    thr, tie = {}, {}
-    for s, pairs in by_s.items():
-        n = sum(c for _, c in pairs)
-        k = (n * keep_permille + 999) // 1000
-        acc = 0
-        for score, c in sorted(pairs, reverse=True):
-            if acc + c >= k:
-                thr[s] = score
-                tie[s] = k - acc
-                break
-            acc += c
-    strata = sorted(thr)
-    thr_m = F.create_map(*[F.lit(x) for s in strata for x in (s, thr[s])])
-    tie_m = F.create_map(*[F.lit(x) for s in strata for x in (s, tie[s])])
-    t_col = F.element_at(thr_m, F.col("stratum"))
-    above = d.filter(F.col("score_e6") > t_col)
-    w = Window.partitionBy("stratum").orderBy("doc_id")
-    at = (
-        d.filter(F.col("score_e6") == t_col)
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= F.element_at(tie_m, F.col("stratum")))
-        .drop("_rn")
-    )
-    return above.unionByName(at)
+    ).persist()
+    try:
+        # phase 1a: coarse histogram (bounded by granularity/COARSE)
+        coarse = (
+            d.groupBy("stratum", (F.col("score_e6") / COARSE).cast("long")
+                      .alias("cb"))
+            .count().collect()
+        )
+        by_s: dict = {}
+        for r in coarse:
+            by_s.setdefault(r["stratum"], []).append((r["cb"], r["count"]))
+        k_s, cb_s, acc_s = {}, {}, {}
+        for s, pairs in by_s.items():
+            n = sum(c for _, c in pairs)
+            k = (n * keep_permille + 999) // 1000
+            acc = 0
+            for cb, c in sorted(pairs, reverse=True):
+                if acc + c >= k:
+                    k_s[s], cb_s[s], acc_s[s] = k, cb, acc
+                    break
+                acc += c
+        # phase 1b: fine histogram of ONLY each stratum's boundary bucket
+        cb_m = F.create_map(*[F.lit(x) for s in sorted(cb_s)
+                              for x in (s, cb_s[s])])
+        fine = (
+            d.filter((F.col("score_e6") / COARSE).cast("long")
+                     == F.element_at(cb_m, F.col("stratum")))
+            .groupBy("stratum", "score_e6").count().collect()
+        )
+        fine_s: dict = {}
+        for r in fine:
+            fine_s.setdefault(r["stratum"], []).append(
+                (r["score_e6"], r["count"]))
+        thr, tie = {}, {}
+        for s, pairs in fine_s.items():
+            acc = acc_s[s]
+            for score, c in sorted(pairs, reverse=True):
+                if acc + c >= k_s[s]:
+                    thr[s] = score
+                    tie[s] = k_s[s] - acc
+                    break
+                acc += c
+        strata = sorted(thr)
+        thr_m = F.create_map(*[F.lit(x) for s in strata for x in (s, thr[s])])
+        tie_m = F.create_map(*[F.lit(x) for s in strata for x in (s, tie[s])])
+        t_col = F.element_at(thr_m, F.col("stratum"))
+        above = d.filter(F.col("score_e6") > t_col)
+
+        # phase 2: tie group = smallest tie_keep doc_ids at score == t,
+        # via two-phase bounded prefix rank (shard_pack pattern)
+        tg = d.filter(F.col("score_e6") == t_col).persist()
+        try:
+            n_tie = {r["stratum"]: r["c"] for r in
+                     tg.groupBy("stratum").agg(F.count("*").alias("c"))
+                     .collect()}
+            cand: dict = {s: [] for s in n_tie}
+            n_all = sum(n_tie.values())
+            samp = max(1, n_all // max(1, TIE_BUCKETS * 32 * len(n_tie)))
+            for r in (tg.select("stratum", "doc_id")
+                      .filter(F.xxhash64(F.col("doc_id"), F.lit(11)) % samp
+                              == 0).collect()):
+                cand[r["stratum"]].append(r["doc_id"])
+            bounds = {}
+            for s, ids in cand.items():
+                ids.sort()
+                step = max(1, len(ids) // TIE_BUCKETS)
+                bounds[s] = ids[step::step][: TIE_BUCKETS - 1]
+            bnd_m = F.create_map(*[
+                F.lit(x) for s in sorted(bounds)
+                for x in (s, F.array(*[F.lit(b) for b in bounds[s]])
+                          if bounds[s] else F.array().cast("array<long>"))
+            ])
+            bcol = F.size(F.filter(
+                F.element_at(bnd_m, F.col("stratum")),
+                lambda b: F.col("doc_id") >= b,
+            ))
+            tb = tg.withColumn("_b", bcol.cast("int"))
+            sums = {(r["stratum"], r["_b"]): r["c"] for r in
+                    tb.groupBy("stratum", "_b").agg(F.count("*").alias("c"))
+                    .collect()}
+            off = {}
+            for s in sorted(n_tie):
+                acc = 0
+                for i in range(len(bounds.get(s, [])) + 1):
+                    off[f"{s}\x00{i}"] = acc
+                    acc += sums.get((s, i), 0)
+            off_m = F.create_map(*[F.lit(x) for kv in sorted(off.items())
+                                   for x in kv])
+            okey = F.concat(F.col("stratum"), F.lit("\x00"),
+                            F.col("_b").cast("string"))
+            w = Window.partitionBy("stratum", "_b").orderBy("doc_id")
+            at = (
+                tb.withColumn("_rk", F.element_at(off_m, okey)
+                              + F.row_number().over(w))
+                .filter(F.col("_rk") <= F.element_at(tie_m, F.col("stratum")))
+                .select("doc_id", "stratum", "score_e6")
+            )
+            out = above.unionByName(at).localCheckpoint(eager=True)
+        finally:
+            tg.unpersist()
+        return out
+    finally:
+        d.unpersist()
 
 
 def quality_filter_sql(

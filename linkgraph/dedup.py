@@ -842,3 +842,138 @@ SELECT t.{id_col},
 FROM (SELECT DISTINCT {id_col} FROM {table}) t
 LEFT JOIN per_doc p USING ({id_col})
 """
+
+
+# ---------------------------------------------------------------------------
+# exact-substring span REMOVAL (the Lee et al. production dedup transform)
+# ---------------------------------------------------------------------------
+
+# packed (doc_id, pos) key for the canonical-first-occurrence argmin:
+# doc_id * 2^20 + pos — exact while pos < 2^20 tokens/doc (web documents
+# are far shorter; chunk upstream otherwise) and doc_id < 2^43.
+_POS_SPACE = 1 << 20
+
+
+def remove_dup_spans(docs: DataFrame, k: int = 8, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Remove duplicated k-token spans from every document, keeping the
+    corpus-wide FIRST occurrence of each span — the production step of
+    exact-substring training-data dedup (Lee et al., ACL'22 §4: all but
+    one occurrence of a repeated substring is dropped before training;
+    `dup_span_stats` MEASURES the mass, this transform REMOVES it).
+    Spans are token k-grams (not suffix-array byte ranges), which keeps
+    the plan join-shaped instead of a global suffix sort.
+
+    Semantics: a k-gram occurrence is *duplicate* iff its gram occurs
+    >= 2 times corpus-wide AND it is not the occurrence with the
+    minimal (doc_id, position).  Every token position covered by a
+    duplicate occurrence is removed; the kept text is the remaining
+    tokens in order.  Returns
+    (doc_id, n_tokens, n_removed, kept_fp) — kept_fp is the h60
+    fingerprint of the kept text, so the gate proves byte-level output
+    parity without shipping full documents through the compare.
+
+    100-TB plan: grams shuffle as 60-bit hashes; the first-occurrence
+    argmin is one keyed agg (min of a packed BIGINT, map-side combined);
+    the dup-occurrence join is hash-equi on the gram key; coverage
+    positions explode k-per-dup and aggregate per doc (state bounded by
+    doc length).  The rebuild is IN-ROW — an indexed array filter, no
+    extra shuffle — costing O(len * covered) per doc, bounded because
+    document length is bounded in a web corpus.
+
+    Reference parity: the reference dedups its edge lists during
+    dataset preprocessing (datasets/wiki-vote/scripts/process.cpp:83-86)
+    — this is the corpus-side analogue."""
+    d = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        tokens(F.col(text_col)).alias("w"),
+    ).persist()
+    try:
+        grams_arr = F.transform(
+            F.sequence(F.lit(1), F.size("w") - k + 1),
+            lambda p: F.concat_ws(
+                " ", *[F.element_at(F.col("w"), (p + j).cast("int"))
+                       for j in range(k)]),
+        )
+        occ = (
+            d.filter(F.size("w") >= k)
+            .select("doc_id", F.posexplode(grams_arr).alias("p0", "gram"))
+            .select(
+                "doc_id",
+                (F.col("p0") + 1).cast("long").alias("pos"),
+                h60(F.col("gram")).alias("gh"),
+            )
+            .withColumn("pk", F.col("doc_id") * _POS_SPACE + F.col("pos"))
+        ).persist()
+        gram_tab = occ.groupBy("gh").agg(
+            F.count(F.lit(1)).alias("n"), F.min("pk").alias("first_pk"))
+        dup = (
+            occ.join(gram_tab, "gh")
+            .filter((F.col("n") >= 2) & (F.col("pk") != F.col("first_pk")))
+            .select("doc_id", "pos")
+        )
+        cov = (
+            dup.select(
+                "doc_id",
+                F.explode(F.sequence(F.col("pos"),
+                                     F.col("pos") + k - 1)).alias("tp"))
+            .groupBy("doc_id")
+            .agg(F.collect_set("tp").alias("cov"))
+        )
+        covc = F.coalesce(F.col("cov"), F.array().cast("array<long>"))
+        kept = F.filter(
+            F.col("w"), lambda x, i: ~F.array_contains(covc, (i + 1).cast("long")))
+        out = (
+            d.join(cov, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.size("w").cast("long").alias("n_tokens"),
+                F.size(covc).cast("long").alias("n_removed"),
+                h60(F.concat_ws(" ", kept)).alias("kept_fp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        occ.unpersist()
+        return out
+    finally:
+        d.unpersist()
+
+
+def remove_dup_spans_sql(k: int = 8, table: str = "documents",
+                         id_col: str = "doc_id",
+                         text_expr: str = "text") -> str:
+    """DuckDB twin of remove_dup_spans — identical gram hashes,
+    packed-key argmin, coverage expansion, and kept-text fingerprint."""
+    w = f"regexp_split_to_array(trim(lower({text_expr})), '\\s+')"
+    parts = " || ' ' || ".join(f"w[i + {j}]" for j in range(k))
+    gh = h60_sql("gram")
+    fp = h60_sql("coalesce(s, '')")
+    return f"""
+WITH toks AS MATERIALIZED (
+  SELECT CAST({id_col} AS BIGINT) AS doc_id, {w} AS w FROM {table}),
+occ AS MATERIALIZED (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos, {gh} AS gh
+  FROM (SELECT doc_id, i, {parts} AS gram
+        FROM toks, unnest(range(1, CAST(len(w) AS BIGINT) - {k} + 2)) t(i)
+        WHERE len(w) >= {k})),
+gram_tab AS (
+  SELECT gh, count(*) AS n, min(doc_id * {_POS_SPACE} + pos) AS first_pk
+  FROM occ GROUP BY gh),
+cov AS (
+  SELECT DISTINCT doc_id, CAST(tp AS BIGINT) AS tp
+  FROM (SELECT o.doc_id, o.pos FROM occ o JOIN gram_tab g USING (gh)
+        WHERE g.n >= 2 AND o.doc_id * {_POS_SPACE} + o.pos <> g.first_pk),
+       unnest(range(pos, pos + {k})) u(tp)),
+posx AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS i, w[i] AS tok
+  FROM toks, unnest(range(1, CAST(len(w) AS BIGINT) + 1)) t(i)),
+kept AS (
+  SELECT p.doc_id,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(count(c.tp) AS BIGINT) AS n_removed,
+         string_agg(CASE WHEN c.tp IS NULL THEN p.tok END, ' ' ORDER BY p.i)
+           AS s
+  FROM posx p LEFT JOIN cov c ON c.doc_id = p.doc_id AND c.tp = p.i
+  GROUP BY p.doc_id)
+SELECT doc_id, n_tokens, n_removed, {fp} AS kept_fp FROM kept
+"""

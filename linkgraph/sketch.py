@@ -292,8 +292,12 @@ def kmv_build(pairs: DataFrame, group_col: str, key_col: str,
     cap = KMV_OVERSAMPLE * k
     thr = n.select(
         "scope", "n",
+        # explicit floor on BOTH engines (Spark here, CAST(floor(..)) in
+        # kmv_sql) — a bare cast truncates in Spark but rounds in DuckDB,
+        # so the threshold could differ by 1 at a measure-zero boundary
         F.when(F.col("n") <= cap, F.lit(KMV_SPACE))
-        .otherwise((F.lit(KMV_SPACE) / F.col("n") * F.lit(cap)).cast("long"))
+        .otherwise(F.floor(F.lit(KMV_SPACE) / F.col("n") * F.lit(cap))
+                   .cast("long"))
         .alias("t"),
     )
     surv = dk.join(F.broadcast(thr), "scope").filter(F.col("h") <= F.col("t"))
@@ -305,6 +309,31 @@ def kmv_build(pairs: DataFrame, group_col: str, key_col: str,
         .localCheckpoint(eager=True)
     )
     dk.unpersist()
+    # Runtime shortfall guard: the oversampled pre-filter keeps the k
+    # smallest hashes with probability > 1 - e^-ck, but if a scope ever
+    # comes back with m < least(k, n) the estimator would silently take
+    # the m<k "exact" branch and report ~m for an arbitrarily large true
+    # count.  The sketch is O(scopes * k) rows and already checkpointed,
+    # so this check is one cheap aggregation over materialized rows.
+    # driven from the pre-filter per-scope n table, so a scope whose
+    # survivors ALL fell above the threshold (m=0, absent from the
+    # sketch) is caught too
+    short = (
+        thr.select("scope", F.col("n").alias("nn"))
+        .join(out.groupBy("scope").agg(F.count(F.lit(1)).alias("m")),
+              "scope", "left")
+        .withColumn("m", F.coalesce("m", F.lit(0)))
+        .filter(F.col("m") < F.least(F.lit(k), F.col("nn")))
+        .limit(1)
+        .collect()
+    )
+    if short:
+        r = short[0]
+        raise RuntimeError(
+            f"kmv_build survivor shortfall: scope={r['scope']!r} kept "
+            f"m={r['m']} < least(k={k}, n={r['nn']}) hashes — raise "
+            f"KMV_OVERSAMPLE (p < e^-ck event, or a non-uniform hash)"
+        )
     return out
 
 
@@ -382,7 +411,7 @@ n_ AS (SELECT scope, CAST(count(*) AS BIGINT) AS n FROM dk GROUP BY scope),
 thr AS (
   SELECT scope, n,
          CASE WHEN n <= {cap} THEN CAST({KMV_SPACE} AS BIGINT)
-              ELSE CAST(CAST({KMV_SPACE} AS DOUBLE) / n * {cap} AS BIGINT)
+              ELSE CAST(floor(CAST({KMV_SPACE} AS DOUBLE) / n * {cap}) AS BIGINT)
          END AS t
   FROM n_),
 topk AS (
@@ -397,7 +426,7 @@ gd AS (SELECT DISTINCT h FROM dk),
 gn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM gd),
 gthr AS (
   SELECT CASE WHEN n <= {cap} THEN CAST({KMV_SPACE} AS BIGINT)
-              ELSE CAST(CAST({KMV_SPACE} AS DOUBLE) / n * {cap} AS BIGINT)
+              ELSE CAST(floor(CAST({KMV_SPACE} AS DOUBLE) / n * {cap}) AS BIGINT)
          END AS t, n
   FROM gn),
 gtopk AS (

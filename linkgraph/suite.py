@@ -7030,6 +7030,26 @@ def _dup_span_sql() -> str:
 REGISTRY["dup_span_stats"] = (q_dup_span_stats, _dup_span_sql())
 
 
+def q_dup_span_removal(spark, sf_dir):
+    """Exact-substring span REMOVAL (Lee et al. ACL'22 production step):
+    drop every duplicated 8-token span except its corpus-wide first
+    occurrence; per-doc (n_tokens, n_removed, kept_fp) proves the
+    byte-level output (see dedup.remove_dup_spans)."""
+    from . import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.remove_dup_spans(docs, k=8)
+
+
+def _dup_span_removal_sql() -> str:
+    from . import dedup
+
+    return dedup.remove_dup_spans_sql(k=8)
+
+
+REGISTRY["dup_span_removal"] = (q_dup_span_removal, _dup_span_removal_sql())
+
+
 def q_neighbor_sample(spark, sf_dir):
     """GraphSAGE-style deterministic k=5 neighbor fan-out over the
     undirected orders graph — the GNN minibatch sampling primitive;
@@ -7310,8 +7330,12 @@ def q_rich_club(spark, sf_dir):
         .filter((F.col("da") > F.col("k")) & (F.col("db") > F.col("k")))
         .groupBy("k").agg(F.count(F.lit(1)).cast("long").alias("e_k"))
     )
+    # Drive the output from the threshold table (mirrors the SQL twin's
+    # FROM ks LEFT JOIN shape) so every k emits a row even when no vertex
+    # exceeds it — nk/ek have no row for such k and a full_outer would
+    # silently drop the threshold.
     out = (
-        F.broadcast(nk).join(ek, "k", "full_outer")
+        ks.join(F.broadcast(nk), "k", "left").join(F.broadcast(ek), "k", "left")
         .select(
             "k",
             F.coalesce("n_k", F.lit(0)).cast("long").alias("n_k"),
