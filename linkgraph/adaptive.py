@@ -155,6 +155,81 @@ class EBStop:
         return self.radius() <= self.eps * abs(self.mean)
 
 
+@dataclass
+class TimeBudget:
+    """Wall-clock-budgeted estimator sizing by batch doubling — the twin of
+    the reference's TimeProfile
+    (/root/reference/src/ErrorLatencyProfile.cpp:25-47): run a batch of
+    ``base_batch`` estimators, fold its estimate into the running weighted
+    mean, double the batch, and repeat while the NEXT batch (predicted to
+    cost 2x the last one) still fits in the budget; then spend whatever
+    budget remains on one final pro-rated batch
+    ``next_n * (limit - used) / (2 * last_batch_time)``.
+
+    Each ``calculate(n)`` call is one Spark job over an n-row estimator
+    table (e.g. :func:`linkgraph.algos.triangles.triangle_count_sampled`);
+    the fold is the reference's Estimation::update incremental weighted
+    mean (/root/reference/src/ZGraphInstance.cpp:15-35), so the result is
+    identical to one flat run over the same draws.  The doubling schedule
+    is the classic guess-and-double argument: total work is within 2x of
+    the largest batch that fits, so the budget is never overshot by more
+    than the final batch's misprediction.
+
+    ``clock`` is injectable (tests use a fake clock to pin the schedule);
+    ``max_batches`` is a runaway guard for degenerate zero-cost clocks.
+    """
+
+    time_limit: float
+    base_batch: int = 64
+    max_batches: int = 48
+    n: int = 0
+    estimate: float = 0.0
+    batches: list[int] = field(default_factory=list)
+
+    def reset(self) -> None:
+        self.n = 0
+        self.estimate = 0.0
+        self.batches = []
+
+    def update(self, n_new: int, est_new: float) -> None:
+        """Incremental weighted mean (ZGraphInstance.cpp:24-27 verbatim)."""
+        tot = self.n + n_new
+        self.estimate = (
+            self.estimate * (self.n / tot) + est_new * (n_new / tot)
+        )
+        self.n = tot
+
+    def run(
+        self,
+        calculate: Callable[[int], float],
+        clock: Callable[[], float] | None = None,
+    ) -> float:
+        if clock is None:
+            import time
+
+            clock = time.monotonic
+        self.reset()
+        used = 0.0
+        curr = 0.0
+        next_n = self.base_batch
+        while used + curr * 2 <= self.time_limit:
+            t0 = clock()
+            est = calculate(next_n)
+            curr = clock() - t0
+            self.update(next_n, est)
+            self.batches.append(next_n)
+            next_n <<= 1
+            used += curr
+            if len(self.batches) >= self.max_batches:
+                return self.estimate
+        if curr > 0:
+            remained = int(next_n * (self.time_limit - used) / (curr * 2))
+            if remained > 0:
+                self.update(remained, calculate(remained))
+                self.batches.append(remained)
+        return self.estimate
+
+
 def fit_k(points: list[tuple[float, float]]) -> float:
     """Unbiased zero-intercept regression y = kx: k = sum(xy) / sum(x^2)."""
     sxy = sum(x * y for x, y in points)

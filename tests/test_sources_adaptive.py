@@ -1,5 +1,6 @@
 """File-format sources roundtrip + adaptive stopping + sampled estimators."""
 
+import math
 import os
 import random
 
@@ -136,3 +137,75 @@ def test_adaptive_loop_drives_spark_batches(spark, edges30):
         lambda i: three_chain_count_sampled(edges30, num_estimators=2_000, seed=100 + i)
     )
     assert abs(mean - exact) / exact < 0.2
+
+
+def test_time_budget_doubling_schedule_fake_clock():
+    """TimeProfile::run twin (ErrorLatencyProfile.cpp:25-47): batches
+    double while the predicted next batch (2x the last one's cost) fits,
+    then one pro-rated remainder batch spends what's left.  Costs are
+    powers of two so the arithmetic is float-exact."""
+    state = {"t": 0.0}
+
+    def clock():
+        return state["t"]
+
+    def calculate(n):
+        state["t"] += n / 1024.0  # each estimator costs 1/1024 s
+        return 1.0
+
+    tb = adaptive.TimeBudget(time_limit=1.0, base_batch=64)
+    est = tb.run(calculate, clock=clock)
+    # 64+128+256+512 = 0.9375 s used; next would cost 1.0 s -> stop;
+    # remainder = 1024 * (1 - 0.9375) / (2 * 0.5) = 64
+    assert tb.batches == [64, 128, 256, 512, 64]
+    assert tb.n == 1024
+    assert est == 1.0
+    assert state["t"] <= 1.0 + 1e-12
+
+
+def test_time_budget_fold_equals_flat_run():
+    """The incremental weighted-mean fold (ZGraphInstance.cpp:24-27)
+    over the doubling batches equals one flat mean over the same draws."""
+    vals = [math.sin(i) + 2.0 for i in range(4096)]
+    consumed = []
+    state = {"t": 0.0}
+
+    def clock():
+        return state["t"]
+
+    def calculate(n):
+        batch = vals[len(consumed):len(consumed) + n]
+        consumed.extend(batch)
+        state["t"] += n / 512.0
+        return sum(batch) / len(batch)
+
+    tb = adaptive.TimeBudget(time_limit=1.0, base_batch=16)
+    est = tb.run(calculate, clock=clock)
+    assert len(tb.batches) > 2  # actually exercised the doubling loop
+    assert tb.n == len(consumed)
+    flat = sum(consumed) / len(consumed)
+    assert est == pytest.approx(flat, rel=1e-12)
+
+
+def test_time_budget_runaway_guard():
+    """A clock that never advances must not loop forever."""
+    tb = adaptive.TimeBudget(time_limit=1.0, base_batch=2, max_batches=5)
+    tb.run(lambda n: 1.0, clock=lambda: 0.0)
+    assert tb.batches == [2, 4, 8, 16, 32]
+
+
+def test_time_budget_spark_triangle_estimate(spark, edges30):
+    """Real wall clock driving Spark batches: the budgeted estimate is an
+    unbiased fold of triangle_count_sampled batches (seed varies per
+    batch so draws are independent)."""
+    from linkgraph.algos.triangles import triangle_count_sampled
+
+    exact = oracles.triangle_count_oracle(EDGES)
+    tb = adaptive.TimeBudget(time_limit=20.0, base_batch=2_000,
+                             max_batches=3)
+    est = tb.run(
+        lambda n: triangle_count_sampled(
+            edges30, num_estimators=n, seed=300 + len(tb.batches))
+    )
+    assert tb.n >= 2_000
+    assert abs(est - exact) / exact < 0.25
