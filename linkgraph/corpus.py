@@ -23,6 +23,8 @@ same way dedup.py / text.py / ann.py do.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -980,6 +982,18 @@ def bpe_train_sql(rounds: int = BPE_ROUNDS, table: str = "documents") -> str:
     """DuckDB twin of bpe_train: the same rounds unrolled as generated
     CTEs — identical pair counting, tie-break, greedy-run merge, and
     positional reindex."""
+    finals = "\nUNION ALL\n".join(
+        f"SELECT CAST({i} AS BIGINT) AS round, l AS lsym, r AS rsym, "
+        f"c AS pair_count FROM rule_{i}"
+        for i in range(1, rounds + 1))
+    return "WITH " + ",".join(_bpe_ctes(rounds, table)) + "\n" + finals
+
+
+def _bpe_ctes(rounds: int, table: str) -> list[str]:
+    """The unrolled BPE round CTEs shared by the train and encode twins:
+    syms_1 is the character-split vocab, rule_i / kept_i / syms_{i+1}
+    replay round i's pair count, winner, greedy-run keep set, and merged
+    symbol table."""
     ctes = [f"""
 words AS MATERIALIZED (
   SELECT word, CAST(count(*) AS BIGINT) AS freq
@@ -1024,8 +1038,89 @@ syms_{i + 1} AS MATERIALIZED (
     WHERE NOT EXISTS (SELECT 1 FROM kept_{i} k
                       WHERE k.word = s.word
                         AND (k.pos = s.pos OR k.pos + 1 = s.pos))))""")
-    finals = "\nUNION ALL\n".join(
-        f"SELECT CAST({i} AS BIGINT) AS round, l AS lsym, r AS rsym, "
-        f"c AS pair_count FROM rule_{i}"
-        for i in range(1, rounds + 1))
-    return "WITH " + ",".join(ctes) + "\n" + finals
+    return ctes
+
+
+# ---------------------------------------------------------------------------
+# BPE encode (tokenizer application)
+# ---------------------------------------------------------------------------
+
+
+def bpe_apply_word(word: str, rules: list[tuple[str, str]]) -> list[str]:
+    """Encode one word with an ordered BPE merge-rule list: for each rule
+    in training order, one greedy left-to-right non-overlapping pass over
+    the current symbol list (merges created by a pass are NOT re-matched
+    within the same pass — exactly the per-round window semantics of
+    :func:`bpe_train`).  Pure Python; shared by the vectorized encoder's
+    pandas UDF and the tests' independent oracle."""
+    syms = list(word)
+    for left, right in rules:
+        out: list[str] = []
+        i = 0
+        n = len(syms)
+        while i < n:
+            if i + 1 < n and syms[i] == left and syms[i + 1] == right:
+                out.append(left + right)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def bpe_encode(docs: DataFrame, rules: list[tuple[str, str]],
+               text_col: str = "text") -> DataFrame:
+    """Tokenize the corpus with a trained BPE merge table and return
+    per-token statistics (token, n_occurrences, n_words): the encode /
+    apply counterpart of :func:`bpe_train` (Sennrich et al., ACL'16).
+
+    Spark-first plan, vocab-bounded like training: the corpus is touched
+    ONCE for the word-frequency vocab; the Python merge fold then runs on
+    DISTINCT words only (an Arrow-batched pandas UDF — the per-word
+    iterative merge is inherently sequential so this is the sanctioned
+    non-JVM path, and its input is the vocab, orders of magnitude smaller
+    than the corpus at any scale).  The tiny rule list (``rounds`` rows)
+    ships to executors by closure — the broadcast-small-side pattern.
+    Token stats weight each (word, token-position) by the word's corpus
+    frequency, so the output equals tokenizing every document directly.
+
+    At 100 TB: one corpus-sized groupBy(word) shuffle + a vocab-sized
+    map + a vocab-sized groupBy(token) shuffle.  No per-document Python,
+    no state beyond the vocab."""
+    rules = [(str(l), str(r)) for l, r in rules]
+
+    words = (
+        docs.select(
+            F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"))
+            .alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+
+    @F.pandas_udf("array<string>")
+    def enc(col: pd.Series) -> pd.Series:
+        return col.map(lambda w: bpe_apply_word(w, rules))
+
+    toks = words.select(
+        "word", "freq", F.explode(enc("word")).alias("token"))
+    return toks.groupBy("token").agg(
+        F.sum("freq").cast("long").alias("n_occurrences"),
+        F.countDistinct("word").cast("long").alias("n_words"),
+    )
+
+
+def bpe_encode_sql(rounds: int = BPE_ROUNDS, table: str = "documents") -> str:
+    """DuckDB twin of train-then-encode: replay the identical unrolled
+    training rounds (shared CTEs with :func:`bpe_train_sql`) and
+    aggregate the FINAL symbol table — one row per (word, position), so
+    sum(freq) counts token occurrences with in-word multiplicity and the
+    distinct-word count matches the encoder's explode exactly."""
+    return (
+        "WITH " + ",".join(_bpe_ctes(rounds, table)) + f"""
+SELECT sym AS token, CAST(sum(freq) AS BIGINT) AS n_occurrences,
+       CAST(count(DISTINCT word) AS BIGINT) AS n_words
+FROM syms_{rounds + 1}
+GROUP BY sym
+""")

@@ -7467,3 +7467,28 @@ def _bpe_train_sql() -> str:
 
 
 REGISTRY["bpe_train_merges"] = (q_bpe_train, _bpe_train_sql())
+
+
+def q_bpe_encode(spark, sf_dir):
+    """Tokenizer application: train the 6-rule BPE merge table, then
+    encode the corpus with it (corpus.bpe_encode — vocab-bounded pandas
+    UDF over distinct words, frequency-weighted token stats).  The twin
+    replays the same training rounds in SQL and aggregates the final
+    symbol table, so a hash match proves the iterative Python encoder
+    reproduces the window-based merge semantics end to end."""
+    from .corpus import bpe_encode, bpe_train
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rules_df = bpe_train(docs)
+    rules = [(r["lsym"], r["rsym"])
+             for r in rules_df.orderBy("round").collect()]
+    return bpe_encode(docs, rules)
+
+
+def _bpe_encode_sql() -> str:
+    from .corpus import bpe_encode_sql
+
+    return bpe_encode_sql()
+
+
+REGISTRY["bpe_encode_stats"] = (q_bpe_encode, _bpe_encode_sql())

@@ -361,3 +361,82 @@ def test_bpe_train_partition_invariant(spark, docs):
     a = corpus.bpe_train(docs.repartition(1), rounds=3).orderBy("round").collect()
     b = corpus.bpe_train(docs.repartition(13), rounds=3).orderBy("round").collect()
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def _python_encode_stats(texts, rules):
+    """Sequential encode oracle: tokenize every word with the rule list
+    via corpus.bpe_apply_word semantics, aggregate (token ->
+    occurrences, distinct words) over the freq-weighted vocab."""
+    from collections import Counter
+
+    vocab = Counter()
+    for t in texts:
+        for w in t.strip().lower().split():
+            if w:
+                vocab[w] += 1
+    occ, words_of = Counter(), {}
+    for w, f in vocab.items():
+        for tok in corpus.bpe_apply_word(w, rules):
+            occ[tok] += f
+            words_of.setdefault(tok, set()).add(w)
+    return {t: (occ[t], len(words_of[t])) for t in occ}
+
+
+def test_bpe_encode_matches_python_oracle(spark, docs):
+    rules = [
+        (r["lsym"], r["rsym"])
+        for r in corpus.bpe_train(docs, rounds=5).orderBy("round").collect()
+    ]
+    got = {
+        r["token"]: (r["n_occurrences"], r["n_words"])
+        for r in corpus.bpe_encode(docs, rules).collect()
+    }
+    texts = [r["text"] for r in docs.select("text").collect()]
+    assert got == _python_encode_stats(texts, rules)
+
+
+def test_bpe_encode_token_mass_conserved(spark, docs):
+    """Every character of every (lowercased, whitespace-split) word ends
+    up in exactly one token: sum over tokens of len(token)*occurrences
+    equals the corpus character mass."""
+    rules = [
+        (r["lsym"], r["rsym"])
+        for r in corpus.bpe_train(docs, rounds=4).orderBy("round").collect()
+    ]
+    enc = corpus.bpe_encode(docs, rules)
+    tok_mass = enc.select(
+        F.sum(F.length("token") * F.col("n_occurrences"))).collect()[0][0]
+    char_mass = (
+        docs.select(F.explode(F.split(F.trim(F.lower("text")), r"\s+"))
+                    .alias("w"))
+        .filter(F.col("w") != "")
+        .select(F.sum(F.length("w"))).collect()[0][0]
+    )
+    assert tok_mass == char_mass
+
+
+def test_bpe_encode_composition_with_training(spark, docs):
+    """Training is greedy on the encoded state: encoding with the first
+    k rules and recounting pairs must surface rule k+1 as the top
+    remaining merge (count desc, l, r tie-break)."""
+    from collections import Counter
+
+    all_rules = [
+        (r["lsym"], r["rsym"], r["pair_count"])
+        for r in corpus.bpe_train(docs, rounds=6).orderBy("round").collect()
+    ]
+    assert len(all_rules) == 6
+    first5 = [(l, r) for l, r, _c in all_rules[:5]]
+    texts = [r["text"] for r in docs.select("text").collect()]
+    vocab = Counter()
+    for t in texts:
+        for w in t.strip().lower().split():
+            if w:
+                vocab[w] += 1
+    counts = Counter()
+    for w, f in vocab.items():
+        syms = corpus.bpe_apply_word(w, first5)
+        for a, b in zip(syms, syms[1:]):
+            counts[(a, b)] += f
+    (l, r), c = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    assert (l, r, c) == all_rules[5]
