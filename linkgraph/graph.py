@@ -438,3 +438,77 @@ FROM (SELECT src, dst,
       FROM {edges_cte})
 WHERE draw_rank <= {k}
 """
+
+
+def gnn_training_batch(
+    edges: DataFrame, seeds: DataFrame, features: DataFrame, k: int = 5
+) -> DataFrame:
+    """Assemble per-seed GNN training minibatches: the sampled 2-hop
+    neighborhood (:func:`neighbor_sample` at fan-out ``k``) joined with
+    propagated vertex features (:func:`feature_propagation` output),
+    flattened into the PADDED fixed-shape tensor a trainer consumes —
+    exactly ``1 + k + k**2`` rows per seed:
+
+      * hop 0, slot 0 — the seed itself;
+      * hop 1, slot r (1..k) — the r-th sampled neighbor;
+      * hop 2, slot (r1-1)*k + r2 (1..k*k) — the r2-th sampled neighbor
+        of the hop-1 slot-r1 vertex.
+
+    Slots with no sampled vertex (degree < k anywhere in the tree) carry
+    ``nbr_id = -1`` and zero features, so every seed's rows reshape to
+    the same [1 + k + k^2, n_features] tensor with -1 as the pad mask.
+    Returns (seed, hop, slot, nbr_id, x0, x1_e6, x2_e6), deterministic
+    (hash-draw sampling) across engines/partitionings/reruns.
+
+    100-TB plan: the slot template is an explode over seeds (no Python);
+    each hop is one equi-join against the degree-bounded neighbor-sample
+    table; the feature join is one shuffle keyed by vertex id.  Output
+    is exactly seeds x (1+k+k^2) rows regardless of graph size — the
+    minibatch, not the graph, bounds every stage after the sample."""
+    ns = neighbor_sample(edges, k, directed=False)
+    s = seeds.select(F.col("id").cast("long").alias("seed"))
+    h1 = s.join(ns, s["seed"] == ns["src"]).select(
+        "seed", F.col("draw_rank").alias("r1"), F.col("dst").alias("n1")
+    )
+    h2 = h1.join(ns, h1["n1"] == ns["src"]).select(
+        "seed", "r1", F.col("draw_rank").alias("r2"),
+        F.col("dst").alias("n2"),
+    )
+    actual = (
+        s.select("seed", F.lit(0).cast("long").alias("idx"),
+                 F.col("seed").alias("nbr"))
+        .unionByName(h1.select(
+            "seed", F.col("r1").cast("long").alias("idx"),
+            F.col("n1").alias("nbr")))
+        .unionByName(h2.select(
+            "seed",
+            (F.lit(k) + (F.col("r1") - 1) * k + F.col("r2"))
+            .cast("long").alias("idx"),
+            F.col("n2").alias("nbr")))
+    )
+    tmpl = s.select(
+        "seed",
+        F.explode(F.sequence(F.lit(0).cast("long"),
+                             F.lit(k + k * k).cast("long"))).alias("idx"),
+    )
+    f = features.select(
+        F.col("id").alias("nbr"), "x0", "x1_e6", "x2_e6")
+    return (
+        tmpl.join(actual, ["seed", "idx"], "left")
+        .join(f, "nbr", "left")
+        .select(
+            "seed",
+            F.when(F.col("idx") == 0, 0)
+            .when(F.col("idx") <= k, 1)
+            .otherwise(2).cast("long").alias("hop"),
+            F.when(F.col("idx") <= k, F.col("idx"))
+            .otherwise(F.col("idx") - k).cast("long").alias("slot"),
+            F.coalesce(F.col("nbr"), F.lit(-1)).cast("long")
+            .alias("nbr_id"),
+            F.coalesce(F.col("x0"), F.lit(0)).cast("long").alias("x0"),
+            F.coalesce(F.col("x1_e6"), F.lit(0)).cast("long")
+            .alias("x1_e6"),
+            F.coalesce(F.col("x2_e6"), F.lit(0)).cast("long")
+            .alias("x2_e6"),
+        )
+    )

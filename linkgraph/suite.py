@@ -7492,3 +7492,87 @@ def _bpe_encode_sql() -> str:
 
 
 REGISTRY["bpe_encode_stats"] = (q_bpe_encode, _bpe_encode_sql())
+
+
+def q_gnn_training_batch(spark, sf_dir):
+    """GNN training-minibatch assembly: sampled 2-hop neighborhoods
+    (fan-out k=5 from seeds id % 50 == 0) joined with 2-hop propagated
+    features, flattened to the padded (1 + k + k^2)-slot tensor rows a
+    trainer consumes (graph.gnn_training_batch)."""
+    from .graph import feature_propagation, gnn_training_batch
+
+    e = edges_b(spark, sf_dir)
+    v = verts(spark, V_B)
+    feats = feature_propagation(e, v, hops=2)
+    seeds = v.filter(F.col("id") % 50 == 0)
+    return gnn_training_batch(e, seeds, feats, k=5)
+
+
+def _gnn_batch_sql(k: int = 5) -> str:
+    from .graph import neighbor_sample_sql
+
+    ns = neighbor_sample_sql(k, edges_cte="und_b").strip()
+    n_slots = 1 + k + k * k
+    return f"""
+WITH {EDGES_B_SQL}, {UND_B_SQL}, {VERTS_B_SQL},
+ns AS ({ns}),
+x0 AS (
+  SELECT v.id, CAST(coalesce(d.x, 0) AS BIGINT) AS x
+  FROM verts_b v LEFT JOIN (
+    SELECT src AS id, count(*) AS x FROM und_b GROUP BY src
+  ) d USING (id)
+),
+x1 AS (
+  SELECT v.id, CAST(coalesce(a.x, 0) AS BIGINT) AS x
+  FROM verts_b v LEFT JOIN (
+    SELECT s.src AS id, CAST(round(avg(n.x) * 1e6) AS BIGINT) AS x
+    FROM und_b s JOIN x0 n ON s.dst = n.id GROUP BY s.src
+  ) a USING (id)
+),
+x2 AS (
+  SELECT v.id, CAST(coalesce(a.x, 0) AS BIGINT) AS x
+  FROM verts_b v LEFT JOIN (
+    SELECT s.src AS id, CAST(round(avg(n.x)) AS BIGINT) AS x
+    FROM und_b s JOIN x1 n ON s.dst = n.id GROUP BY s.src
+  ) a USING (id)
+),
+feats AS (
+  SELECT x0.id, x0.x AS x0, x1.x AS x1_e6, x2.x AS x2_e6
+  FROM x0 JOIN x1 USING (id) JOIN x2 USING (id)
+),
+seeds AS (SELECT id AS seed FROM verts_b WHERE id % 50 = 0),
+h1 AS (
+  SELECT s.seed, ns.draw_rank AS r1, ns.dst AS n1
+  FROM seeds s JOIN ns ON ns.src = s.seed
+),
+h2 AS (
+  SELECT h1.seed, h1.r1, ns.draw_rank AS r2, ns.dst AS n2
+  FROM h1 JOIN ns ON ns.src = h1.n1
+),
+actual AS (
+  SELECT seed, CAST(0 AS BIGINT) AS idx, seed AS nbr FROM seeds
+  UNION ALL
+  SELECT seed, CAST(r1 AS BIGINT), n1 FROM h1
+  UNION ALL
+  SELECT seed, CAST({k} + (r1 - 1) * {k} + r2 AS BIGINT), n2 FROM h2
+),
+tmpl AS (
+  SELECT seed, CAST(t.idx AS BIGINT) AS idx
+  FROM seeds CROSS JOIN range(0, {n_slots}) t(idx)
+)
+SELECT t.seed,
+       CAST(CASE WHEN t.idx = 0 THEN 0
+                 WHEN t.idx <= {k} THEN 1 ELSE 2 END AS BIGINT) AS hop,
+       CAST(CASE WHEN t.idx <= {k} THEN t.idx
+                 ELSE t.idx - {k} END AS BIGINT) AS slot,
+       CAST(coalesce(a.nbr, -1) AS BIGINT) AS nbr_id,
+       CAST(coalesce(f.x0, 0) AS BIGINT) AS x0,
+       CAST(coalesce(f.x1_e6, 0) AS BIGINT) AS x1_e6,
+       CAST(coalesce(f.x2_e6, 0) AS BIGINT) AS x2_e6
+FROM tmpl t
+LEFT JOIN actual a USING (seed, idx)
+LEFT JOIN feats f ON f.id = a.nbr
+"""
+
+
+REGISTRY["gnn_training_batch"] = (q_gnn_training_batch, _gnn_batch_sql())

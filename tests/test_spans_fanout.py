@@ -114,3 +114,75 @@ def test_graphsage_fanout_structure(spark):
     assert {r["src"] for r in h2} == {r["dst"] for r in h1}
     per = Counter((r["src"], r["hop"]) for r in rows)
     assert all(v <= 5 for v in per.values())
+
+
+def test_gnn_training_batch_tensor_shape(spark, edges30):
+    """Every seed emits exactly 1 + k + k^2 rows — one per tensor slot —
+    with hop 0 carrying the seed itself and pads marked nbr_id = -1 with
+    zero features."""
+    from linkgraph.graph import feature_propagation, gnn_training_batch
+
+    k = 3
+    v = spark.range(30).select(F.col("id"))
+    feats = feature_propagation(edges30, v, hops=2)
+    seeds = v.filter(F.col("id") % 10 == 0)  # {0, 10, 20}
+    rows = gnn_training_batch(edges30, seeds, feats, k=k).collect()
+    per_seed = Counter(r["seed"] for r in rows)
+    assert set(per_seed) == {0, 10, 20}
+    assert all(n == 1 + k + k * k for n in per_seed.values())
+    # slot keys are exactly the template: hop0 slot0, hop1 1..k, hop2 1..k^2
+    for s in (0, 10, 20):
+        got = {(r["hop"], r["slot"]) for r in rows if r["seed"] == s}
+        want = {(0, 0)} | {(1, i) for i in range(1, k + 1)} | {
+            (2, i) for i in range(1, k * k + 1)}
+        assert got == want
+    f = {r["id"]: r for r in feats.collect()}
+    for r in rows:
+        if r["hop"] == 0:
+            assert r["nbr_id"] == r["seed"]
+        if r["nbr_id"] == -1:
+            assert (r["x0"], r["x1_e6"], r["x2_e6"]) == (0, 0, 0)
+        else:
+            fr = f[r["nbr_id"]]
+            assert (r["x0"], r["x1_e6"], r["x2_e6"]) == (
+                fr["x0"], fr["x1_e6"], fr["x2_e6"])
+
+
+def test_gnn_training_batch_hop2_parents(spark, edges30):
+    """Hop-2 slot (r1-1)*k + r2 is a sampled neighbor of the hop-1
+    slot-r1 vertex (or padded when that parent is padded)."""
+    from linkgraph.graph import (feature_propagation, gnn_training_batch,
+                                 neighbor_sample)
+
+    k = 3
+    v = spark.range(30).select(F.col("id"))
+    feats = feature_propagation(edges30, v, hops=2)
+    seeds = v.filter(F.col("id") % 10 == 0)
+    rows = gnn_training_batch(edges30, seeds, feats, k=k).collect()
+    ns = {}
+    for r in neighbor_sample(edges30, k=k, directed=False).collect():
+        ns.setdefault(r["src"], {})[r["draw_rank"]] = r["dst"]
+    by = {(r["seed"], r["hop"], r["slot"]): r["nbr_id"] for r in rows}
+    for (seed, hop, slot), nbr in by.items():
+        if hop != 2:
+            continue
+        r1, r2 = (slot - 1) // k + 1, (slot - 1) % k + 1
+        parent = by[(seed, 1, r1)]
+        if parent == -1:
+            assert nbr == -1
+        else:
+            assert nbr == ns.get(parent, {}).get(r2, -1)
+
+
+def test_gnn_training_batch_partition_invariant(spark, edges30):
+    from linkgraph.graph import feature_propagation, gnn_training_batch
+
+    v = spark.range(30).select(F.col("id"))
+    seeds = v.filter(F.col("id") % 10 == 0)
+    a = gnn_training_batch(
+        edges30.repartition(1), seeds,
+        feature_propagation(edges30.repartition(1), v, hops=2), k=3)
+    b = gnn_training_batch(
+        edges30.repartition(11), seeds,
+        feature_propagation(edges30.repartition(5), v, hops=2), k=3)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
