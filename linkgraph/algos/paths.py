@@ -586,3 +586,38 @@ def betweenness_centrality(
         .agg(F.sum("dv").alias("betweenness_e6"))
         .filter(F.col("betweenness_e6") > 0)
     )
+
+
+def skipgram_pairs(walks: DataFrame, window: int = 2) -> DataFrame:
+    """Skip-gram (center, context, cnt) training pairs from a walk corpus —
+    the DeepWalk/node2vec step between ``random_walks`` and an embedding
+    trainer (Perozzi et al. 2014 §4.2).  Context = any vertex within
+    ``window`` steps of the center on the SAME walk, both directions;
+    pairs aggregate across the corpus.
+
+    Scale: the self-join key is walk_id — each join group is at most
+    (length+1) rows regardless of graph size, so the join output is
+    |walks|·2·window·length bounded (linear in the walk corpus, never in
+    V²); one shuffle per side plus the map-side-combinable
+    (center, context) groupBy.  The walk corpus itself streams from
+    ``random_walks`` (deterministic hash-walks, reference seed-sampling
+    analogue /root/reference/src/ZGraphInstance.cpp:300-334).
+    """
+    a = walks.select(
+        "walk_id", F.col("step").alias("i"), F.col("v").alias("center")
+    )
+    b = walks.select(
+        "walk_id", F.col("step").alias("j"), F.col("v").alias("context")
+    )
+    return (
+        a.join(b, "walk_id")
+        .filter(
+            (F.col("i") != F.col("j"))
+            & (F.abs(F.col("i") - F.col("j")) <= window)
+        )
+        .groupBy(
+            F.col("center").cast("long").alias("center"),
+            F.col("context").cast("long").alias("context"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )

@@ -7576,3 +7576,66 @@ LEFT JOIN feats f ON f.id = a.nbr
 
 
 REGISTRY["gnn_training_batch"] = (q_gnn_training_batch, _gnn_batch_sql())
+
+
+# ---------------------------------------------------------------------------
+# round 4: embedding-training data ops — skip-gram pairs from walks,
+# GloVe co-occurrence counts, word2vec negative-sampling table
+# ---------------------------------------------------------------------------
+
+
+def q_skipgram_pairs(spark, sf_dir):
+    """Skip-gram (center, context) pair counts from the deterministic
+    hash-walk corpus (20 walks × length 8, window 2) — DeepWalk training
+    data over graph B."""
+    from .algos.paths import random_walks, skipgram_pairs
+
+    walks = random_walks(
+        edges_b(spark, sf_dir),
+        starts=spark.createDataFrame([(i,) for i in range(20)], "id long"),
+        length=8, directed=False, partitions=8,
+    )
+    return skipgram_pairs(walks, window=2)
+
+
+SKIPGRAM_SQL = (
+    "WITH walks AS (\n" + _random_walks_sql(20, 8) + "\n)\n"
+    + """
+SELECT CAST(a.v AS BIGINT) AS center, CAST(b.v AS BIGINT) AS context,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM walks a JOIN walks b
+  ON a.walk_id = b.walk_id
+ AND a.step <> b.step AND abs(a.step - b.step) <= 2
+GROUP BY 1, 2
+"""
+)
+
+REGISTRY["skipgram_pairs"] = (q_skipgram_pairs, SKIPGRAM_SQL)
+
+
+def q_cooccurrence_counts(spark, sf_dir):
+    """GloVe-style windowed co-occurrence matrix (window 4, 1/d weights,
+    e6-quantized exact BIGINT sums, min_count 3) over the documents
+    corpus — the X_ij an embedding trainer consumes."""
+    from . import text
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return text.cooccurrence_counts(d, window=4, min_count=3)
+
+
+REGISTRY["cooccurrence_counts"] = (
+    q_cooccurrence_counts, _text.cooccurrence_sql(window=4, min_count=3)
+)
+
+
+def q_negsample_table(spark, sf_dir):
+    """word2vec unigram^0.75 negative-sampling table with exact cumulative
+    BIGINT ranges (two-phase bounded-state prefix sum; sqrt∘sqrt for a
+    bit-identical cross-engine power)."""
+    from . import text
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return text.negsample_table(d, min_count=5)
+
+
+REGISTRY["negsample_table"] = (q_negsample_table, _text.negsample_sql(min_count=5))

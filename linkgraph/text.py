@@ -431,3 +431,175 @@ SELECT t.id,
        CAST(COALESCE(a.dup2_mass, 0) AS BIGINT) AS dup2_mass
 FROM t LEFT JOIN a ON t.id = a.id
 """
+
+
+# ---------------------------------------------------------------------------
+# GloVe-style windowed co-occurrence counts
+# ---------------------------------------------------------------------------
+
+
+def cooccurrence_counts(docs: DataFrame, text_col: str = "text",
+                        window: int = 4, min_count: int = 3) -> DataFrame:
+    """Left-to-right windowed co-occurrence counts with GloVe's 1/d
+    distance weighting — the X_ij matrix a GloVe/embedding trainer
+    consumes.  Returns (w1, w2, cnt, weight_e6) where weight_e6 is the
+    exact BIGINT sum of round(1e6/d) over every occurrence of w2 at
+    distance d∈[1, window] to the right of w1 (per-occurrence quantize
+    then integer sum — no float accumulation, engine-deterministic).
+
+    Scale: NO per-token self-join — for each fixed offset d the
+    (token_i, token_{i+d}) pairs are an arrays_zip of two slices of the
+    already-split token array (the collocations_topk idiom), so the
+    corpus is scanned once per offset (window is a small constant) with
+    zero shuffle until the final map-side-combinable (w1, w2) groupBy;
+    min_count prunes the hapax tail that dominates pair cardinality.
+    Extends the engine along the training-data axis (the reference has
+    no text layer; its preprocessing stage is
+    /root/reference/datasets/wiki-vote/scripts/process.cpp).
+    """
+    w = tokens(F.col(text_col))
+    t = (
+        docs.filter(F.length(F.trim(F.col(text_col))) > 0)
+        .select(w.alias("w"))
+    )
+    parts = []
+    for d in range(1, window + 1):
+        w_e6 = round(1e6 / d)
+        parts.append(
+            t.filter(F.size("w") > d)
+            .select(
+                F.explode(
+                    F.arrays_zip(
+                        F.slice("w", 1, F.size("w") - d).alias("w1"),
+                        F.slice("w", 1 + d, F.size("w") - d).alias("w2"),
+                    )
+                ).alias("p")
+            )
+            .select(
+                F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"),
+                F.lit(w_e6).cast("long").alias("w_e6"),
+            )
+        )
+    allp = parts[0]
+    for p in parts[1:]:
+        allp = allp.unionByName(p)
+    return (
+        allp.groupBy("w1", "w2")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+            F.sum("w_e6").cast("long").alias("weight_e6"),
+        )
+        .filter(F.col("cnt") >= min_count)
+    )
+
+
+def cooccurrence_sql(table: str = "documents", text_expr: str = "text",
+                     window: int = 4, min_count: int = 3) -> str:
+    branches = []
+    for d in range(1, window + 1):
+        w_e6 = round(1e6 / d)
+        branches.append(
+            f"SELECT unnest(list_zip(w[:len(w)-{d}], w[{1 + d}:])) AS p,"
+            f" CAST({w_e6} AS BIGINT) AS w_e6 FROM t WHERE len(w) > {d}"
+        )
+    union = "\n  UNION ALL\n  ".join(branches)
+    return rf"""
+WITH t AS (
+  SELECT regexp_split_to_array(trim(lower({text_expr})), '\s+') AS w
+  FROM {table} WHERE length(trim({text_expr})) > 0),
+p AS (
+  {union}
+)
+SELECT p[1] AS w1, p[2] AS w2,
+       CAST(count(*) AS BIGINT) AS cnt,
+       CAST(sum(w_e6) AS BIGINT) AS weight_e6
+FROM p GROUP BY 1, 2 HAVING count(*) >= {min_count}
+"""
+
+
+# ---------------------------------------------------------------------------
+# word2vec negative-sampling table (unigram^0.75, cumulative BIGINT ranges)
+# ---------------------------------------------------------------------------
+
+
+def negsample_table(docs: DataFrame, text_col: str = "text",
+                    min_count: int = 5) -> DataFrame:
+    """word2vec negative-sampling table: the support-pruned unigram
+    vocabulary with weight w_e6 = round(1e6·c^0.75) and exact cumulative
+    BIGINT ranges [cum_lo, cum_hi) in ascending token order — a trainer
+    draws a uniform integer in [0, total) and binary-searches the range
+    (Mikolov et al. 2013's unigram^(3/4) table, distributed).
+
+    c^0.75 is computed as sqrt(sqrt(c·c·c)) over doubles: multiply and
+    sqrt are correctly-rounded IEEE-754 ops, bit-identical across JVM and
+    DuckDB (pow/exp/ln are libm-dependent; sqrt∘sqrt is not), so the e6
+    quantization never straddles an engine boundary.
+
+    Scale: the cumulative sum is NOT a global single-partition window —
+    shard_pack's two-phase bounded-state pattern: tokens bucket by their
+    leading character (order-aligned with the ascending-token sort since
+    both engines compare strings bytewise), per-bucket sums collect to
+    the driver (≤ distinct-first-characters rows, independent of corpus
+    and vocabulary size), and the within-bucket prefix window is
+    partitioned by bucket.
+    """
+    from pyspark.sql import Window
+
+    spark = docs.sparkSession
+    uni = (
+        docs.filter(F.length(F.trim(F.col(text_col))) > 0)
+        .select(F.explode(tokens(F.col(text_col))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= min_count)
+    )
+    cd = F.col("c").cast("double")
+    w = uni.select(
+        "tok", F.col("c").cast("long").alias("c"),
+        F.round(F.lit(1e6) * F.sqrt(F.sqrt(cd * cd * cd)))
+        .cast("long").alias("w_e6"),
+        F.substring("tok", 1, 1).alias("b"),
+    ).persist()
+    btot = w.groupBy("b").agg(F.sum("w_e6").alias("bsum")).collect()
+    run, off = 0, {}
+    for row in sorted(btot, key=lambda r: r["b"]):
+        off[row["b"]] = run
+        run += row["bsum"]
+    offdf = spark.createDataFrame(
+        [(b, o) for b, o in off.items()], "b string, boff long"
+    )
+    win = Window.partitionBy("b").orderBy("tok")
+    local = F.sum("w_e6").over(win) - F.col("w_e6")
+    out = (
+        w.join(F.broadcast(offdf), "b")
+        .select(
+            "tok", "c", "w_e6",
+            (F.col("boff") + local).cast("long").alias("cum_lo"),
+            (F.col("boff") + local + F.col("w_e6")).cast("long")
+            .alias("cum_hi"),
+        )
+    )
+    return out
+
+
+def negsample_sql(table: str = "documents", text_expr: str = "text",
+                  min_count: int = 5) -> str:
+    return rf"""
+WITH toks AS (
+  SELECT unnest(regexp_split_to_array(trim(lower({text_expr})), '\s+')) AS tok
+  FROM {table} WHERE length(trim({text_expr})) > 0),
+uni AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM toks
+        GROUP BY tok HAVING count(*) >= {min_count}),
+w AS (SELECT tok, c,
+             CAST(round(1e6 * sqrt(sqrt(CAST(c AS DOUBLE) * c * c)))
+               AS BIGINT) AS w_e6
+      FROM uni)
+SELECT tok, c, w_e6,
+       CAST(COALESCE(sum(w_e6) OVER (ORDER BY tok
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         AS BIGINT) AS cum_lo,
+       CAST(sum(w_e6) OVER (ORDER BY tok
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS BIGINT) AS cum_hi
+FROM w
+"""
