@@ -7639,3 +7639,31 @@ def q_negsample_table(spark, sf_dir):
 
 
 REGISTRY["negsample_table"] = (q_negsample_table, _text.negsample_sql(min_count=5))
+
+
+def q_bm25_top20(spark, sf_dir):
+    """Top-20 documents by BM25 (k1=1.2, b=0.75) for the fixed query
+    {spark, join, merge} — retrieval-scored topical subset mining with
+    exact per-term e6-quantized integer score sums."""
+    from . import text
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return text.bm25_topk(d, ["spark", "join", "merge"], k=20)
+
+
+REGISTRY["bm25_top20"] = (
+    q_bm25_top20, _text.bm25_sql(["spark", "join", "merge"], k=20)
+)
+
+
+def q_vocab_growth(spark, sf_dir):
+    """Heaps-law vocabulary-growth curve: cumulative distinct-token count
+    per corpus decile (ascending doc_id; two-phase distributed rank, one
+    tokenization pass)."""
+    from . import text
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return text.vocab_growth(d, deciles=10)
+
+
+REGISTRY["vocab_growth"] = (q_vocab_growth, _text.vocab_growth_sql(deciles=10))

@@ -603,3 +603,209 @@ SELECT tok, c, w_e6,
          AS BIGINT) AS cum_hi
 FROM w
 """
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval scoring (Robertson-Sparck Jones; k1/b standard params)
+# ---------------------------------------------------------------------------
+
+
+def bm25_topk(docs: DataFrame, query_terms: list, text_col: str = "text",
+              id_col: str = "doc_id", k: int = 20,
+              k1: float = 1.2, b: float = 0.75) -> DataFrame:
+    """Top-k documents by BM25 for a fixed term set — the retrieval score
+    a data-curation pipeline uses to mine topical training subsets.
+    Returns (doc_id, score_e6, rnk) with score_e6 = Σ_t round(1e6·bm25_t):
+    each term's contribution is e6-quantized BEFORE the sum, so the total
+    is an exact BIGINT sum (float addition is not associative; integer
+    addition is — the collocations/tfidf determinism discipline).  idf
+    uses one ln per (term, corpus) pair (the adamic_adar single-libm-call
+    precedent); every other factor is IEEE-correctly-rounded *, /, + that
+    both engines evaluate identically from the same literals.
+
+    Scale: one (doc, term) groupBy for tf over docs filtered to query
+    terms only (the explode is pruned by an isin BEFORE the shuffle, so
+    pair cardinality is |docs|·|query|, not |tokens|); df and avgdl are
+    broadcast scalars; top-k is one TakeOrdered, never a full sort.
+    """
+    q = sorted(set(query_terms))
+    toks = tokens(F.col(text_col))
+    base = (
+        docs.filter(F.length(F.trim(F.col(text_col))) > 0)
+        .select(F.col(id_col).alias("doc_id"), toks.alias("w"))
+        .select("doc_id", F.size("w").alias("dl"), F.explode("w").alias("term"))
+    )
+    n_avg = base.groupBy("doc_id").agg(F.first("dl").alias("dl")).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("tot")
+    ).collect()[0]
+    # avgdl from two exact BIGINTs via ONE double division — engine avg()
+    # implementations differ in summation path; this is bit-identical.
+    n_docs, avgdl = int(n_avg["n"]), int(n_avg["tot"]) / int(n_avg["n"])
+    hit = base.filter(F.col("term").isin(q))
+    tf = hit.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl")
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    contrib = (
+        F.col("tf") * F.lit(k1 + 1.0)
+        / (
+            F.col("tf")
+            + F.lit(k1)
+            * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl))
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .select(
+            "doc_id",
+            F.round(F.lit(1e6) * idf * contrib).cast("long").alias("c_e6"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("c_e6").cast("long").alias("score_e6"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("score_e6").desc(), F.col("doc_id").asc())
+    return (
+        scored.orderBy(F.col("score_e6").desc(), F.col("doc_id").asc())
+        .limit(k)
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+    )
+
+
+def bm25_sql(query_terms: list, table: str = "documents",
+             text_expr: str = "text", id_expr: str = "doc_id",
+             k: int = 20, k1: float = 1.2, b: float = 0.75) -> str:
+    q = sorted(set(query_terms))
+    qlist = ", ".join(f"'{t}'" for t in q)
+    return rf"""
+WITH t AS (
+  SELECT {id_expr} AS doc_id,
+         regexp_split_to_array(trim(lower({text_expr})), '\s+') AS w
+  FROM {table} WHERE length(trim({text_expr})) > 0),
+base AS (
+  SELECT doc_id, len(w) AS dl, unnest(w) AS term FROM t),
+stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+  FROM (SELECT doc_id, any_value(dl) AS dl FROM base GROUP BY doc_id)),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf, any_value(dl) AS dl
+  FROM base WHERE term IN ({qlist}) GROUP BY doc_id, term),
+df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         CAST(sum(CAST(round(
+           1e6 * ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+               * (tf.tf * {k1 + 1.0!r}
+                  / (tf.tf + {k1!r} * ({1.0 - b!r} + {b!r} * tf.dl / stats.avgdl)))
+         ) AS BIGINT)) AS BIGINT) AS score_e6
+  FROM tf JOIN df USING (term), stats
+  GROUP BY tf.doc_id)
+SELECT doc_id, score_e6,
+       CAST(row_number() OVER (ORDER BY score_e6 DESC, doc_id ASC) AS BIGINT) AS rnk
+FROM scored ORDER BY score_e6 DESC, doc_id ASC LIMIT {k}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Heaps-law vocabulary growth curve
+# ---------------------------------------------------------------------------
+
+
+def vocab_growth(docs: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id", deciles: int = 10) -> DataFrame:
+    """Vocabulary-growth (Heaps' law) curve: distinct-token count after
+    each corpus decile in ascending doc_id order — (decile, n_docs,
+    vocab).  The curve's flattening rate is the standard corpus-diversity
+    diagnostic (a dedup'd corpus grows vocabulary faster per token).
+
+    Scale: one token-keyed min-agg finds each token's FIRST decile (the
+    decile of the smallest doc_id containing it — doc deciles come from
+    ``ingest.dense_ids``'s deterministic two-phase distributed rank, NOT
+    a global row_number window), then the cumulative sum runs over
+    ≤ ``deciles`` rows.  No distinct-per-prefix rescans: the corpus is
+    tokenized exactly once.
+    """
+    from pyspark.sql import Window
+
+    from .ingest import dense_ids
+
+    n_docs = docs.filter(
+        F.length(F.trim(F.col(text_col))) > 0
+    ).count()
+    base = (
+        docs.filter(F.length(F.trim(F.col(text_col))) > 0)
+        .select(F.col(id_col).alias("doc_id"),
+                F.explode(tokens(F.col(text_col))).alias("tok"))
+    )
+    # decile of a doc = ceil(rank·deciles/n); rank = dense ascending
+    # doc_id order via the two-phase bounded-state rank.
+    dec = dense_ids(base.select("doc_id"), "doc_id").select(
+        "doc_id",
+        F.least(
+            F.lit(deciles),
+            F.ceil((F.col("id") + 1) * deciles / F.lit(n_docs))
+            .cast("long"),
+        ).alias("decile"),
+    )
+    first_dec = (
+        base.join(dec, "doc_id")
+        .groupBy("tok")
+        .agg(F.min("decile").alias("d"))
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).alias("new_toks"))
+    )
+    wcum = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    docs_per = dec.groupBy("decile").agg(F.count(F.lit(1)).alias("nd"))
+    return (
+        docs_per.join(first_dec, docs_per.decile == first_dec.d, "left")
+        .select(
+            F.col("decile").cast("long").alias("decile"),
+            F.col("nd").alias("nd"),
+            F.coalesce(F.col("new_toks"), F.lit(0)).alias("new_toks"),
+        )
+        .withColumn("n_docs", F.sum("nd").over(
+            Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+        ).cast("long"))
+        .withColumn("vocab", F.sum("new_toks").over(
+            Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+        ).cast("long"))
+        .select("decile", "n_docs", "vocab")
+    )
+
+
+def vocab_growth_sql(table: str = "documents", text_expr: str = "text",
+                     id_expr: str = "doc_id", deciles: int = 10) -> str:
+    return rf"""
+WITH nn AS (
+  SELECT CAST(count(*) AS BIGINT) AS n FROM {table}
+  WHERE length(trim({text_expr})) > 0),
+dec AS (
+  SELECT {id_expr} AS doc_id,
+         least({deciles}, CAST(ceil(
+           row_number() OVER (ORDER BY {id_expr}) * {deciles}
+           / (SELECT CAST(n AS DOUBLE) FROM nn)) AS BIGINT)) AS decile
+  FROM {table} WHERE length(trim({text_expr})) > 0),
+base AS (
+  SELECT d.decile, unnest(regexp_split_to_array(trim(lower(t.{text_expr})), '\s+')) AS tok
+  FROM {table} t JOIN dec d ON t.{id_expr} = d.doc_id
+  WHERE length(trim(t.{text_expr})) > 0),
+firstd AS (
+  SELECT tok, min(decile) AS d FROM base GROUP BY tok),
+newt AS (SELECT d, CAST(count(*) AS BIGINT) AS new_toks FROM firstd GROUP BY d),
+per AS (SELECT decile, CAST(count(*) AS BIGINT) AS nd FROM dec GROUP BY decile)
+SELECT p.decile,
+       CAST(sum(p.nd) OVER (ORDER BY p.decile
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS n_docs,
+       CAST(sum(COALESCE(n.new_toks, 0)) OVER (ORDER BY p.decile
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS vocab
+FROM per p LEFT JOIN newt n ON p.decile = n.d
+"""

@@ -136,3 +136,69 @@ def test_skipgram_gate_matches_walk_corpus(spark):
         for r in suite.q_skipgram_pairs(spark, sf).collect()
     }
     assert got == dict(want)
+
+
+def test_bm25_brute_force(spark):
+    d = spark.createDataFrame(DOCS, "doc_id long, text string")
+    q = ["cat", "dog"]
+    got = [
+        (r["doc_id"], r["score_e6"], r["rnk"])
+        for r in text.bm25_topk(d, q, k=10).collect()
+    ]
+    corpus = {i: t.strip().lower().split() for i, t in DOCS if t.strip()}
+    n = len(corpus)
+    avgdl = sum(len(v) for v in corpus.values()) / n
+    df = {t: sum(1 for v in corpus.values() if t in v) for t in q}
+    want = {}
+    for i, toks in corpus.items():
+        s = 0
+        for t in q:
+            tf = toks.count(t)
+            if not tf:
+                continue
+            idf = math.log((n - df[t] + 0.5) / (df[t] + 0.5) + 1.0)
+            s += round(
+                1e6 * idf * (tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * len(toks) / avgdl)))
+            )
+        if s:
+            want[i] = s
+    ranked = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))
+    assert got == [(i, s, r + 1) for r, (i, s) in enumerate(ranked[:10])]
+
+
+def test_vocab_growth_brute_force(spark):
+    d = spark.createDataFrame(DOCS, "doc_id long, text string")
+    got = sorted(
+        (r["decile"], r["n_docs"], r["vocab"])
+        for r in text.vocab_growth(d, deciles=4).collect()
+    )
+    corpus = sorted((i, t.strip().lower().split()) for i, t in DOCS if t.strip())
+    n = len(corpus)
+    want, seen = [], set()
+    for q in range(1, 5):
+        hi = [i for r, (i, _) in enumerate(corpus, 1)
+              if min(4, math.ceil(r * 4 / n)) == q]
+        for i, toks in corpus:
+            if i in hi:
+                seen.update(toks)
+        nd = sum(1 for r in range(1, n + 1) if min(4, math.ceil(r * 4 / n)) == q)
+        prev = want[-1][1] if want else 0
+        want.append((q, prev + nd, len(seen)))
+    assert got == want
+
+
+def test_vocab_growth_monotone_full_coverage(spark):
+    sf = "/root/testdata/sf0.001"
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    rows = sorted(
+        (r["decile"], r["n_docs"], r["vocab"])
+        for r in text.vocab_growth(d, deciles=10).collect()
+    )
+    assert [r[0] for r in rows] == list(range(1, 11))
+    assert all(a[2] <= b[2] and a[1] < b[1] for a, b in zip(rows, rows[1:]))
+    total_vocab = (
+        d.filter(F.length(F.trim("text")) > 0)
+        .select(F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("t"))
+        .select("t").distinct().count()
+    )
+    assert rows[-1][2] == total_vocab
