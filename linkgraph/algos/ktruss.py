@@ -104,3 +104,127 @@ def ktruss_edges(
         if done or n == 0:
             break
     return e, metrics
+
+
+def truss_numbers(
+    edges: DataFrame,
+    max_rounds: int = 64,
+    partitions: int | None = None,
+) -> tuple[DataFrame, list[dict]]:
+    """Full truss decomposition: the max k such that each edge belongs to
+    the k-truss (every edge has trussness >= 2; triangle-free edges get
+    exactly 2).  Returns ((a, b, trussness), per-round metrics).
+
+    Edge-h-index fixpoint iteration — the edge analogue of the node
+    h-index -> coreness convergence (Lu, Zhou, Zhang & Stanley, PNAS'16):
+    t_0(e) = support(e); t_{i+1}(e) = h-index of the multiset
+    { min(t_i(e'), t_i(e'')) : triangles (e, e', e'') }.  The sequence is
+    monotone non-increasing per edge and converges to trussness(e) - 2,
+    so no peeling loop nesting: ONE static triangle-edge incidence table
+    (the exact counter's oriented wedge+closure join, built once) and one
+    join + windowed h-index per round.
+
+    Scale: per-round state is one t row per edge, hash-partitioned the
+    same way every round; the h-index window partitions by EDGE, so its
+    group size is that edge's support — bounded by the max hub-pair
+    support, never by |E| (an extreme-hub variant would bucket the
+    support histogram instead; the window form keeps whole-stage codegen).
+    Rounds to fixpoint are small in practice (single digits on web-ish
+    fixtures; the unrolled SQL twin's depth is regression-asserted
+    against the engine's measured round count).
+    """
+    spark = edges.sparkSession
+    P = int(partitions or spark.conf.get("spark.sql.shuffle.partitions"))
+
+    e = _ckpt(
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .dropDuplicates(["a", "b"]),
+        P,
+        "a",
+    )
+    w = (
+        e.alias("e1")
+        .join(e.alias("e2"), F.col("e1.a") == F.col("e2.a"))
+        .filter(F.col("e1.b") < F.col("e2.b"))
+        .select(
+            F.col("e1.a").alias("x"),
+            F.col("e1.b").alias("y"),
+            F.col("e2.b").alias("z"),
+        )
+    )
+    tri = w.join(
+        e.select(F.col("a").alias("y"), F.col("b").alias("z")).hint("shuffle_hash"),
+        ["y", "z"],
+        "left_semi",
+    )
+    # one incidence row per (triangle, member edge), carrying the OTHER
+    # two member edges' keys — built once, reused every round
+    inc = _ckpt(
+        tri.select(
+            F.col("x").alias("ea"), F.col("y").alias("eb"),
+            F.col("x").alias("o1a"), F.col("z").alias("o1b"),
+            F.col("y").alias("o2a"), F.col("z").alias("o2b"),
+        ).union(tri.select(
+            F.col("x").alias("ea"), F.col("z").alias("eb"),
+            F.col("x").alias("o1a"), F.col("y").alias("o1b"),
+            F.col("y").alias("o2a"), F.col("z").alias("o2b"),
+        )).union(tri.select(
+            F.col("y").alias("ea"), F.col("z").alias("eb"),
+            F.col("x").alias("o1a"), F.col("y").alias("o1b"),
+            F.col("x").alias("o2a"), F.col("z").alias("o2b"),
+        )),
+        P, "ea",
+    )
+    supp = inc.groupBy("ea", "eb").agg(F.count(F.lit(1)).alias("t"))
+    cur = _ckpt(
+        e.join(supp.withColumnRenamed("ea", "a").withColumnRenamed("eb", "b"),
+               ["a", "b"], "left")
+        .select("a", "b", F.coalesce(F.col("t"), F.lit(0)).cast("long").alias("t")),
+        P, "a",
+    )
+
+    from pyspark.sql import Window
+
+    metrics: list[dict] = []
+    for rnd in range(max_rounds):
+        t0 = time.time()
+        t1 = cur.select(F.col("a").alias("o1a"), F.col("b").alias("o1b"),
+                        F.col("t").alias("t1"))
+        t2 = cur.select(F.col("a").alias("o2a"), F.col("b").alias("o2b"),
+                        F.col("t").alias("t2"))
+        vals = (
+            inc.join(t1.hint("shuffle_hash"), ["o1a", "o1b"])
+            .join(t2.hint("shuffle_hash"), ["o2a", "o2b"])
+            .select("ea", "eb", F.least("t1", "t2").alias("v"))
+        )
+        win = Window.partitionBy("ea", "eb").orderBy(F.col("v").desc())
+        h = (
+            vals.withColumn("rn", F.row_number().over(win))
+            .groupBy("ea", "eb")
+            .agg(F.max(F.when(F.col("v") >= F.col("rn"), F.col("rn"))
+                       .otherwise(F.lit(0))).alias("h"))
+        )
+        nxt = _ckpt(
+            cur.join(
+                h.withColumnRenamed("ea", "a").withColumnRenamed("eb", "b")
+                .hint("shuffle_hash"),
+                ["a", "b"], "left",
+            ).select(
+                "a", "b",
+                F.coalesce(F.col("h"), F.lit(0)).cast("long").alias("t"),
+            ),
+            P, "a",
+        )
+        changed = (
+            nxt.alias("n").join(cur.alias("c"), ["a", "b"])
+            .filter(F.col("n.t") != F.col("c.t")).count()
+        )
+        metrics.append({"round": rnd, "changed": changed,
+                        "seconds": time.time() - t0})
+        cur = nxt
+        if changed == 0:
+            break
+    return cur.select("a", "b", (F.col("t") + 2).alias("trussness")), metrics

@@ -188,3 +188,61 @@ def k_chain_count(edges: DataFrame, k: int) -> int:
     if k == 2:
         return int(cur.count() // 2)
     return int(cur.count() // 2)
+
+
+def graphlet_orbits(edges: DataFrame, vertices: DataFrame | None = None) -> DataFrame:
+    """Per-vertex 3-node graphlet orbit counts (the GDV-3 signature of
+    Przulj, Bioinformatics'07 — orbits 0-3): o0 = degree, o1 = end of an
+    induced 2-path, o2 = center of an induced 2-path, o3 = triangles the
+    vertex belongs to.  The role-mining / network-alignment feature vector.
+
+    Closed forms over two linear passes — never a per-graphlet
+    enumeration beyond the oriented triangle self-joins:
+      o2 = C(deg(v), 2) - o3
+      o1 = sum_{u in N(v)} (deg(u) - 1) - 2*o3
+    (each triangle at v closes exactly one wedge centered at v and two
+    2-paths ending at v).  Cost: one degree groupBy, one neighbor-degree
+    join re-using the same src-hash shuffle key, plus
+    per_vertex_triangle_counts — all map-side combinable; scales with
+    edges + triangles, not with the (quadratic) wedge mass.
+    """
+    from .triangles import per_vertex_triangle_counts
+
+    o = _oriented(edges)
+    und = o.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    und = und.union(und.select(F.col("dst").alias("src"),
+                               F.col("src").alias("dst")))
+    deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    nbr_deg = (
+        und.join(deg.select(F.col("src").alias("dst"),
+                            F.col("deg").alias("ddeg")), "dst")
+        .groupBy("src")
+        .agg(F.sum(F.col("ddeg") - 1).alias("nd1"))
+    )
+    tri = per_vertex_triangle_counts(edges).withColumnRenamed("id", "src")
+    base = (
+        deg.join(nbr_deg, "src", "left")
+        .join(tri, "src", "left")
+        .select(
+            F.col("src").alias("id"),
+            F.col("deg").cast("long").alias("o0_degree"),
+            (F.coalesce(F.col("nd1"), F.lit(0))
+             - 2 * F.coalesce(F.col("triangles"), F.lit(0)))
+            .cast("long").alias("o1_path_end"),
+            ((F.col("deg") * (F.col("deg") - 1) / 2).cast("long")
+             - F.coalesce(F.col("triangles"), F.lit(0)))
+            .cast("long").alias("o2_path_center"),
+            F.coalesce(F.col("triangles"), F.lit(0))
+            .cast("long").alias("o3_triangle"),
+        )
+    )
+    if vertices is None:
+        return base
+    zero = F.lit(0).cast("long")
+    return vertices.join(base, "id", "left").select(
+        "id",
+        F.coalesce(F.col("o0_degree"), zero).alias("o0_degree"),
+        F.coalesce(F.col("o1_path_end"), zero).alias("o1_path_end"),
+        F.coalesce(F.col("o2_path_center"), zero).alias("o2_path_center"),
+        F.coalesce(F.col("o3_triangle"), zero).alias("o3_triangle"),
+    )

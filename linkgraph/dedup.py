@@ -277,6 +277,181 @@ WHERE jaccard_e6 >= {int(jaccard_threshold * 1e6)}
 
 
 # ---------------------------------------------------------------------------
+# incremental index probe (new-crawl-vs-corpus dedup)
+# ---------------------------------------------------------------------------
+
+
+def minhash_index_probe(
+    index_docs: DataFrame,
+    batch_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 8,
+    shingle_k: int = 3,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Incremental near-dup probe: dedup a NEW batch against an existing
+    corpus INDEX (the daily-crawl production step — reference dedups new
+    snapshots against the loaded corpus the same one-sided way,
+    datasets/wiki-vote/scripts/process.cpp:83-86).
+
+    Returns one row PER batch doc: (id, best_match, best_jaccard_e6, keep)
+    where best_match is the index doc with the highest exact Jaccard among
+    banded candidates at or above the threshold (ties break to the
+    smallest index id — deterministic), and keep = 1 iff no such match.
+
+    Scale shape: the index is NEVER self-joined — its per-doc signatures
+    are computed once (in production: precomputed and stored) and the band
+    join's probe side is only the new batch, so cost is
+    O(index + batch x bands + candidates), independent of the index's
+    internal pair mass.  Verification touches each candidate pair once;
+    the per-batch-doc argmax is a map-side-combinable max of a
+    (jaccard, -index_id) struct, never a sort.
+    """
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+
+    def _banded(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+        sig = minhash_signature(docs, text_col, id_col, num_hashes, shingle_k)
+        sigp = sig.filter(F.size("shingles") > 0)
+        rows = []
+        for b in range(bands):
+            cols = [F.col(f"mh_{b * r + j}") for j in range(r)]
+            rows.append(F.struct(
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws(",", *cols)).alias("bh"),
+            ))
+        banded = sigp.select(
+            "id", F.explode(F.array(*rows)).alias("bb")
+        ).select("id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+        return banded, sigp.select("id", "shingles")
+
+    banded_idx, sh_idx = _banded(index_docs)
+    banded_new, sh_new = _banded(batch_docs)
+
+    cand = (
+        banded_new.select(F.col("id").alias("id_new"), "band", "bh")
+        .join(banded_idx.select(F.col("id").alias("id_idx"), "band", "bh"),
+              ["band", "bh"])
+        .select("id_new", "id_idx")
+        .dropDuplicates(["id_new", "id_idx"])
+    )
+    verified = (
+        cand.join(sh_new.select(F.col("id").alias("id_new"),
+                                F.col("shingles").alias("sh_n")), "id_new")
+        .join(sh_idx.select(F.col("id").alias("id_idx"),
+                            F.col("shingles").alias("sh_i")), "id_idx")
+        .select(
+            "id_new", "id_idx",
+            F.round(
+                F.size(F.array_intersect("sh_n", "sh_i")).cast("double") * 1e6
+                / F.size(F.array_distinct(F.concat("sh_n", "sh_i")))
+            ).cast("long").alias("jaccard_e6"),
+        )
+        .filter(F.col("jaccard_e6") >= int(jaccard_threshold * 1e6))
+    )
+    best = (
+        verified.groupBy("id_new")
+        .agg(F.max(F.struct(
+            F.col("jaccard_e6").alias("j"),
+            (-F.col("id_idx")).alias("neg_id"),
+        )).alias("b"))
+        .select(
+            "id_new",
+            (-F.col("b.neg_id")).alias("best_match"),
+            F.col("b.j").alias("best_jaccard_e6"),
+        )
+    )
+    all_new = batch_docs.select(F.col(id_col).alias("id")).distinct()
+    return all_new.join(
+        best.withColumnRenamed("id_new", "id"), "id", "left"
+    ).select(
+        "id",
+        F.coalesce(F.col("best_match"), F.lit(-1)).cast("long").alias("best_match"),
+        F.coalesce(F.col("best_jaccard_e6"), F.lit(-1)).cast("long")
+        .alias("best_jaccard_e6"),
+        F.when(F.col("best_match").isNull(), F.lit(1))
+        .otherwise(F.lit(0)).cast("long").alias("keep"),
+    )
+
+
+def minhash_index_probe_sql(
+    table: str = "documents",
+    index_where: str = "doc_id % 5 <> 0",
+    batch_where: str = "doc_id % 5 = 0",
+    text_expr: str = "text",
+    id_expr: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 8,
+    shingle_k: int = 3,
+    jaccard_threshold: float = 0.5,
+) -> str:
+    r = num_hashes // bands
+    mh_cols = ",\n    ".join(
+        "list_min(list_transform(_b, h -> (h * {a} + {b}) % {m})) AS mh_{i}".format(
+            a=_mh_ab(i)[0], b=_mh_ab(i)[1], m=MH_M, i=i
+        )
+        for i in range(num_hashes)
+    )
+    band_structs = ", ".join(
+        "{'band': %d, 'bh': md5(%s)}"
+        % (b, " || ',' || ".join(f"CAST(mh_{b * r + j} AS VARCHAR)" for j in range(r)))
+        for b in range(bands)
+    )
+    return f"""
+WITH sh_all AS (
+  SELECT {id_expr} AS id, ({index_where}) AS is_idx, ({batch_where}) AS is_new,
+         {word_shingles_sql(text_expr, shingle_k)} AS shingles
+  FROM {table}
+),
+based AS (
+  SELECT id, is_idx, is_new, shingles,
+         list_transform(shingles, s -> {h60_sql("s")} % {MH_M}) AS _b
+  FROM sh_all WHERE len(shingles) > 0
+),
+sig AS (
+  SELECT id, is_idx, is_new, shingles,
+    {mh_cols}
+  FROM based
+),
+banded AS (
+  SELECT id, is_idx, is_new, shingles, u.band AS band, u.bh AS bh
+  FROM sig, unnest([{band_structs}]) AS t(u)
+),
+cand AS (
+  SELECT DISTINCT n.id AS id_new, i.id AS id_idx
+  FROM banded n JOIN banded i
+    ON n.band = i.band AND n.bh = i.bh AND n.is_new AND i.is_idx
+),
+verified AS (
+  SELECT c.id_new, c.id_idx,
+         CAST(round(len(list_intersect(sn.shingles, si.shingles)) * 1e6
+              / len(list_distinct(list_concat(sn.shingles, si.shingles)))) AS BIGINT)
+           AS jaccard_e6
+  FROM cand c
+  JOIN sh_all sn ON sn.id = c.id_new
+  JOIN sh_all si ON si.id = c.id_idx
+  WHERE CAST(round(len(list_intersect(sn.shingles, si.shingles)) * 1e6
+        / len(list_distinct(list_concat(sn.shingles, si.shingles)))) AS BIGINT)
+        >= {int(jaccard_threshold * 1e6)}
+),
+best AS (
+  SELECT id_new, id_idx AS best_match, jaccard_e6 AS best_jaccard_e6,
+         row_number() OVER (PARTITION BY id_new
+                            ORDER BY jaccard_e6 DESC, id_idx ASC) AS rn
+  FROM verified
+)
+SELECT a.id,
+       CAST(coalesce(b.best_match, -1) AS BIGINT) AS best_match,
+       CAST(coalesce(b.best_jaccard_e6, -1) AS BIGINT) AS best_jaccard_e6,
+       CAST(CASE WHEN b.best_match IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM (SELECT DISTINCT {id_expr} AS id FROM {table} WHERE {batch_where}) a
+LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON b.id_new = a.id
+"""
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 

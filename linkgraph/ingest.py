@@ -464,3 +464,49 @@ def url_features(
         n_params.cast("long").alias("n_params"),
         keep.cast("long").alias("keep"),
     )
+
+
+def path_prefix_rollup(
+    pages: DataFrame, url_col: str = "url", max_depth: int = 2
+) -> DataFrame:
+    """Sitemap-structure rollup: page counts per (host, path-prefix) at
+    every depth 1..max_depth — the URL-tree aggregation a crawl planner
+    reads ("which sections of each site are big"), the path-level
+    refinement of :func:`host_graph`'s host contraction.
+
+    Returns ``(host, depth, prefix, n_pages)``; a page counts toward its
+    ancestor prefix at every depth its path reaches (depth-d prefix = the
+    first d path segments, '/'-joined, leading '/'), so per-host rows sum
+    to reachable-page mass per level, and a page with fewer than d
+    segments emits no depth-d row.
+
+    Plan: one regexp projection + one explode of <= max_depth scalar rows
+    per page + one map-side-combinable grouped count — linear in pages,
+    output bounded by the URL tree, never the page count squared.
+    """
+    u = F.col(url_col)
+    segs = F.expr(
+        f"filter(split(regexp_extract({url_col}, "
+        r"'^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]+(/.*)?$', 1), '/'), "
+        "s -> s <> '')"
+    )
+    rows = F.filter(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(max_depth)),
+            lambda d: F.struct(
+                d.cast("long").alias("depth"),
+                F.when(
+                    F.size(segs) >= d,
+                    F.concat(F.lit("/"), F.array_join(F.slice(segs, 1, d), "/")),
+                ).alias("prefix"),
+            ),
+        ),
+        lambda s: s["prefix"].isNotNull(),
+    )
+    return (
+        pages.select(host_of(u).alias("host"), F.explode(rows).alias("r"))
+        .select("host", F.col("r.depth").alias("depth"),
+                F.col("r.prefix").alias("prefix"))
+        .groupBy("host", "depth", "prefix")
+        .agg(F.count(F.lit(1)).alias("n_pages"))
+    )

@@ -7667,3 +7667,178 @@ def q_vocab_growth(spark, sf_dir):
 
 
 REGISTRY["vocab_growth"] = (q_vocab_growth, _text.vocab_growth_sql(deciles=10))
+
+
+# ---------------------------------------------------------------------------
+# round-4c extensions: incremental index probe, graphlet orbits, URL tree
+# ---------------------------------------------------------------------------
+
+
+def q_minhash_index_probe(spark, sf_dir):
+    """Incremental crawl dedup: probe the NEW batch (doc_id % 5 == 0)
+    against the existing corpus INDEX (the rest) — one-sided banded
+    MinHash join + exact-Jaccard verify, per-new-doc best match and a
+    keep verdict; the index is never self-joined."""
+    from . import dedup
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.minhash_index_probe(
+        d.filter(F.col("doc_id") % 5 != 0),
+        d.filter(F.col("doc_id") % 5 == 0),
+        jaccard_threshold=0.35,
+    )
+
+
+from . import dedup as _dedup  # noqa: E402
+
+REGISTRY["minhash_index_probe"] = (
+    q_minhash_index_probe,
+    _dedup.minhash_index_probe_sql(jaccard_threshold=0.35),
+)
+
+
+def q_graphlet_orbits(spark, sf_dir):
+    """Per-vertex 3-node graphlet orbit counts (GDV-3: degree / induced
+    2-path end / 2-path center / triangle) over derived graph A — the
+    role-mining feature vector, from closed forms over degree,
+    neighbor-degree sums and per-vertex triangle participation."""
+    from .algos.motifs import graphlet_orbits
+
+    return graphlet_orbits(edges_a(spark, sf_dir), vertices=verts(spark, V_A))
+
+
+GRAPHLET_ORBITS_SQL = f"""
+WITH {EDGES_A_SQL}, {VERTS_A_SQL}, {UND_A_SQL}, {OE_A_SQL},
+tri AS (
+  SELECT e1.a AS a, e1.b AS b, e2.b AS c
+  FROM oe_a e1
+  JOIN oe_a e2 ON e1.b = e2.a
+  JOIN oe_a e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+tv AS (
+  SELECT id, count(*) AS triangles FROM (
+    SELECT a AS id FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri
+  ) GROUP BY id
+),
+deg AS (SELECT src AS id, count(*) AS deg FROM und_a GROUP BY src),
+nd AS (
+  SELECT u.src AS id, sum(d.deg - 1) AS nd1
+  FROM und_a u JOIN deg d ON d.id = u.dst GROUP BY u.src
+)
+SELECT v.id,
+       CAST(coalesce(d.deg, 0) AS BIGINT) AS o0_degree,
+       CAST(coalesce(n.nd1, 0) - 2 * coalesce(t.triangles, 0) AS BIGINT)
+         AS o1_path_end,
+       CAST(CAST(coalesce(d.deg, 0) * (coalesce(d.deg, 0) - 1) / 2 AS BIGINT)
+            - coalesce(t.triangles, 0) AS BIGINT) AS o2_path_center,
+       CAST(coalesce(t.triangles, 0) AS BIGINT) AS o3_triangle
+FROM verts_a v
+LEFT JOIN deg d ON d.id = v.id
+LEFT JOIN nd n ON n.id = v.id
+LEFT JOIN tv t ON t.id = v.id
+"""
+
+REGISTRY["graphlet_orbits"] = (q_graphlet_orbits, GRAPHLET_ORBITS_SQL)
+
+
+def q_url_path_rollup(spark, sf_dir):
+    """Sitemap-structure URL-tree rollup: page counts per (host, depth,
+    path-prefix) for depths 1-2 over deterministic urls synthesized from
+    graph-A vertices — the path-level refinement of host_graph_rollup."""
+    from .ingest import path_prefix_rollup
+
+    ids = edges_a(spark, sf_dir).select(F.col("src").alias("id")).distinct()
+    pages = ids.select(
+        F.concat(
+            F.lit("https://host"), (F.col("id") % 40).cast("string"),
+            F.lit(".example/sec"), (F.col("id") % 7).cast("string"),
+            F.lit("/p"), F.col("id").cast("string"),
+        ).alias("url")
+    )
+    return path_prefix_rollup(pages, max_depth=2)
+
+
+URL_PATH_ROLLUP_SQL = f"""
+WITH {EDGES_A_SQL},
+ids AS (SELECT DISTINCT src AS id FROM edges_a),
+pages AS (
+  SELECT 'https://host' || CAST(id % 40 AS VARCHAR) || '.example/sec'
+           || CAST(id % 7 AS VARCHAR) || '/p' || CAST(id AS VARCHAR) AS url
+  FROM ids),
+parts AS (
+  SELECT regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/]+)', 1) AS host,
+         list_filter(string_split(regexp_extract(url,
+           '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]+(/.*)?$', 1), '/'),
+           s -> s <> '') AS segs
+  FROM pages),
+lv AS (
+  SELECT host, d AS depth,
+         '/' || array_to_string(list_slice(segs, 1, d), '/') AS prefix
+  FROM parts, unnest([1, 2]) AS t(d)
+  WHERE len(segs) >= d)
+SELECT host, CAST(depth AS BIGINT) AS depth, prefix,
+       CAST(count(*) AS BIGINT) AS n_pages
+FROM lv GROUP BY 1, 2, 3
+"""
+
+REGISTRY["url_path_rollup"] = (q_url_path_rollup, URL_PATH_ROLLUP_SQL)
+
+
+def q_truss_numbers(spark, sf_dir):
+    """Full truss decomposition of derived graph B: max k per edge such
+    that the edge survives in the k-truss — edge-h-index fixpoint
+    iteration (one static triangle-edge incidence table, one join +
+    windowed h-index per round), the edge-level sibling of
+    core_numbers."""
+    from .algos.ktruss import truss_numbers
+
+    out, _ = truss_numbers(edges_b(spark, sf_dir), partitions=8)
+    return out.select("a", "b", F.col("trussness").cast("long").alias("trussness"))
+
+
+def _truss_numbers_sql(rounds: int) -> str:
+    # Round budget validated empirically against the engine's measured
+    # fixpoint round count on the fixtures (test_round4c.py asserts the
+    # engine converges within this unroll at sf0.001/sf0.01).
+    parts = [
+        EDGES_B_SQL, OE_B_SQL,
+        """tri AS MATERIALIZED (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM oe_b e1
+  JOIN oe_b e2 ON e1.a = e2.a AND e1.b < e2.b
+  JOIN oe_b e3 ON e3.a = e1.b AND e3.b = e2.b)""",
+        """inc AS MATERIALIZED (
+  SELECT x AS ea, y AS eb, x AS o1a, z AS o1b, y AS o2a, z AS o2b FROM tri
+  UNION ALL
+  SELECT x AS ea, z AS eb, x AS o1a, y AS o1b, y AS o2a, z AS o2b FROM tri
+  UNION ALL
+  SELECT y AS ea, z AS eb, x AS o1a, y AS o1b, x AS o2a, z AS o2b FROM tri)""",
+        """t0 AS MATERIALIZED (
+  SELECT e.a, e.b, CAST(coalesce(s.c, 0) AS BIGINT) AS t
+  FROM oe_b e LEFT JOIN (
+    SELECT ea, eb, count(*) AS c FROM inc GROUP BY ea, eb) s
+  ON s.ea = e.a AND s.eb = e.b)""",
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(f"""v{i} AS (
+  SELECT i.ea, i.eb, least(t1.t, t2.t) AS v,
+         row_number() OVER (PARTITION BY i.ea, i.eb
+                            ORDER BY least(t1.t, t2.t) DESC) AS rn
+  FROM inc i
+  JOIN t{i - 1} t1 ON t1.a = i.o1a AND t1.b = i.o1b
+  JOIN t{i - 1} t2 ON t2.a = i.o2a AND t2.b = i.o2b)""")
+        parts.append(f"""h{i} AS (
+  SELECT ea, eb, max(CASE WHEN v >= rn THEN rn ELSE 0 END) AS h
+  FROM v{i} GROUP BY ea, eb)""")
+        parts.append(f"""t{i} AS MATERIALIZED (
+  SELECT e.a, e.b, CAST(coalesce(h.h, 0) AS BIGINT) AS t
+  FROM t{i - 1} e LEFT JOIN h{i} h ON h.ea = e.a AND h.eb = e.b)""")
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT a, b, CAST(t + 2 AS BIGINT) AS trussness FROM t{rounds}"
+    )
+
+
+TRUSS_NUMBERS_SQL = _truss_numbers_sql(16)
+
+REGISTRY["truss_numbers"] = (q_truss_numbers, TRUSS_NUMBERS_SQL)
