@@ -621,3 +621,113 @@ def skipgram_pairs(walks: DataFrame, window: int = 2) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     )
+
+
+# second-order (node2vec) step weights — small integers so every cumulative
+# weight is BIGINT-exact in any engine; defaults lean DFS-ward (q < 1)
+N2V_RET_W, N2V_BFS_W, N2V_DFS_W = 1, 2, 4
+WALK_D = 15485863  # prime mixing the predecessor vertex into the step hash
+
+
+def node2vec_walks(
+    edges: DataFrame,
+    starts: DataFrame,
+    length: int,
+    directed: bool = False,
+    partitions: int | None = None,
+    ret_w: int = N2V_RET_W,
+    bfs_w: int = N2V_BFS_W,
+    dfs_w: int = N2V_DFS_W,
+) -> DataFrame:
+    """Deterministic node2vec-style SECOND-ORDER walks (Grover & Leskovec,
+    KDD'16): the step out of ``v`` given predecessor ``prev`` weights each
+    neighbor ``dst`` by ``ret_w`` if ``dst == prev`` (the 1/p return term),
+    ``bfs_w`` if ``dst ∈ N(prev)`` (the distance-1 term), else ``dfs_w``
+    (the 1/q in-out term), then picks the candidate whose cumulative-weight
+    interval over the dst-sorted neighbor list contains
+    ``hash(walk_id, v, prev, step) mod total_weight`` — a weighted hash-walk,
+    bit-reproducible in any engine (integer weights, no RNG state; the
+    distributed analogue of the reference's seeded estimator sampling,
+    /root/reference/src/ZGraphInstance.cpp:300-334).  Step 1 sets
+    ``prev = v`` so every first candidate scores ``bfs_w`` — a uniform
+    first-order hop, no special case on either engine.
+
+    One walk per row of ``starts`` (column ``id``; walk_id = start id);
+    walks stop early at sinks.  Returns (walk_id, step, v), steps 0..length.
+
+    Scale: per step, the state joins the src-pinned adjacency (candidate
+    rows = Σ deg(v) over the frontier — bounded by max degree per walk,
+    the same bound as graphsage_fanout) and LEFT-joins the edge set on
+    (prev, dst) for the distance-1 flag — both shuffle-hash equi-joins on
+    pinned keys.  The cumulative-weight window is per (walk_id) over ONE
+    vertex's neighbor list, never a global window.  Lineage is truncated
+    every step (localCheckpoint), the engine's standard superstep pattern.
+    """
+    from pyspark.sql import Window
+
+    spark = edges.sparkSession
+    P = int(partitions or spark.conf.get("spark.sql.shuffle.partitions"))
+
+    adj = norm_edges(edges, P, directed=directed, materialize="none").persist()
+    adj.count()
+    nb = adj.select(
+        F.col("src").alias("prev"), F.col("dst").alias("dst"),
+        F.lit(1).alias("_nb"),
+    ).repartition(P, "prev", "dst").persist()
+    nb.count()
+
+    cur = starts.select(
+        F.col("id").alias("walk_id"),
+        F.col("id").alias("prev"),
+        F.col("id").alias("v"),
+    ).localCheckpoint(eager=True)
+    out = [cur.select("walk_id", F.lit(0).cast("int").alias("step"), "v")]
+    w_cum = Window.partitionBy("walk_id").orderBy("dst")
+    w_tot = Window.partitionBy("walk_id")
+    for step in range(1, length + 1):
+        cand = (
+            cur.join(
+                adj.select(F.col("src").alias("v"), "dst").hint("shuffle_hash"),
+                "v",
+            )
+            .join(nb.hint("shuffle_hash"), ["prev", "dst"], "left")
+            .withColumn(
+                "_w",
+                F.when(F.col("dst") == F.col("prev"), F.lit(ret_w))
+                .when(F.col("_nb").isNotNull(), F.lit(bfs_w))
+                .otherwise(F.lit(dfs_w))
+                .cast("long"),
+            )
+        )
+        picked = (
+            cand.withColumn("_cum", F.sum("_w").over(w_cum))
+            .withColumn("_tot", F.sum("_w").over(w_tot))
+            .withColumn(
+                "_r",
+                (
+                    F.col("walk_id") * WALK_A
+                    + F.col("v") * WALK_B
+                    + F.lit(step) * WALK_C
+                    + F.col("prev") * WALK_D
+                ) % F.col("_tot"),
+            )
+            .filter(
+                (F.col("_cum") - F.col("_w") <= F.col("_r"))
+                & (F.col("_r") < F.col("_cum"))
+            )
+        )
+        cur = (
+            picked.select(
+                "walk_id", F.col("v").alias("prev"), F.col("dst").alias("v")
+            )
+            .repartition(P, "v")
+            .localCheckpoint(eager=True)
+        )
+        out.append(cur.select("walk_id", F.lit(step).cast("int").alias("step"), "v"))
+
+    res = out[0]
+    for df in out[1:]:
+        res = res.union(df)
+    adj.unpersist()
+    nb.unpersist()
+    return res

@@ -1124,3 +1124,98 @@ SELECT sym AS token, CAST(sum(freq) AS BIGINT) AS n_occurrences,
 FROM syms_{rounds + 1}
 GROUP BY sym
 """)
+
+
+# ---------------------------------------------------------------------------
+# context-window sequence packing (next-fit, no document splitting)
+# ---------------------------------------------------------------------------
+
+
+def context_pack(
+    docs: DataFrame,
+    capacity: int,
+    n_groups: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Pack whole documents into fixed-capacity context windows (the
+    sequence-packing step that turns a filtered corpus into LLM training
+    rows): within each pack group, docs are taken in ascending id order
+    and NEXT-FIT packed — a doc goes into the currently-open bin if it
+    fits, else the bin is closed and a new one opened.  Documents are
+    never split (contrast ``shard_pack``, whose running-total shards cut
+    across doc boundaries); a doc longer than ``capacity`` gets a bin to
+    itself.  Returns (doc_id, grp, bin_id, offset, n_tokens) where
+    ``offset`` is the doc's first token slot in its bin.
+
+    Next-fit is inherently a sequential fold (bin state depends on every
+    earlier doc), so the parallel unit is the PACK GROUP
+    (``grp = doc_id % n_groups`` — in production, the output shard): the
+    fold runs per group inside one applyInPandas task, groups run in
+    parallel, and state per task is one group's (doc_id, n_tokens) pairs
+    — at 100 TB you size n_groups to the target shard count (thousands),
+    so each task holds one shard's manifest, never the corpus.  Only the
+    (id, n_tokens) projection enters the shuffle — text stays behind.
+
+    DuckDB twin: the same fold as a recursive CTE stepping row-rank
+    within every group in parallel (see ``context_pack_sql``).
+    """
+    d = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        (F.col(id_col).cast("long") % n_groups).alias("grp"),
+        n_tokens(F.col(text_col)).alias("n_tokens"),
+    )
+
+    schema = (
+        "doc_id long, grp long, bin_id long, offset long, n_tokens long"
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        fill, b = 0, 0
+        bins, offs = [], []
+        for n in pdf["n_tokens"]:
+            n = int(n)
+            if fill > 0 and fill + n > capacity:
+                b += 1
+                fill = 0
+            bins.append(b)
+            offs.append(fill)
+            fill += n
+        pdf["bin_id"] = pd.Series(bins, dtype="int64")
+        pdf["offset"] = pd.Series(offs, dtype="int64")
+        return pdf[["doc_id", "grp", "bin_id", "offset", "n_tokens"]]
+
+    return d.groupBy("grp").applyInPandas(pack, schema)
+
+
+def context_pack_sql(
+    capacity: int, n_groups: int = 8, table: str = "documents"
+) -> str:
+    """Recursive-CTE twin of :func:`context_pack`: one recursion advances
+    row-rank ``rn`` in every group simultaneously; the new-bin condition
+    ``prev_offset + prev_n + n > capacity`` is exactly the Spark fold's
+    (the open bin's fill is ``offset + n_tokens`` of the previous doc,
+    always > 0)."""
+    return f"""
+WITH RECURSIVE t AS (
+  SELECT doc_id, doc_id % {n_groups} AS grp, {N_TOKENS_SQL} AS n_tokens,
+         row_number() OVER (PARTITION BY doc_id % {n_groups}
+                            ORDER BY doc_id) AS rn
+  FROM {table}
+),
+walk(grp, rn, doc_id, n_tokens, bin_id, off) AS (
+  SELECT grp, rn, doc_id, n_tokens, CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+  FROM t WHERE rn = 1
+  UNION ALL
+  SELECT t.grp, t.rn, t.doc_id, t.n_tokens,
+         CASE WHEN w.off + w.n_tokens + t.n_tokens > {capacity}
+              THEN w.bin_id + 1 ELSE w.bin_id END,
+         CASE WHEN w.off + w.n_tokens + t.n_tokens > {capacity}
+              THEN CAST(0 AS BIGINT) ELSE w.off + w.n_tokens END
+  FROM walk w JOIN t ON t.grp = w.grp AND t.rn = w.rn + 1
+)
+SELECT doc_id, CAST(grp AS BIGINT) AS grp, bin_id,
+       off AS offset, n_tokens
+FROM walk
+"""

@@ -7842,3 +7842,219 @@ def _truss_numbers_sql(rounds: int) -> str:
 TRUSS_NUMBERS_SQL = _truss_numbers_sql(16)
 
 REGISTRY["truss_numbers"] = (q_truss_numbers, TRUSS_NUMBERS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# node2vec second-order biased walks (round 4)
+# ---------------------------------------------------------------------------
+
+N2V_STARTS, N2V_LEN = 15, 6
+
+
+def q_node2vec_walks(spark, sf_dir):
+    """Deterministic node2vec SECOND-ORDER walk corpus: 15 walks of length
+    6 over the undirected derived graph, step weights (return=1, dist-1=2,
+    dist-2=4) picked by cumulative-weight hash over the dst-sorted
+    neighbor list — bit-reproducible in any engine (Grover & Leskovec
+    KDD'16 semantics with integer weights; the reference's seeded
+    estimator-sampling analogue, /root/reference/src/ZGraphInstance.cpp:300)."""
+    from .algos.paths import node2vec_walks
+
+    walks = node2vec_walks(
+        edges_b(spark, sf_dir),
+        starts=spark.createDataFrame([(i,) for i in range(N2V_STARTS)], "id long"),
+        length=N2V_LEN, directed=False, partitions=8,
+    )
+    return walks.select(
+        F.col("walk_id").cast("long").alias("walk_id"),
+        F.col("step").cast("long").alias("step"),
+        F.col("v").cast("long").alias("v"),
+    )
+
+
+def _node2vec_sql(n_starts: int, length: int) -> str:
+    from .algos.paths import (
+        N2V_BFS_W, N2V_DFS_W, N2V_RET_W, WALK_A, WALK_B, WALK_C, WALK_D,
+    )
+
+    parts = [
+        EDGES_B_SQL, UND_B_SQL,
+        f"""w0 AS MATERIALIZED (
+             SELECT CAST(range AS BIGINT) AS walk_id,
+                    CAST(range AS BIGINT) AS prev,
+                    CAST(range AS BIGINT) AS v
+             FROM range({n_starts}))""",
+    ]
+    for s in range(1, length + 1):
+        p = f"w{s - 1}"
+        parts.append(
+            f"""cand{s} AS MATERIALIZED (
+                 SELECT w.walk_id, w.prev, w.v, a.dst,
+                        CAST(CASE WHEN a.dst = w.prev THEN {N2V_RET_W}
+                                  WHEN nb.src IS NOT NULL THEN {N2V_BFS_W}
+                                  ELSE {N2V_DFS_W} END AS BIGINT) AS wt
+                 FROM {p} w
+                 JOIN und_b a ON a.src = w.v
+                 LEFT JOIN und_b nb ON nb.src = w.prev AND nb.dst = a.dst)"""
+        )
+        parts.append(
+            f"""w{s} AS MATERIALIZED (
+                 SELECT walk_id, v AS prev, dst AS v FROM (
+                   SELECT walk_id, prev, v, dst, wt,
+                          sum(wt) OVER (PARTITION BY walk_id
+                                        ORDER BY dst) AS cum,
+                          sum(wt) OVER (PARTITION BY walk_id) AS tot
+                   FROM cand{s}
+                 ) x
+                 WHERE (walk_id * {WALK_A} + v * {WALK_B} + {s} * {WALK_C}
+                        + prev * {WALK_D}) % tot
+                       BETWEEN cum - wt AND cum - 1)"""
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT walk_id, {s} AS step, v FROM w{s}" for s in range(length + 1)
+    )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT CAST(walk_id AS BIGINT) AS walk_id,"
+          f" CAST(step AS BIGINT) AS step, CAST(v AS BIGINT) AS v"
+          f" FROM ({union}) t"
+    )
+
+
+NODE2VEC_SQL = _node2vec_sql(N2V_STARTS, N2V_LEN)
+
+REGISTRY["node2vec_walks"] = (q_node2vec_walks, NODE2VEC_SQL)
+
+
+# ---------------------------------------------------------------------------
+# temporal triangles (round 4)
+# ---------------------------------------------------------------------------
+
+TEMPORAL_WINDOW_DAYS = 45
+
+
+def edges_t(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal edge table: edges_b endpoints with the earliest order date
+    (epoch day) per unordered pair, plus a strictly-unique composite event
+    key ``ek = day*V_B² + a*V_B + b`` giving a deterministic total order
+    on edge events in any engine."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    s = (F.col("o_orderkey").cast("long") * 13 + 7) % V_B
+    d = (F.col("o_custkey").cast("long") * 17 + 5) % V_B
+    day = F.datediff(
+        F.col("o_orderdate").cast("date"), F.to_date(F.lit("1970-01-01"))
+    ).cast("long")
+    return (
+        o.filter(F.col("o_orderkey") % 10 < 2)
+        .select(s.alias("s"), d.alias("d"), day.alias("day"))
+        .filter(F.col("s") != F.col("d"))
+        .select(
+            F.least("s", "d").alias("a"),
+            F.greatest("s", "d").alias("b"),
+            F.col("day"),
+        )
+        .groupBy("a", "b")
+        .agg(F.min("day").alias("day"))
+        .select(
+            "a", "b", "day",
+            (F.col("day") * V_B * V_B + F.col("a") * V_B + F.col("b"))
+            .alias("ek"),
+        )
+    )
+
+
+EDGES_T_SQL = f"""
+edges_t AS (
+  SELECT a, b, day, day * {V_B * V_B} + a * {V_B} + b AS ek FROM (
+    SELECT least(s, d) AS a, greatest(s, d) AS b, min(day) AS day FROM (
+      SELECT CAST((o_orderkey * 13 + 7) % {V_B} AS BIGINT) AS s,
+             CAST((o_custkey * 17 + 5) % {V_B} AS BIGINT) AS d,
+             CAST(date_diff('day', DATE '1970-01-01',
+                            CAST(o_orderdate AS DATE)) AS BIGINT) AS day
+      FROM orders WHERE o_orderkey % 10 < 2
+    ) raw WHERE s <> d GROUP BY 1, 2
+  ) e
+)"""
+
+
+def q_temporal_triangle_count(spark, sf_dir):
+    """Temporal triangle count (Paranjape–Benson–Leskovec WSDM'17 motif
+    M_triangle): edge events e1 < e2 < e3 under the strict ek order forming
+    a closed u→v→w→u walk with day(e3) − day(e1) ≤ 45.  Three shuffle-hash
+    equi-joins on shared vertices with the time predicates applied on top
+    — each temporal triangle has exactly one time-ordered path orientation,
+    so the count is exact with no automorphism division."""
+    t = edges_t(spark, sf_dir)
+    und = t.select("a", "b", "day", "ek").union(
+        t.select(
+            F.col("b").alias("a"), F.col("a").alias("b"), "day", "ek"
+        )
+    )
+    e1 = und.select(
+        F.col("a").alias("u"), F.col("b").alias("v"),
+        F.col("day").alias("d1"), F.col("ek").alias("k1"),
+    )
+    e2 = und.select(
+        F.col("a").alias("v"), F.col("b").alias("w"),
+        F.col("day").alias("d2"), F.col("ek").alias("k2"),
+    )
+    e3 = und.select(
+        F.col("a").alias("w"), F.col("b").alias("u"),
+        F.col("day").alias("d3"), F.col("ek").alias("k3"),
+    )
+    n = (
+        e1.join(e2.hint("shuffle_hash"), "v")
+        .filter((F.col("k2") > F.col("k1")) & (F.col("w") != F.col("u")))
+        .join(e3.hint("shuffle_hash"), ["w", "u"])
+        .filter(
+            (F.col("k3") > F.col("k2"))
+            & (F.col("d3") - F.col("d1") <= TEMPORAL_WINDOW_DAYS)
+        )
+        .count()
+    )
+    return _scalar_df(spark, "temporal_triangles", n)
+
+
+TEMPORAL_TRIANGLE_SQL = f"""
+WITH {EDGES_T_SQL},
+und_t AS (
+  SELECT a, b, day, ek FROM edges_t
+  UNION ALL
+  SELECT b AS a, a AS b, day, ek FROM edges_t
+)
+SELECT CAST(count(*) AS BIGINT) AS temporal_triangles
+FROM und_t e1
+JOIN und_t e2 ON e2.a = e1.b AND e2.ek > e1.ek AND e2.b <> e1.a
+JOIN und_t e3 ON e3.a = e2.b AND e3.b = e1.a AND e3.ek > e2.ek
+             AND e3.day - e1.day <= {TEMPORAL_WINDOW_DAYS}
+"""
+
+REGISTRY["temporal_triangle_count"] = (
+    q_temporal_triangle_count, TEMPORAL_TRIANGLE_SQL)
+
+
+# ---------------------------------------------------------------------------
+# context-window sequence packing (round 4)
+# ---------------------------------------------------------------------------
+
+
+def q_context_pack(spark, sf_dir):
+    """Next-fit whole-document packing into 256-token context windows,
+    8 parallel pack groups — the sequence-packing step producing LLM
+    training rows (docs never split; contrast shard_pack's running-total
+    shards).  Sequential fold per group inside one applyInPandas task;
+    groups are the parallel unit — see corpus.context_pack."""
+    from . import corpus
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return corpus.context_pack(docs, capacity=256, n_groups=8)
+
+
+def _register_round4d() -> None:
+    from . import corpus
+
+    REGISTRY["context_pack"] = (
+        q_context_pack, corpus.context_pack_sql(capacity=256, n_groups=8))
+
+
+_register_round4d()
