@@ -517,3 +517,50 @@ def stream_bucket_min_distinct(
     )
     q.awaitTermination()
     return spark.table(sink_table)
+
+
+def stream_sliding_counts(
+    spark: SparkSession,
+    events_dir: str,
+    watermark: str = "2 hours",
+    sink_table: str = "stream_sliding",
+) -> DataFrame:
+    """Sliding-window event counts over the stream: 1-hour windows sliding
+    every 15 minutes (each event lands in exactly window/slide = 4
+    overlapping windows), drained with availableNow.
+
+    Output: (win_start, event_type, n, sum_value_e4).  The batch twin is
+    closed-form — the 4 covering window starts of an event are
+    ``floor(epoch/900)·900 − k·900, k ∈ 0..3`` — so the oracle is plain
+    SQL with a 4-row range join, no streaming machinery.
+
+    Scale: watermark-bounded state = windows-in-flight × event types (the
+    4× write amplification of slide<window is the documented cost of
+    sliding windows; state is still O(active windows), never O(events)).
+    """
+    stream = _events_stream(spark, events_dir)
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(
+            F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.sum("value") * 1e4).cast("long").alias("sum_value_e4"),
+        )
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("win_start"),
+            "event_type", "n", "sum_value_e4",
+        )
+    )
+    ckpt = tempfile.mkdtemp(prefix="lg_stream_ckpt_")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink_table)
+        .outputMode("complete")
+        .option("checkpointLocation", os.path.join(ckpt, "sliding"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink_table)

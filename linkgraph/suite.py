@@ -8058,3 +8058,28 @@ def _register_round4d() -> None:
 
 
 _register_round4d()
+
+
+def q_stream_sliding(spark, sf_dir):
+    """Sliding-window streaming counts (1h window / 15m slide, watermarked,
+    availableNow drain) — each event lands in exactly 4 overlapping
+    windows; the closed-form batch twin needs only a 4-row range join.
+    See streaming.stream_sliding_counts."""
+    from . import streaming
+
+    return streaming.stream_sliding_counts(
+        spark, f"{sf_dir}/events.parquet", sink_table="q_stream_sliding"
+    )
+
+
+STREAM_SLIDING_SQL = """
+SELECT make_timestamp((CAST(floor(epoch(ts) / 900) AS BIGINT) - k) * 900
+                      * 1000000) AS win_start,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(round(sum(value) * 1e4) AS BIGINT) AS sum_value_e4
+FROM events, range(4) r(k)
+GROUP BY 1, 2
+"""
+
+REGISTRY["stream_sliding_counts"] = (q_stream_sliding, STREAM_SLIDING_SQL)

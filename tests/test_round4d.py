@@ -243,3 +243,38 @@ def test_temporal_edges_fixture_deterministic(spark):
     b = sorted(tuple(r) for r in suite.edges_t(spark, sf).collect())
     assert a == b
     assert len(a) == len({r[3] for r in a})  # ek strictly unique
+
+
+# ---------------------------------------------------------------------------
+# sliding-window streaming
+# ---------------------------------------------------------------------------
+
+
+def test_stream_sliding_matches_batch(spark):
+    from linkgraph import streaming
+
+    sf = "/root/testdata/sf0.001"
+    got = streaming.stream_sliding_counts(
+        spark, f"{sf}/events.parquet", sink_table="t_sliding_r4d"
+    )
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    batch = (
+        ev.groupBy(
+            F.window(F.col("ts").cast("timestamp"), "1 hour", "15 minutes")
+            .alias("w"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.sum("value") * 1e4).cast("long").alias("sum_value_e4"),
+        )
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("win_start"),
+            "event_type", "n", "sum_value_e4",
+        )
+    )
+    a = sorted(tuple(r) for r in got.collect())
+    b = sorted(tuple(r) for r in batch.collect())
+    assert a == b
+    # every event contributes to exactly window/slide = 4 windows
+    assert sum(r[2] for r in a) == 4 * ev.count()
