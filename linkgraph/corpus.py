@@ -1219,3 +1219,133 @@ SELECT doc_id, CAST(grp AS BIGINT) AS grp, bin_id,
        off AS offset, n_tokens
 FROM walk
 """
+
+
+# ---------------------------------------------------------------------------
+# distributed quality-classifier TRAINING (hard-sigmoid logistic GD)
+# ---------------------------------------------------------------------------
+
+# probe-token presence features over the whitespace tokenization; the
+# bias + probes + length flag give dim = len(tokens) + 2
+CLF_PROBE_TOKENS = ("the", "value", "table", "fast", "spark", "row")
+CLF_DIM = len(CLF_PROBE_TOKENS) + 2
+
+
+def _clf_feature_cols(text_col: Column) -> list[Column]:
+    toks = F.split(F.trim(F.lower(text_col)), r"\s+")
+    feats = [F.lit(1).cast("long")]
+    for t in CLF_PROBE_TOKENS:
+        feats.append(F.array_contains(toks, t).cast("long"))
+    feats.append((F.size(toks) > 30).cast("long"))
+    return feats
+
+
+def train_quality_classifier(
+    docs: DataFrame,
+    iters: int = 5,
+    text_col: str = "text",
+    label_col: str = "lang",
+    positive: str = "en",
+) -> DataFrame:
+    """Distributed TRAINING of a linear quality classifier by full-batch
+    gradient descent with a HARD sigmoid — every quantity is a BIGINT, so
+    the learned weights are bit-identical across engines (no transcendental
+    exp whose last ulp could differ between JVM and C).
+
+    Model: p_e6 = clamp(5e5 + floor(z/4), 0, 1e6) with z = Σ_f w_f·x_f
+    (weights e6-scaled, features ∈ {0,1}: bias, probe-token presence,
+    length>30) — the "hard sigmoid" (σ̃(z) = clip(0.5 + z/4)), whose GD
+    update is the perceptron-smoothed rule
+    ``w_f ← w_f − floor(Σ_docs (p_e6 − y·1e6)·x_f / n)`` (unit learning
+    rate, explicit floor on BOTH engines).  Label: ``label_col ==
+    positive``.  Returns (feature, weight_e6), ``CLF_DIM`` rows.
+
+    Scale: each iteration is ONE map-side-combinable aggregation over the
+    corpus (dim partial sums per task — a dim-row shuffle); the weight
+    vector is a dim-element driver scalar folded into the next iteration's
+    literal expression — bounded state, the classic distributed-GD layout
+    (parameter vector small, data never moves).  The corpus projection is
+    computed once and persisted; iters × one-pass cost, no lineage growth.
+    """
+    feats = _clf_feature_cols(F.col(text_col))
+    d = docs.select(
+        *[f.alias(f"x{i}") for i, f in enumerate(feats)],
+        (F.col(label_col) == positive).cast("long").alias("y"),
+    ).persist()
+    try:
+        n = d.count()
+        w = [0] * CLF_DIM
+        for _it in range(iters):
+            z = sum(
+                (F.col(f"x{i}") * F.lit(int(w[i])) for i in range(CLF_DIM)),
+                F.lit(0).cast("long"),
+            )
+            p = F.greatest(
+                F.lit(0).cast("long"),
+                F.least(
+                    F.lit(1_000_000).cast("long"),
+                    F.lit(500_000) + F.floor(z / F.lit(4.0)).cast("long"),
+                ),
+            )
+            err = p - F.col("y") * F.lit(1_000_000)
+            row = d.agg(
+                *[F.sum(err * F.col(f"x{i}")).alias(f"g{i}") for i in range(CLF_DIM)]
+            ).collect()[0]
+            w = [w[i] - (int(row[f"g{i}"]) // n) for i in range(CLF_DIM)]
+    finally:
+        d.unpersist()
+    return docs.sparkSession.createDataFrame(
+        [(i, int(w[i])) for i in range(CLF_DIM)], "feature long, weight_e6 long"
+    )
+
+
+def train_quality_classifier_sql(
+    iters: int = 5, table: str = "documents",
+    label_col: str = "lang", positive: str = "en",
+) -> str:
+    """Unrolled SQL twin of :func:`train_quality_classifier`: per-iteration
+    CTEs compute the gradient aggregate against the previous scalar weight
+    row (CROSS JOIN), with the identical clamp/floor arithmetic."""
+    toks = r"regexp_split_to_array(trim(lower(text)), '\s+')"
+    xs = ["CAST(1 AS BIGINT) AS x0"]
+    for i, t in enumerate(CLF_PROBE_TOKENS):
+        xs.append(
+            f"CAST(list_contains({toks}, '{t}') AS BIGINT) AS x{i + 1}"
+        )
+    xs.append(f"CAST(len({toks}) > 30 AS BIGINT) AS x{CLF_DIM - 1}")
+    dim = CLF_DIM
+    parts = [
+        f"t AS MATERIALIZED (SELECT {', '.join(xs)},"
+        f" CAST({label_col} = '{positive}' AS BIGINT) AS y FROM {table})",
+        "nn AS (SELECT count(*) AS c FROM t)",
+        "w0 AS (SELECT "
+        + ", ".join(f"CAST(0 AS BIGINT) AS w{i}" for i in range(dim))
+        + ")",
+    ]
+    for k in range(1, iters + 1):
+        z = " + ".join(f"w.w{i} * t.x{i}" for i in range(dim))
+        p = (
+            f"greatest(CAST(0 AS BIGINT), least(CAST(1000000 AS BIGINT),"
+            f" 500000 + CAST(floor(({z}) / 4.0) AS BIGINT)))"
+        )
+        gs = ", ".join(
+            f"sum(({p} - t.y * 1000000) * t.x{i}) AS g{i}" for i in range(dim)
+        )
+        parts.append(
+            f"g{k} AS (SELECT {gs} FROM t CROSS JOIN w{k - 1} w)"
+        )
+        ws = ", ".join(
+            f"w.w{i} - CAST(floor(CAST(g.g{i} AS DOUBLE) / nn.c) AS BIGINT)"
+            f" AS w{i}"
+            for i in range(dim)
+        )
+        parts.append(
+            f"w{k} AS (SELECT {ws} FROM w{k - 1} w CROSS JOIN g{k} g"
+            f" CROSS JOIN nn)"
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT CAST({i} AS BIGINT) AS feature, w{i} AS weight_e6"
+        f" FROM w{iters}"
+        for i in range(dim)
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + union

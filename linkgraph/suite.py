@@ -83,17 +83,25 @@ edges_b AS (
 
 VERTS_A_SQL = f"verts_a AS (SELECT CAST(range AS BIGINT) AS id FROM range({V_A}))"
 VERTS_B_SQL = f"verts_b AS (SELECT CAST(range AS BIGINT) AS id FROM range({V_B}))"
+# NOTE: explicit DISTINCT over UNION ALL, not bare UNION — DuckDB 1.0
+# stops deduplicating a bare UNION inside non-self-referencing CTEs when
+# the query is WITH RECURSIVE (observed: und_b 5486 -> 5558 rows), which
+# silently corrupts any multiplicity-sensitive consumer (degrees, counts).
 UND_A_SQL = """
 und_a AS (
-  SELECT src, dst FROM edges_a
-  UNION
-  SELECT dst AS src, src AS dst FROM edges_a
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM edges_a
+    UNION ALL
+    SELECT dst AS src, src AS dst FROM edges_a
+  ) u
 )"""
 UND_B_SQL = """
 und_b AS (
-  SELECT src, dst FROM edges_b
-  UNION
-  SELECT dst AS src, src AS dst FROM edges_b
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM edges_b
+    UNION ALL
+    SELECT dst AS src, src AS dst FROM edges_b
+  ) u
 )"""
 OE_A_SQL = "oe_a AS (SELECT DISTINCT least(src,dst) AS a, greatest(src,dst) AS b FROM edges_a)"
 OE_B_SQL = "oe_b AS (SELECT DISTINCT least(src,dst) AS a, greatest(src,dst) AS b FROM edges_b)"
@@ -8083,3 +8091,260 @@ GROUP BY 1, 2
 """
 
 REGISTRY["stream_sliding_counts"] = (q_stream_sliding, STREAM_SLIDING_SQL)
+
+
+# ---------------------------------------------------------------------------
+# hub-removal robustness curve (round 4)
+# ---------------------------------------------------------------------------
+
+ROBUSTNESS_KS = (0, 5, 25)
+
+
+def q_robustness_curve(spark, sf_dir):
+    """Attack-tolerance curve (Albert–Jeong–Barabási Nature'00): remove the
+    top-k undirected-degree hubs (ties → min id, the deterministic
+    TakeOrdered rule) for k ∈ {0, 5, 25} and report the surviving largest
+    connected-component size and component count.  Hub selection is
+    sort+limit (TakeOrdered — never a global row_number window); the
+    filtered edge set anti-joins the k-row hub list (broadcast at any
+    scale); components reuse the engine's min-label CC."""
+    from .algos import connected_components
+
+    eb = edges_b(spark, sf_dir)
+    und = eb.select("src", "dst").union(
+        eb.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    deg = und.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    rows = []
+    for k in ROBUSTNESS_KS:
+        if k == 0:
+            hubs = spark.createDataFrame([], "id long")
+        else:
+            hubs = (
+                deg.orderBy(F.desc("deg"), F.asc("id")).limit(k).select("id")
+            )
+        vs = verts(spark, V_B).join(F.broadcast(hubs), "id", "left_anti")
+        fe = (
+            eb.join(
+                F.broadcast(hubs.select(F.col("id").alias("src"))), "src",
+                "left_anti",
+            )
+            .join(
+                F.broadcast(hubs.select(F.col("id").alias("dst"))), "dst",
+                "left_anti",
+            )
+        )
+        labels, _ = connected_components(fe, vertices=vs, partitions=8)
+        sizes = labels.groupBy("component").agg(F.count(F.lit(1)).alias("n"))
+        agg = sizes.agg(
+            F.max("n").cast("long").alias("largest_cc"),
+            F.count(F.lit(1)).cast("long").alias("n_components"),
+        ).collect()[0]
+        rows.append((k, int(agg["largest_cc"]), int(agg["n_components"])))
+    return spark.createDataFrame(
+        rows, "k long, largest_cc long, n_components long"
+    )
+
+
+def _robustness_sql() -> str:
+    parts = [EDGES_B_SQL, VERTS_B_SQL, UND_B_SQL,
+             """degs AS (SELECT src AS id, count(*) AS deg
+                 FROM und_b GROUP BY src)"""]
+    selects = []
+    for k in ROBUSTNESS_KS:
+        parts.append(
+            f"""hubs{k} AS (SELECT id FROM degs
+                 ORDER BY deg DESC, id ASC LIMIT {k})"""
+        )
+        parts.append(
+            f"""v{k} AS (SELECT id FROM verts_b
+                 WHERE id NOT IN (SELECT id FROM hubs{k}))"""
+        )
+        parts.append(
+            f"""e{k} AS (SELECT src, dst FROM und_b
+                 WHERE src NOT IN (SELECT id FROM hubs{k})
+                   AND dst NOT IN (SELECT id FROM hubs{k}))"""
+        )
+        parts.append(
+            f"""reach{k}(id, comp) AS (
+                 SELECT id, id FROM v{k}
+                 UNION
+                 SELECT e.dst, r.comp FROM reach{k} r
+                 JOIN e{k} e ON e.src = r.id)"""
+        )
+        parts.append(
+            f"""lab{k} AS (SELECT id, min(comp) AS comp
+                 FROM reach{k} GROUP BY id)"""
+        )
+        selects.append(
+            f"""SELECT CAST({k} AS BIGINT) AS k,
+                 CAST(max(n) AS BIGINT) AS largest_cc,
+                 CAST(count(*) AS BIGINT) AS n_components
+               FROM (SELECT comp, count(*) AS n FROM lab{k} GROUP BY comp) s{k}"""
+        )
+    return (
+        "WITH RECURSIVE " + ",\n".join(parts)
+        + "\n" + "\nUNION ALL\n".join(selects)
+    )
+
+
+ROBUSTNESS_SQL = _robustness_sql()
+
+REGISTRY["robustness_curve"] = (q_robustness_curve, ROBUSTNESS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# cross-source duplication matrix (round 4)
+# ---------------------------------------------------------------------------
+
+
+def q_cross_source_dup_matrix(spark, sf_dir):
+    """Contamination-between-sources report: the verified MinHash near-dup
+    pairs (same family/params as `minhash_lsh_dedup`) rolled up by the
+    (source of id_a, source of id_b) pair — the per-source-pair duplicate
+    mass a corpus owner reads before deciding which source to drop.
+    Output: (source_a, source_b, n_pairs, sum_jaccard_e6); pair
+    orientation follows id_a < id_b (deterministic, documented)."""
+    from .dedup import minhash_lsh_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = minhash_lsh_pairs(docs)
+    src = docs.select(F.col("doc_id"), F.col("source"))
+    return (
+        pairs.join(
+            F.broadcast(src.select(F.col("doc_id").alias("id_a"),
+                                   F.col("source").alias("source_a"))),
+            "id_a",
+        )
+        .join(
+            F.broadcast(src.select(F.col("doc_id").alias("id_b"),
+                                   F.col("source").alias("source_b"))),
+            "id_b",
+        )
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum("jaccard_e6").cast("long").alias("sum_jaccard_e6"),
+        )
+    )
+
+
+def _cross_source_sql() -> str:
+    from .dedup import minhash_lsh_pairs_sql
+
+    inner = minhash_lsh_pairs_sql()
+    return f"""
+WITH pairs AS ({inner})
+SELECT da.source AS source_a, db.source AS source_b,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(p.jaccard_e6) AS BIGINT) AS sum_jaccard_e6
+FROM pairs p
+JOIN documents da ON da.doc_id = p.id_a
+JOIN documents db ON db.doc_id = p.id_b
+GROUP BY 1, 2
+"""
+
+
+REGISTRY["cross_source_dup_matrix"] = (
+    q_cross_source_dup_matrix, _cross_source_sql())
+
+
+def _register_clf() -> None:
+    from . import corpus
+
+    def q_train_quality_classifier(spark, sf_dir):
+        """Distributed hard-sigmoid logistic training — 5 full-batch GD
+        iterations, each ONE map-side-combinable aggregation; weights are
+        BIGINT-exact (see corpus.train_quality_classifier)."""
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return corpus.train_quality_classifier(docs, iters=5)
+
+    REGISTRY["train_quality_classifier"] = (
+        q_train_quality_classifier,
+        corpus.train_quality_classifier_sql(iters=5),
+    )
+
+
+_register_clf()
+
+
+# ---------------------------------------------------------------------------
+# categorical (language) assortativity (round 4)
+# ---------------------------------------------------------------------------
+
+
+def q_lang_assortativity(spark, sf_dir):
+    """Newman (PRE'03 §II) categorical mixing over the undirected derived
+    graph with vertex language lifted from the documents table
+    (lang(v) = lang of doc v mod |documents| — the deterministic
+    attribute fixture).  Output is EXACT integers — (same_lang_edges,
+    total_edges, sum_out_in) with Σ_i out_i·in_i over the directed und
+    edge classes — so the assortativity coefficient
+    r = (trace·M − Σab) / (M² − Σab) is reproducible with no float
+    rounding to disagree on.  One broadcast attribute join per endpoint
+    + two map-side-combinable aggregations."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_docs = docs.count()
+    lang = docs.select(F.col("doc_id"), F.col("lang"))
+    eb = edges_b(spark, sf_dir)
+    und = eb.union(
+        eb.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    e = (
+        und.join(
+            F.broadcast(lang.select(F.col("doc_id").alias("sk"),
+                                    F.col("lang").alias("lang_s"))),
+            (F.col("src") % n_docs) == F.col("sk"),
+        )
+        .join(
+            F.broadcast(lang.select(F.col("doc_id").alias("dk"),
+                                    F.col("lang").alias("lang_d"))),
+            (F.col("dst") % n_docs) == F.col("dk"),
+        )
+        .select("lang_s", "lang_d")
+        .persist()
+    )
+    m = e.count()
+    trace = e.filter(F.col("lang_s") == F.col("lang_d")).count()
+    cls = e.groupBy("lang_s", "lang_d").agg(F.count(F.lit(1)).alias("n"))
+    outs = cls.groupBy(F.col("lang_s").alias("l")).agg(
+        F.sum("n").alias("o"))
+    ins = cls.groupBy(F.col("lang_d").alias("l")).agg(
+        F.sum("n").alias("i"))
+    ab = (
+        outs.join(ins, "l", "full")
+        .select(
+            (F.coalesce("o", F.lit(0)) * F.coalesce("i", F.lit(0))).alias("p")
+        )
+        .agg(F.sum("p").alias("s"))
+        .collect()[0]["s"]
+    )
+    e.unpersist()
+    return spark.createDataFrame(
+        [(int(trace), int(m), int(ab))],
+        "same_lang_edges long, total_edges long, sum_out_in long",
+    )
+
+
+LANG_ASSORT_SQL = f"""
+WITH {EDGES_B_SQL}, {UND_B_SQL},
+nd AS (SELECT count(*) AS c FROM documents),
+e AS (
+  SELECT ds.lang AS lang_s, dd.lang AS lang_d
+  FROM und_b u CROSS JOIN nd
+  JOIN documents ds ON ds.doc_id = u.src % nd.c
+  JOIN documents dd ON dd.doc_id = u.dst % nd.c
+),
+cls AS (SELECT lang_s, lang_d, count(*) AS n FROM e GROUP BY 1, 2),
+outs AS (SELECT lang_s AS l, sum(n) AS o FROM cls GROUP BY 1),
+ins AS (SELECT lang_d AS l, sum(n) AS i FROM cls GROUP BY 1)
+SELECT
+  (SELECT count(*) FROM e WHERE lang_s = lang_d) AS same_lang_edges,
+  (SELECT count(*) FROM e) AS total_edges,
+  (SELECT CAST(sum(coalesce(o, 0) * coalesce(i, 0)) AS BIGINT)
+   FROM outs FULL JOIN ins USING (l)) AS sum_out_in
+"""
+
+REGISTRY["lang_assortativity"] = (q_lang_assortativity, LANG_ASSORT_SQL)

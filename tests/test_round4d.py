@@ -278,3 +278,149 @@ def test_stream_sliding_matches_batch(spark):
     assert a == b
     # every event contributes to exactly window/slide = 4 windows
     assert sum(r[2] for r in a) == 4 * ev.count()
+
+
+# ---------------------------------------------------------------------------
+# hard-sigmoid classifier training
+# ---------------------------------------------------------------------------
+
+
+def _py_train(rows, iters, dim):
+    """rows: (x tuple, y). Pure-python replica of the fixed-point GD."""
+    n = len(rows)
+    w = [0] * dim
+    for _ in range(iters):
+        g = [0] * dim
+        for x, y in rows:
+            z = sum(w[i] * x[i] for i in range(dim))
+            import math
+
+            p = max(0, min(1_000_000, 500_000 + math.floor(z / 4.0)))
+            err = p - y * 1_000_000
+            for i in range(dim):
+                g[i] += err * x[i]
+        w = [w[i] - (g[i] // n) for i in range(dim)]
+    return w
+
+
+def test_train_quality_classifier_matches_python(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = {
+        r["feature"]: r["weight_e6"]
+        for r in corpus.train_quality_classifier(docs, iters=4).collect()
+    }
+    # rebuild the feature rows in python from the raw docs
+    raw = docs.select("text", "lang").collect()
+    rows = []
+    for r in raw:
+        toks = r["text"].strip().lower().split()
+        x = [1] + [1 if t in toks else 0 for t in corpus.CLF_PROBE_TOKENS] + [
+            1 if len(toks) > 30 else 0
+        ]
+        rows.append((x, 1 if r["lang"] == "en" else 0))
+    exp = _py_train(rows, 4, corpus.CLF_DIM)
+    assert [got[i] for i in range(corpus.CLF_DIM)] == exp
+
+
+def test_train_classifier_learns_separable_labels(spark):
+    # y == presence of 'good' -> the 'good' probe feature must get the
+    # largest positive weight once we alias it into the probe slot
+    rows = [
+        (i, ("good " if i % 2 == 0 else "bad ") * 5, "en" if i % 2 == 0 else "xx",
+         "s", 0)
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    w = {r["feature"]: r["weight_e6"]
+         for r in corpus.train_quality_classifier(df, iters=6).collect()}
+    # all probe tokens absent from this corpus -> their weights stay 0
+    assert all(w[i + 1] == 0 for i in range(len(corpus.CLF_PROBE_TOKENS)))
+    # predictions should separate: p(en doc) > p(xx doc) using bias+len
+    # (len feature: 'good '*5 -> 5 tokens, both classes same length, so
+    # the model can only fit the base rate — bias ends near 0 for 50/50)
+    assert abs(w[0]) <= 500_000
+
+
+# ---------------------------------------------------------------------------
+# robustness curve
+# ---------------------------------------------------------------------------
+
+
+def test_robustness_curve_small_graph(spark, monkeypatch):
+    """Star + path: removing the hub shatters the star."""
+    from linkgraph import suite
+
+    # hub 0 connected to 1..9; separate path 10-11-12
+    edges = [(0, i) for i in range(1, 10)] + [(10, 11), (11, 12)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    monkeypatch.setattr(suite, "edges_b", lambda _s, _d: df)
+    monkeypatch.setattr(suite, "ROBUSTNESS_KS", (0, 1))
+    got = {r["k"]: r for r in suite.q_robustness_curve(spark, "x").collect()}
+    # k=0: components = star(10) + path(3) + 287 isolated verts (V_B=300)
+    assert got[0]["largest_cc"] == 10
+    assert got[0]["n_components"] == 2 + (suite.V_B - 13)
+    # k=1 removes vertex 0 (highest degree): star shatters into 9 singletons
+    assert got[1]["largest_cc"] == 3
+    assert got[1]["n_components"] == 9 + 1 + (suite.V_B - 13)
+
+
+def test_lang_assortativity_exact_integers(spark):
+    from linkgraph import suite
+
+    sf = "/root/testdata/sf0.001"
+    row = suite.q_lang_assortativity(spark, sf).collect()[0]
+    trace, m, ab = row["same_lang_edges"], row["total_edges"], row["sum_out_in"]
+    # brute-force replica
+    docs = {r["doc_id"]: r["lang"]
+            for r in spark.read.parquet(f"{sf}/documents.parquet").collect()}
+    nd = len(docs)
+    eb = {(r["src"], r["dst"])
+          for r in suite.edges_b(spark, sf).collect()}
+    und = eb | {(b, a) for a, b in eb}
+    langs = [(docs[a % nd], docs[b % nd]) for a, b in und]
+    assert m == len(langs)
+    assert trace == sum(1 for s, d in langs if s == d)
+    from collections import Counter
+
+    outs = Counter(s for s, _ in langs)
+    ins = Counter(d for _, d in langs)
+    assert ab == sum(outs[l] * ins.get(l, 0) for l in outs)
+    # und graph is symmetric -> sum_out_in symmetric sanity
+    assert m * m >= ab
+
+
+def test_duckdb_recursive_union_dedup_pitfall():
+    """Regression guard for the DuckDB 1.0 behavior that broke the first
+    robustness_curve oracle: a bare UNION inside a NON-self-referencing
+    CTE stops deduplicating when the query is WITH RECURSIVE.  The shared
+    und_a/und_b fragments therefore use explicit DISTINCT over UNION ALL;
+    this test pins both the pitfall (so a future DuckDB fix is noticed)
+    and the fragment's immunity to it."""
+    import duckdb
+
+    from linkgraph import suite
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW orders AS SELECT * FROM "
+        "'/root/testdata/sf0.001/orders.parquet'"
+    )
+    base = f"{suite.EDGES_B_SQL}, {suite.UND_B_SQL}"
+    plain = con.execute(
+        f"WITH {base} SELECT count(*) FROM und_b").fetchone()[0]
+    rec = con.execute(
+        f"WITH RECURSIVE {base},"
+        " d(x) AS (SELECT 1 UNION SELECT x + 1 FROM d WHERE x < 2)"
+        " SELECT count(*) FROM und_b").fetchone()[0]
+    # the DISTINCT-based fragment must agree with itself in both contexts
+    assert plain == rec
+    # and match the true distinct count
+    truth = con.execute(f"""
+        WITH {suite.EDGES_B_SQL}
+        SELECT count(*) FROM (
+          SELECT DISTINCT src, dst FROM (
+            SELECT src, dst FROM edges_b
+            UNION ALL SELECT dst, src FROM edges_b) z) t""").fetchone()[0]
+    assert plain == truth
