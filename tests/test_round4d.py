@@ -424,3 +424,49 @@ def test_duckdb_recursive_union_dedup_pitfall():
             SELECT src, dst FROM edges_b
             UNION ALL SELECT dst, src FROM edges_b) z) t""").fetchone()[0]
     assert plain == truth
+
+
+# ---------------------------------------------------------------------------
+# plan-level audits (no cartesian products, partial aggregation present)
+# ---------------------------------------------------------------------------
+
+
+def test_node2vec_step_plan_no_cartesian(spark):
+    e = spark.createDataFrame(EDGES, "src long, dst long")
+    starts = spark.createDataFrame([(i,) for i in range(4)], "id long")
+    walks = node2vec_walks(e, starts, length=2, partitions=4)
+    plan = walks._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_classifier_gradient_agg_is_partial(spark):
+    """The per-iteration gradient must be a map-side-combinable aggregate:
+    the physical plan of the aggregation shows a partial and a final
+    HashAggregate, with an Exchange of only the dim-cell partials between
+    them (never the corpus)."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    from linkgraph.corpus import _clf_feature_cols, CLF_DIM
+
+    feats = _clf_feature_cols(F.col("text"))
+    d = docs.select(
+        *[f.alias(f"x{i}") for i, f in enumerate(feats)],
+        (F.col("lang") == "en").cast("long").alias("y"),
+    )
+    agg = d.agg(*[F.sum(F.col(f"x{i}")).alias(f"g{i}") for i in range(CLF_DIM)])
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("HashAggregate") >= 2  # partial + final
+    assert "CartesianProduct" not in plan
+
+
+def test_context_pack_plan_shuffles_projection_only(spark, docs_df):
+    """Only (doc_id, grp, n_tokens) may enter the pack shuffle — the text
+    column must be pruned before the exchange."""
+    out = corpus.context_pack(docs_df, capacity=64, n_groups=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" in plan or "FlatMapGroupsIn" in plan
+    import re
+
+    ex = plan[plan.index("Exchange"):]
+    head = ex.splitlines()[0]
+    assert "text" not in head, head
