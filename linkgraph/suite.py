@@ -8348,3 +8348,75 @@ SELECT
 """
 
 REGISTRY["lang_assortativity"] = (q_lang_assortativity, LANG_ASSORT_SQL)
+
+
+# ---------------------------------------------------------------------------
+# approximate PPR by synchronized forward push (round 4)
+# ---------------------------------------------------------------------------
+
+PPR_PUSH_ROUNDS, PPR_PUSH_EPS = 8, 10_000
+
+
+def q_ppr_push(spark, sf_dir):
+    """Andersen–Chung–Lang forward-push PPR from seed 7 — the local,
+    mass-proportional-work alternative to power iteration ("related
+    pages" at web scale: support O(1/eps) regardless of |V|).  All mass
+    e9-BIGINT with explicit floors; 8 synchronized rounds.  See
+    algos/pprpush.py."""
+    from .algos.pprpush import ppr_push
+
+    return ppr_push(
+        edges_b(spark, sf_dir), seed=7,
+        rounds=PPR_PUSH_ROUNDS, eps_per_edge=PPR_PUSH_EPS,
+        directed=False, partitions=8,
+    ).select("id", F.col("p").cast("long").alias("p"),
+             F.col("r").cast("long").alias("r"))
+
+
+def _ppr_push_sql(rounds: int, eps: int) -> str:
+    from .algos.pprpush import ALPHA_DEN, ALPHA_NUM, SCALE
+
+    parts = [
+        EDGES_B_SQL, UND_B_SQL,
+        "degs AS (SELECT src AS id, count(*) AS deg FROM und_b GROUP BY src)",
+        f"s0 AS (SELECT CAST(7 AS BIGINT) AS id, CAST(0 AS BIGINT) AS p,"
+        f" CAST({SCALE} AS BIGINT) AS r)",
+    ]
+    for k in range(1, rounds + 1):
+        p = f"s{k - 1}"
+        parts.append(f"""c{k} AS (
+  SELECT s.id, s.p, s.r, coalesce(d.deg, 0) AS deg,
+         (coalesce(d.deg, 0) > 0 AND s.r >= coalesce(d.deg, 0) * {eps})
+           AS act,
+         CAST(floor(s.r * {ALPHA_NUM}.0 / {ALPHA_DEN}) AS BIGINT) AS a
+  FROM {p} s LEFT JOIN degs d ON d.id = s.id)""")
+        parts.append(f"""u{k} AS (
+  SELECT id, CASE WHEN act THEN p + a ELSE p END AS p,
+         CASE WHEN act THEN
+           CAST(floor((r - a) / 2.0) AS BIGINT)
+           + ((r - a) - CAST(floor((r - a) / 2.0) AS BIGINT)
+              - CAST(floor(((r - a) - CAST(floor((r - a) / 2.0) AS BIGINT))
+                           * 1.0 / deg) AS BIGINT) * deg)
+         ELSE r END AS r,
+         CASE WHEN act THEN
+           CAST(floor(((r - a) - CAST(floor((r - a) / 2.0) AS BIGINT))
+                      * 1.0 / deg) AS BIGINT)
+         ELSE CAST(0 AS BIGINT) END AS per_nb
+  FROM c{k})""")
+        parts.append(f"""s{k} AS (
+  SELECT id, CAST(sum(p) AS BIGINT) AS p, CAST(sum(r) AS BIGINT) AS r
+  FROM (
+    SELECT id, p, r FROM u{k}
+    UNION ALL
+    SELECT e.dst AS id, CAST(0 AS BIGINT), u.per_nb
+    FROM u{k} u JOIN und_b e ON e.src = u.id WHERE u.per_nb > 0
+  ) z GROUP BY id)""")
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT id, p, r FROM s{rounds} WHERE p > 0 OR r > 0"
+    )
+
+
+PPR_PUSH_SQL = _ppr_push_sql(PPR_PUSH_ROUNDS, PPR_PUSH_EPS)
+
+REGISTRY["ppr_push"] = (q_ppr_push, PPR_PUSH_SQL)

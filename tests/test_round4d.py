@@ -470,3 +470,68 @@ def test_context_pack_plan_shuffles_projection_only(spark, docs_df):
     ex = plan[plan.index("Exchange"):]
     head = ex.splitlines()[0]
     assert "text" not in head, head
+
+
+# ---------------------------------------------------------------------------
+# forward-push PPR
+# ---------------------------------------------------------------------------
+
+
+def _py_ppr_push(edges, seed, rounds, eps, scale=10**9, an=15, ad=100):
+    adj: dict[int, set] = {}
+    for s, d in edges:
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    p: dict[int, int] = {}
+    r: dict[int, int] = {seed: scale}
+    for _ in range(rounds):
+        pushes: dict[int, int] = {}
+        for v in list(r):
+            deg = len(adj.get(v, ()))
+            if deg == 0 or r[v] < deg * eps:
+                continue
+            rv = r[v]
+            a = rv * an // ad
+            rem = rv - a
+            keep = rem // 2
+            per_nb = (rem - keep) // deg
+            dust = rem - keep - per_nb * deg
+            p[v] = p.get(v, 0) + a
+            r[v] = keep + dust
+            for u in adj[v]:
+                pushes[u] = pushes.get(u, 0) + per_nb
+        for u, dr in pushes.items():
+            r[u] = r.get(u, 0) + dr
+    return p, r
+
+
+def test_ppr_push_matches_python(spark):
+    from linkgraph.algos.pprpush import ppr_push
+
+    e = spark.createDataFrame(EDGES, "src long, dst long")
+    got = {r["id"]: (r["p"], r["r"])
+           for r in ppr_push(e, seed=0, rounds=6, eps_per_edge=1000,
+                             partitions=4).collect()}
+    p, r = _py_ppr_push(EDGES, 0, 6, 1000)
+    exp = {v: (p.get(v, 0), r.get(v, 0))
+           for v in set(p) | set(r) if p.get(v, 0) or r.get(v, 0)}
+    assert got == exp
+
+
+def test_ppr_push_conserves_mass_exactly(spark):
+    from linkgraph.algos.pprpush import ppr_push, SCALE
+
+    e = spark.createDataFrame(EDGES, "src long, dst long")
+    rows = ppr_push(e, seed=0, rounds=6, eps_per_edge=1000,
+                    partitions=4).collect()
+    assert sum(x["p"] + x["r"] for x in rows) == SCALE
+    assert all(x["p"] >= 0 and x["r"] >= 0 for x in rows)
+
+
+def test_ppr_push_isolated_seed(spark):
+    from linkgraph.algos.pprpush import ppr_push, SCALE
+
+    e = spark.createDataFrame(EDGES, "src long, dst long")
+    rows = ppr_push(e, seed=250, rounds=4, eps_per_edge=1000,
+                    partitions=4).collect()  # 250 not in the graph
+    assert [(r["id"], r["p"], r["r"]) for r in rows] == [(250, 0, SCALE)]
