@@ -57,6 +57,30 @@ def bench_edges(spark, sf_dir: str, partitions: int):
     return e, v, e.count()
 
 
+def skew_edges(spark, partitions: int):
+    """Planted-skew fixture (round 5): R-MAT power-law background over a
+    2^18 vertex domain + a planted 10^4-degree hub at vertex 0 — the graph
+    shape where id-oriented wedges and unsplit adjacency arrays blow up.
+    The skew_* bench rows exist so the degree-ordered wedge orientation
+    and hub-split layouts have a NUMBER attached and regressions surface
+    in BENCH_rN.json."""
+    from linkgraph import datagen
+
+    bg = datagen.rmat_edges(spark, 400_000, 18, partitions=partitions)
+    hub = spark.range(1, 10_001).select(
+        F.lit(0).cast("long").alias("src"),
+        (F.col("id") * 7).cast("long").alias("dst"),
+    )
+    e = (
+        bg.union(hub)
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .repartition(partitions, "src")
+        .persist()
+    )
+    return e, e.count()
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -125,6 +149,19 @@ def main():
         g = LinkGraph.from_pages(pages, partitions=P)
         res["ingest_edges"] = g.num_edges()
 
+    sk_edges, sk_count = skew_edges(spark, P)
+    extra["skew_num_edges"] = sk_count
+
+    def run_skew_pagerank(_res):
+        pagerank(sk_edges, num_iters=5, partitions=P)
+
+    def run_skew_tri(res):
+        res["skew_triangles"] = triangle_count(sk_edges)
+
+    def run_skew_cc(res):
+        _, ccm = connected_components(sk_edges, partitions=P)
+        res["skew_cc_iters"] = len(ccm)
+
     QUERIES = [
         ("pagerank_10iter", run_pagerank_10),
         ("pagerank_converge_1e6", run_pagerank_conv),
@@ -135,6 +172,9 @@ def main():
         ("ann_lsh_topk", run_ann),
         ("stream_hourly", run_stream),
         ("ingest_pages_20k", run_ingest),
+        ("skew_pagerank_5iter", run_skew_pagerank),
+        ("skew_triangle_count", run_skew_tri),
+        ("skew_connected_components", run_skew_cc),
     ]
 
     warm: dict[str, float] = {}
@@ -161,6 +201,10 @@ def main():
     extra["pagerank_edges_per_sec_per_superstep"] = e_count / statistics.median(_sps)
     extra["ingest_pages_per_sec"] = 20000 / timings["ingest_pages_20k"]
 
+    # like-for-like subtotal vs rounds 1-4 (the skew_* rows are new in r5)
+    extra["suite9_total"] = round(
+        sum(s for k, s in timings.items() if not k.startswith("skew_")), 3
+    )
     total = sum(timings.values())
     print(
         json.dumps(

@@ -6,12 +6,13 @@ standard cohesive-subgraph operator for web/community graphs (Cohen 2008).
 
 Iterative support peeling as DataFrame joins:
 
-  1. orient edges (a < b), the same degeneracy-free orientation as the
-     engine's exact triangle counter (triangles._oriented);
-  2. per round, count each edge's triangle support with the oriented
-     two-path + closing-edge join (wedge join on the shared low endpoint,
-     closure semi-join on (b, c)), then project every found triangle back
-     onto its three edges and take one grouped count;
+  1. canonicalize edges by id (a < b) for the peel state, but generate
+     wedges under the DEGREE-ordered orientation (triangles.
+     degree_ranked_oriented) — out-degrees bounded by O(√m), so a hub
+     never emits C(d, 2) wedge rows;
+  2. per round, count each edge's triangle support with the degree-ordered
+     two-path + closing-edge join, then project every found triangle back
+     onto its three id-canonical edges and take one grouped count;
   3. drop edges with support < k-2; repeat until the edge set is stable.
 
 The edge set only shrinks, so round cost is monotonically decreasing; the
@@ -40,28 +41,44 @@ def _ckpt(df: DataFrame, P: int, *keys: str) -> DataFrame:
     return df.repartition(P, *keys).localCheckpoint(eager=True)
 
 
-def _support(e: DataFrame) -> DataFrame:
-    """Per-edge triangle support over oriented edges (a < b).
+def _tri_id_sorted(e: DataFrame) -> DataFrame:
+    """Triangles (x < y < z BY ID) of the id-canonical edge set ``e``
+    (columns a < b), via degree-ordered wedges (triangles.degree_ranked_
+    oriented): each triangle generated once at its lowest-(degree, id)-rank
+    vertex, hub-safe (O(m^1.5) wedge rows — never C(d,2) at a hub), then
+    re-sorted by vertex id so the projection onto member edges matches the
+    id-canonical (a, b) edge keys."""
+    from .triangles import degree_ranked_oriented, _rank_lt
 
-    Triangles (a<b<c) found as wedge (a,b)+(a,c), b<c, closed by (b,c);
-    each triangle is projected onto its three member edges, one grouped
-    count gives support.
+    o = degree_ranked_oriented(
+        e.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    ).select("lo", "hi", "dhi")
+    w1 = o.select("lo", F.col("hi").alias("p"), F.col("dhi").alias("dp"))
+    w2 = o.select("lo", F.col("hi").alias("q"), F.col("dhi").alias("dq"))
+    wedges = (
+        w1.join(w2, "lo")
+        .filter(_rank_lt(F.col("dp"), F.col("p"), F.col("dq"), F.col("q")))
+        .select("lo", "p", "q")
+    )
+    closing = o.select(F.col("lo").alias("p"), F.col("hi").alias("q"))
+    tri = wedges.join(closing.hint("shuffle_hash"), ["p", "q"], "left_semi")
+    arr = F.array_sort(F.array("lo", "p", "q"))
+    return tri.select(
+        F.element_at(arr, 1).alias("x"),
+        F.element_at(arr, 2).alias("y"),
+        F.element_at(arr, 3).alias("z"),
+    )
+
+
+def _support(e: DataFrame) -> DataFrame:
+    """Per-edge triangle support over id-canonical edges (a < b).
+
+    Triangles found by the degree-ordered wedge + closure join
+    (_tri_id_sorted — ranks recomputed on the CURRENT peeled subset, so
+    the O(m^1.5) bound tightens as edges drop); each triangle is projected
+    onto its three member edges, one grouped count gives support.
     """
-    w = (
-        e.alias("e1")
-        .join(e.alias("e2"), F.col("e1.a") == F.col("e2.a"))
-        .filter(F.col("e1.b") < F.col("e2.b"))
-        .select(
-            F.col("e1.a").alias("x"),
-            F.col("e1.b").alias("y"),
-            F.col("e2.b").alias("z"),
-        )
-    )
-    tri = w.join(
-        e.select(F.col("a").alias("y"), F.col("b").alias("z")).hint("shuffle_hash"),
-        ["y", "z"],
-        "left_semi",
-    )
+    tri = _tri_id_sorted(e)
     per_edge = (
         tri.select(F.col("x").alias("a"), F.col("y").alias("b"))
         .union(tri.select(F.col("x").alias("a"), F.col("z").alias("b")))
@@ -121,8 +138,8 @@ def truss_numbers(
     { min(t_i(e'), t_i(e'')) : triangles (e, e', e'') }.  The sequence is
     monotone non-increasing per edge and converges to trussness(e) - 2,
     so no peeling loop nesting: ONE static triangle-edge incidence table
-    (the exact counter's oriented wedge+closure join, built once) and one
-    join + windowed h-index per round.
+    (the exact counter's degree-ordered wedge+closure join, built once)
+    and one join + windowed h-index per round.
 
     Scale: per-round state is one t row per edge, hash-partitioned the
     same way every round; the h-index window partitions by EDGE, so its
@@ -145,21 +162,7 @@ def truss_numbers(
         P,
         "a",
     )
-    w = (
-        e.alias("e1")
-        .join(e.alias("e2"), F.col("e1.a") == F.col("e2.a"))
-        .filter(F.col("e1.b") < F.col("e2.b"))
-        .select(
-            F.col("e1.a").alias("x"),
-            F.col("e1.b").alias("y"),
-            F.col("e2.b").alias("z"),
-        )
-    )
-    tri = w.join(
-        e.select(F.col("a").alias("y"), F.col("b").alias("z")).hint("shuffle_hash"),
-        ["y", "z"],
-        "left_semi",
-    )
+    tri = _tri_id_sorted(e)
     # one incidence row per (triangle, member edge), carrying the OTHER
     # two member edges' keys — built once, reused every round
     inc = _ckpt(

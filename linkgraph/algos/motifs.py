@@ -11,7 +11,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .triangles import triangle_count, _oriented
+from .triangles import (
+    triangle_count,
+    _oriented,
+    _rank_lt,
+    degree_ranked_oriented,
+)
 
 
 def _und_degrees(edges: DataFrame) -> DataFrame:
@@ -112,6 +117,49 @@ def four_clique_count(edges: DataFrame) -> int:
         close_bc, ["b", "d"], "left_semi"
     )
     return int(quads.count())
+
+
+def four_cycle_count(edges: DataFrame) -> int:
+    """Exact 4-cycle (rectangle) count via vertex-priority wedges — the
+    hub-safe form of Σ_pairs C(common_neighbors, 2) (Chiba–Nishizeki
+    rectangle counting; vertex-priority variant per Wang et al.,
+    VLDB'19 butterfly counting).
+
+    A wedge (start u, center x, end w) is generated only when
+    rank(x) < rank(u) and rank(w) < rank(u) under the (degree, id) total
+    order; grouping by (u, w) and summing C(c, 2) then counts every
+    rectangle exactly once, anchored at its maximum-rank vertex u and its
+    diagonal partner w (the start must out-rank BOTH its center and its
+    end, which only the global max of the cycle's four vertices does).
+
+    Scale: a wedge centered at x costs (#higher-rank neighbors of x) ×
+    deg(x) rows, and #higher-rank neighbors is O(√m) under degree order —
+    a 10^7-degree hub as center emits ~0 wedges instead of C(d, 2).
+    Works on bipartite encodings too (rectangles = butterflies).
+    """
+    o = degree_ranked_oriented(edges)
+    # center→start pairs: start out-ranks center by construction (lo→hi)
+    cs = o.select(
+        F.col("lo").alias("x"), F.col("hi").alias("u"), F.col("dhi").alias("du")
+    )
+    # center→end pairs: any incident edge, with the end's degree attached
+    sym = o.select(
+        F.col("lo").alias("x"), F.col("hi").alias("w"), F.col("dhi").alias("dw")
+    ).union(
+        o.select(
+            F.col("hi").alias("x"), F.col("lo").alias("w"), F.col("dlo").alias("dw")
+        )
+    )
+    wedges = (
+        cs.join(sym.hint("shuffle_hash"), "x")
+        .filter(_rank_lt(F.col("dw"), F.col("w"), F.col("du"), F.col("u")))
+        .groupBy("u", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    row = wedges.agg(
+        F.sum(F.col("c") * (F.col("c") - 1) / 2).cast("long").alias("n")
+    ).collect()[0]
+    return int(row["n"] or 0)
 
 
 def five_house_count(edges: DataFrame) -> int:

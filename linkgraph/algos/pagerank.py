@@ -32,9 +32,13 @@ partitions ... pinned shuffle partitioning per superstep"):
     corr = (1-S)/V folds lazily into the next superstep.  The correction
     enters through a broadcast 1-row LocalRelation (not a literal), keeping
     generated code byte-identical across supersteps (codegen cache hits).
-  * **One job per superstep**: the mass sum piggy-backs on the eager
-    localCheckpoint via the Observation API; the checkpoint truncates
-    lineage (the reference's "plain arrays" model, by other means).
+  * **One job per superstep — tol mode included**: the mass sum, the
+    dangling raw mass, and the L1 convergence delta all piggy-back on the
+    eager localCheckpoint via the Observation API (the delta's dependence
+    on the not-yet-observed total mass is broken by predicting S from the
+    previous superstep's observed dangling mass: S = 1 - d*dm exactly);
+    the checkpoint truncates lineage (the reference's "plain arrays"
+    model, by other means).
   * Optional durable checkpoint (parquet + metrics.json) for mid-algorithm
     resume (ckpt.CheckpointManager).
 
@@ -237,7 +241,18 @@ def pagerank(
             .union(edges.select(F.col("dst").alias("id")))
             .distinct()
         )
-    v = vertices.select("id").repartition(P, "id").persist()
+    # static dangling flag rides along on the vertex table: the tol-driven
+    # loop observes the raw dangling mass in the SAME job as the update
+    # (see below), which is what lets the next superstep predict its own
+    # total mass without a separate aggregation job
+    srcs = edges.select(F.col("src").alias("id")).distinct()
+    v = (
+        vertices.select("id")
+        .join(srcs.withColumn("_s", F.lit(1)).hint("shuffle_hash"), "id", "left")
+        .select("id", F.col("_s").isNull().alias("dang"))
+        .repartition(P, "id")
+        .persist()
+    )
     V = v.count()
     E = edges.count()
 
@@ -275,6 +290,22 @@ def pagerank(
         )
 
     total_iters = num_iters if num_iters is not None else max_iter
+    conv_mode = num_iters is None
+    n_dang = v.filter(F.col("dang")).count() if conv_mode else 0
+    # sd = Σ raw rank over dangling vertices of the CURRENT state (without
+    # the lazily-folded corr).  Cold start is uniform so it's analytic;
+    # warm/resume states need one setup aggregation.  Per superstep sd is
+    # then re-observed inside the single update job.
+    sd = None
+    if conv_mode:
+        if start_iter == 0 and initial_ranks is None:
+            sd = float(n_dang) / float(V)
+        else:
+            sd = float(
+                ranks_raw.join(v.filter(F.col("dang")), "id", "left_semi")
+                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("s"))
+                .collect()[0]["s"]
+            )
     it = start_iter
     while it < total_iters:
         t0 = time.time()
@@ -314,33 +345,82 @@ def pagerank(
             .groupBy("id")
             .agg(F.sum("contrib").alias("contrib"))
         )
-        raw_new = v.join(contribs.hint("shuffle_hash"), "id", "left").select(
-            "id",
-            (
-                F.lit((1.0 - damping) / V)
-                + F.lit(damping) * F.coalesce(F.col("contrib"), F.lit(0.0))
-            ).alias("rank"),
-        )
-        if P != int(spark.conf.get("spark.sql.shuffle.partitions")):
-            # groupBy/join above already leave hash(id, shuffle.partitions);
-            # an explicit exchange is only needed when the caller pinned a
-            # different P than the session default
-            raw_new = raw_new.repartition(P, "id")
+        new_rank = (
+            F.lit((1.0 - damping) / V)
+            + F.lit(damping) * F.coalesce(F.col("contrib"), F.lit(0.0))
+        ).alias("rank")
         truncate = (it + 1) % lineage_truncate_every == 0
-        if truncate:
-            # piggy-back the mass sum on the checkpoint job (Observation) —
-            # the superstep stays a single Spark job
+        delta = None
+        if conv_mode and truncate:
+            # ONE job per superstep, convergence check included: the mass
+            # sum, the dangling raw mass, AND the L1 delta all ride the
+            # checkpoint job as Observation columns.  The delta needs the
+            # next correction corr' = (1-S)/V BEFORE the job runs, so S is
+            # predicted from the mass identity S = 1 - damping * dm with
+            # dm = (dangling raw mass observed LAST superstep) + corr *
+            # n_dang — exact up to FP summation noise (~1e-16), far inside
+            # the already run-to-run-nondeterministic FP envelope of the
+            # observed sums; the ranks themselves still use the OBSERVED S,
+            # bit-identical to the two-job formulation.
+            S_pred = 1.0 - damping * (sd + corr * n_dang)
+            corr_pred = (1.0 - S_pred) / V
+            upd = (
+                v.join(contribs.hint("shuffle_hash"), "id", "left")
+                .select("id", "dang", new_rank)
+                # co-partitioned V-row join (both sides hash(id, P)): no
+                # exchange, just the zip that the old delta job re-did
+                .join(
+                    ranks_raw.select("id", F.col("rank").alias("_old")).hint(
+                        "shuffle_hash"
+                    ),
+                    "id",
+                )
+            )
             obs = Observation(f"mass_{it}")
-            raw_new = raw_new.observe(obs, F.sum("rank").alias("s"))
+            upd = upd.observe(
+                obs,
+                F.sum("rank").alias("s"),
+                F.sum(
+                    F.when(F.col("dang"), F.col("rank")).otherwise(F.lit(0.0))
+                ).alias("sd"),
+                F.sum(
+                    F.abs(
+                        F.col("rank") + F.lit(corr_pred)
+                        - F.col("_old") - F.lit(corr)
+                    )
+                ).alias("delta"),
+            )
+            raw_new = upd.select("id", "rank")
+            if P != int(spark.conf.get("spark.sql.shuffle.partitions")):
+                raw_new = raw_new.repartition(P, "id")
             raw_new = raw_new.localCheckpoint(eager=True)
-            S = float(obs.get["s"])
+            got = obs.get
+            S = float(got["s"])
+            sd = float(got["sd"])
+            delta = float(got["delta"])
         else:
-            S = float(raw_new.agg(F.sum("rank").alias("s")).collect()[0]["s"])
+            raw_new = v.join(contribs.hint("shuffle_hash"), "id", "left").select(
+                "id", new_rank
+            )
+            if P != int(spark.conf.get("spark.sql.shuffle.partitions")):
+                # groupBy/join above already leave hash(id, partitions);
+                # an explicit exchange is only needed when the caller
+                # pinned a different P than the session default
+                raw_new = raw_new.repartition(P, "id")
+            if truncate:
+                # piggy-back the mass sum on the checkpoint job
+                obs = Observation(f"mass_{it}")
+                raw_new = raw_new.observe(obs, F.sum("rank").alias("s"))
+                raw_new = raw_new.localCheckpoint(eager=True)
+                S = float(obs.get["s"])
+            else:
+                S = float(raw_new.agg(F.sum("rank").alias("s")).collect()[0]["s"])
         # dangling correction from total mass: S = 1 - damping * dm
         corr_new = (1.0 - S) / V
 
-        delta = None
-        if num_iters is None:
+        if conv_mode and delta is None:
+            # non-truncating superstep (lineage_truncate_every > 1):
+            # legacy separate delta job
             delta_row = (
                 raw_new.withColumnRenamed("rank", "new_rank")
                 .join(ranks_raw, "id")
@@ -355,6 +435,11 @@ def pagerank(
                 .collect()[0]
             )
             delta = float(delta_row["d"])
+            sd = float(
+                raw_new.join(v.filter(F.col("dang")), "id", "left_semi")
+                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("s"))
+                .collect()[0]["s"]
+            )
         secs = time.time() - t0
         m = {
             "iteration": it,

@@ -652,8 +652,10 @@ def node2vec_walks(
     ``prev = v`` so every first candidate scores ``bfs_w`` — a uniform
     first-order hop, no special case on either engine.
 
-    One walk per row of ``starts`` (column ``id``; walk_id = start id);
-    walks stop early at sinks.  Returns (walk_id, step, v), steps 0..length.
+    One walk per DISTINCT start vertex (column ``id``; walk_id = start id
+    — duplicate start rows are deduped up front, since a colliding walk_id
+    would corrupt the per-walk cumulative-weight pick); walks stop early
+    at sinks.  Returns (walk_id, step, v), steps 0..length.
 
     Scale: per step, the state joins the src-pinned adjacency (candidate
     rows = Σ deg(v) over the frontier — bounded by max degree per walk,
@@ -676,11 +678,15 @@ def node2vec_walks(
     ).repartition(P, "prev", "dst").persist()
     nb.count()
 
+    # walk_id == start id, so duplicate start rows would COLLIDE: the
+    # per-walk_id cumulative-weight window below would mix two frontiers'
+    # candidate rows and double-count weights (picking zero or multiple
+    # successors).  Dedupe up front — one walk per distinct start vertex.
     cur = starts.select(
         F.col("id").alias("walk_id"),
         F.col("id").alias("prev"),
         F.col("id").alias("v"),
-    ).localCheckpoint(eager=True)
+    ).dropDuplicates(["walk_id"]).localCheckpoint(eager=True)
     out = [cur.select("walk_id", F.lit(0).cast("int").alias("step"), "v")]
     w_cum = Window.partitionBy("walk_id").orderBy("dst")
     w_tot = Window.partitionBy("walk_id")

@@ -54,7 +54,60 @@ def _pick_mod(col: Column | str, m: int, seed: int) -> Column:
     return F.pmod(F.xxhash64(col, F.lit(seed)), F.lit(int(m))).cast("long")
 
 
+def conditional_sample_vertex(
+    est: DataFrame,
+    num_vertices: int,
+    key: str = "est_id",
+    min_col: str = "min_vid",
+    seed: int = 42,
+) -> DataFrame:
+    """Vertex-anchored conditional sample over the estimator DataFrame —
+    the Spark twin of the reference's ``conditional_sample_vertex``
+    (/root/reference/src/ZGraphInstance.cpp:336-350), closing SURVEY §2.3.
+
+    Reference semantics: given a partial subgraph whose ordering constraint
+    is ``min_valid_vertex_id``, draw a uniform vertex from the ordered
+    id-suffix ``[min_valid_vertex_id, V)`` and return it with probability
+    ``1/(V - min_valid_vertex_id)``; when the suffix is empty it returns
+    probability -1, i.e. a zero-weight trial.
+
+    Here: each ``est`` row carries its constraint in ``min_col``; the
+    result keeps all input columns and adds ``v`` (the sampled vertex,
+    uniform over ``[min_col, num_vertices)``) and ``inv_prob`` (the
+    importance weight ``num_vertices - min_col``).  Empty-suffix rows are
+    DROPPED — by the estimator convention used throughout this module,
+    dropped trials contribute zero to the weighted sum while the divisor
+    stays the estimator count, exactly the reference's -1 contract.
+
+    Determinism: the draw is ``xxhash64(key, seed) mod range`` — a pure
+    column function of the row (see the module docstring), so a fixed
+    seed reproduces identical picks at any parallelism.  No shuffle: one
+    narrow projection + filter.
+
+    (No shipped estimator needs this — the reference's own applications
+    are all edge-anchored via SamplerGenerator — but the primitive is the
+    §2.3 inventory's last row; property-tested in tests/test_round5.py.)
+    """
+    n = F.lit(int(num_vertices)).cast("long")
+    rng = (n - F.col(min_col).cast("long"))
+    picked = F.col(min_col).cast("long") + F.pmod(
+        F.xxhash64(key, F.lit(seed)), rng
+    )
+    return (
+        est.filter(rng > 0)
+        .select("*", picked.alias("v"), rng.cast("double").alias("inv_prob"))
+    )
+
+
 def _oriented(edges: DataFrame) -> DataFrame:
+    """Canonical undirected edge list, oriented by vertex ID (a < b).
+
+    This is the edge-IDENTITY canonicalization (each undirected edge
+    exactly once) used by the sampled estimators for uniform edge picks
+    and closure probes — NOT the wedge-generation orientation.  Wedge
+    machinery must use :func:`degree_ranked_oriented` instead: id
+    orientation gives a degree-d hub ~d/2 out-neighbors, so wedge
+    generation costs Σ C(d/2, 2) — the classic O(d²) hub blow-up."""
     return (
         edges.select(
             F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
@@ -64,19 +117,205 @@ def _oriented(edges: DataFrame) -> DataFrame:
     )
 
 
+def degree_ranked_oriented(edges: DataFrame) -> DataFrame:
+    """Each undirected edge once as (lo, hi, dlo, dhi), oriented low→high
+    by the (degree, id) total order — the standard degree-ordered
+    orientation for hub-safe wedge generation.
+
+    With this orientation a vertex's OUT-degree (its count of higher-rank
+    neighbors) is O(√m) on any graph: a vertex with h neighbors of rank
+    above its own has degree ≥ h, and each such neighbor also has degree
+    ≥ h, so h² ≤ Σ deg = 2m.  Wedge generation from the low endpoint
+    therefore costs Σ_v C(out(v), 2) = O(m^1.5) total — versus the
+    unbounded Σ C(d/2, 2) of id orientation on a power-law web graph
+    (a 10^7-degree hub would otherwise emit ~10^13 wedge rows from one
+    task's join key).  Same counting semantics: (degree, id) is a total
+    order, so every triangle/wedge is still generated exactly once.
+
+    Cost of the ranking itself: one V-row degree aggregation (map-side
+    combinable) plus two E-row hash joins against it — a one-time linear
+    pass, paid before the superlinear wedge stage it bounds.
+    """
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .dropDuplicates(["a", "b"])
+    )
+    deg = (
+        und.select(F.col("a").alias("id"))
+        .union(und.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    j = und.join(
+        deg.select(F.col("id").alias("a"), F.col("d").alias("da")).hint(
+            "shuffle_hash"
+        ),
+        "a",
+    ).join(
+        deg.select(F.col("id").alias("b"), F.col("d").alias("db")).hint(
+            "shuffle_hash"
+        ),
+        "b",
+    )
+    a_low = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    return j.select(
+        F.when(a_low, F.col("a")).otherwise(F.col("b")).alias("lo"),
+        F.when(a_low, F.col("b")).otherwise(F.col("a")).alias("hi"),
+        F.when(a_low, F.col("da")).otherwise(F.col("db")).alias("dlo"),
+        F.when(a_low, F.col("db")).otherwise(F.col("da")).alias("dhi"),
+    )
+
+
+def _rank_lt(d1: Column, v1: Column, d2: Column, v2: Column) -> Column:
+    """(degree, id) total-order comparison: rank(v1) < rank(v2)."""
+    return (d1 < d2) | ((d1 == d2) & (v1 < v2))
+
+
+DEFAULT_ADJ_BLOCK = 4096
+
+
+def _blocked_adjacency(
+    o: DataFrame, block_size: int = DEFAULT_ADJ_BLOCK
+) -> DataFrame:
+    """Symmetric adjacency of the canonical edge list ``o`` (a, b) as
+    ``(x, bi, nbrs sorted array<long>)`` rows with per-row arrays bounded
+    by ~``block_size`` — the estimator-side twin of
+    ``pagerank.adjacency_blocks`` hub splitting.
+
+    A vertex with degree <= block_size gets ONE block (bi = 0); a hub is
+    split into ceil(d / block_size) blocks by ``pmod(xxhash64(w), nb)``,
+    so no task ever materializes a mega-hub's full adjacency in one array
+    (a 10^8-degree hub would otherwise be a multi-GB single row in one
+    collect_list group).  The hub set is tiny by definition (degree >
+    block_size) and is broadcast, so the build costs one count-only degree
+    shuffle plus one grouping shuffle — no E-row joins.
+
+    Determinism: arrays are sorted within a block and blocks are keyed by
+    the deterministic ``bi``, so a two-level pick (global index ->
+    bi-ordered block offsets, see _blocked_uniform_pick) is a pure
+    function of the data at any partition layout.
+    """
+    sym = o.select(F.col("a").alias("x"), F.col("b").alias("w")).union(
+        o.select(F.col("b").alias("x"), F.col("a").alias("w"))
+    )
+    deg = sym.groupBy("x").agg(F.count(F.lit(1)).alias("_d"))
+    hubs = deg.filter(F.col("_d") > block_size)
+    if hubs.limit(1).count() == 0:
+        return sym.groupBy("x").agg(
+            F.sort_array(F.collect_list("w")).alias("nbrs")
+        ).select("x", F.lit(0).cast("int").alias("bi"), "nbrs")
+    hub_b = F.broadcast(hubs)
+    nonhub = (
+        sym.join(hub_b.select("x"), "x", "left_anti")
+        .groupBy("x")
+        .agg(F.sort_array(F.collect_list("w")).alias("nbrs"))
+        .select("x", F.lit(0).cast("int").alias("bi"), "nbrs")
+    )
+    nb = F.ceil(F.col("_d") / block_size).cast("int")
+    hub = (
+        sym.join(hub_b, "x")
+        .withColumn("bi", F.pmod(F.xxhash64("w"), nb).cast("int"))
+        .groupBy("x", "bi")
+        .agg(F.sort_array(F.collect_list("w")).alias("nbrs"))
+        .select("x", "bi", "nbrs")
+    )
+    return nonhub.union(hub)
+
+
+def _blocked_uniform_pick(
+    st: DataFrame,
+    badj: DataFrame,
+    key: str,
+    x: str,
+    excl: Column,
+    r: Column,
+    cname: str,
+    pickname: str,
+) -> DataFrame:
+    """Two-level uniform pick over (neighbors of ``st[x]``) minus ``excl``
+    against a blocked adjacency (_blocked_adjacency).
+
+    Per ``key`` row (must be unique in ``st``): join all blocks of x,
+    drop excluded vertices per block, total the candidate count c, map the
+    single uniform draw ``r`` to a global index j = floor(r*c), and walk
+    the bi-ordered cumulative block offsets to the owning block + element
+    — pick block ∝ size, then element, in one window pass whose group is
+    the vertex's BLOCK COUNT (<= degree/block_size), never its degree.
+
+    Returns one row per key with >= 1 candidate: all st columns plus
+    ``cname`` (total candidates — the importance weight factor) and
+    ``pickname`` (the picked vertex).  Zero-candidate trials drop out,
+    matching the estimators' zero-weight-trial semantics.  The pick is a
+    pure function of (data, r): block arrays are sorted, block order is
+    by deterministic bi — partition-layout independent.
+    """
+    from pyspark.sql import Window
+
+    j = (
+        st.join(badj.withColumnRenamed("x", x), x)
+        .withColumn("_cand", F.array_except(F.col("nbrs"), excl))
+        .withColumn("_cb", F.size("_cand"))
+        .withColumn("_r", r)
+    )
+    wall = Window.partitionBy(key)
+    wrun = (
+        Window.partitionBy(key)
+        .orderBy("bi")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    j = (
+        j.withColumn(cname, F.sum("_cb").over(wall))
+        .withColumn("_off", F.coalesce(F.sum("_cb").over(wrun), F.lit(0)))
+        .withColumn("_j", F.floor(F.col("_r") * F.col(cname)).cast("long"))
+    )
+    hit = j.filter(
+        (F.col(cname) > 0)
+        & (F.col("_j") >= F.col("_off"))
+        & (F.col("_j") < F.col("_off") + F.col("_cb"))
+    )
+    return hit.withColumn(
+        pickname,
+        F.element_at("_cand", (F.col("_j") - F.col("_off") + 1).cast("int")),
+    ).drop("nbrs", "bi", "_cand", "_cb", "_off", "_j", "_r")
+
+
 def triangle_count(edges: DataFrame) -> int:
     """Exact number of undirected triangles (each once, a<b<c)."""
     return int(triangles(edges).count())
 
 
 def triangles(edges: DataFrame) -> DataFrame:
-    """DataFrame of (a, b, c) triangle vertex triples with a < b < c."""
-    o = _oriented(edges)
-    e1 = o.select(F.col("a"), F.col("b"))
-    e2 = o.select(F.col("a").alias("b"), F.col("b").alias("c"))
-    wedges = e1.join(e2, "b").select("a", "b", "c")  # a<b<c by construction
-    closing = o.select(F.col("a"), F.col("b").alias("c"))
-    return wedges.join(closing, ["a", "c"], "left_semi").select("a", "b", "c")
+    """DataFrame of (a, b, c) triangle vertex triples with a < b < c.
+
+    Degree-ordered wedge plan (hub-safe, O(m^1.5) wedge rows total): each
+    triangle is generated once at its LOWEST-(degree, id)-rank vertex as
+    the wedge center, its two higher-rank endpoints ordered by rank, and
+    closed by a semi-join against the rank-oriented edge list.  Output
+    triples are sorted by vertex ID, identical to the previous
+    id-oriented plan (/root/reference/naive_implementation/
+    TriangleCounting.cpp:44-70 is the semantics oracle)."""
+    o = degree_ranked_oriented(edges).select("lo", "hi", "dhi")
+    w1 = o.select("lo", F.col("hi").alias("p"), F.col("dhi").alias("dp"))
+    w2 = o.select("lo", F.col("hi").alias("q"), F.col("dhi").alias("dq"))
+    wedges = (
+        w1.join(w2, "lo")
+        .filter(_rank_lt(F.col("dp"), F.col("p"), F.col("dq"), F.col("q")))
+        .select("lo", "p", "q")
+    )
+    # the closing edge p—q has rank(p) < rank(q), so it is stored (lo=p, hi=q)
+    closing = o.select(F.col("lo").alias("p"), F.col("hi").alias("q"))
+    tri = wedges.join(closing, ["p", "q"], "left_semi")
+    arr = F.array_sort(F.array("lo", "p", "q"))
+    return tri.select(
+        F.element_at(arr, 1).alias("a"),
+        F.element_at(arr, 2).alias("b"),
+        F.element_at(arr, 3).alias("c"),
+    )
 
 
 def per_vertex_triangle_counts(edges: DataFrame) -> DataFrame:
@@ -174,13 +413,10 @@ def four_chain_count_sampled(
     ok = ok.join(idx, "_key").drop("_key").persist()
     m = ok.count()
 
-    sym = o.select(F.col("a").alias("x"), F.col("b").alias("w")).union(
-        o.select(F.col("b").alias("x"), F.col("a").alias("w"))
-    )
-    # sort_array: collect_list order is partition-dependent; a sorted
-    # adjacency array makes the index-pick deterministic at any parallelism
-    adj = sym.groupBy("x").agg(
-        F.sort_array(F.collect_list("w")).alias("nbrs")).persist()
+    # hub-split blocked adjacency: no vertex's neighbor list ever
+    # materializes as one array (see _blocked_adjacency); both neighbor
+    # picks are two-level (block ∝ size, then element) uniform draws
+    adj = _blocked_adjacency(o).persist()
 
     est = spark.range(num_estimators).select(
         F.col("id").alias("est_id"),
@@ -191,30 +427,19 @@ def four_chain_count_sampled(
     mid = est.join(ok, "id").select(
         "est_id", "r1", "r2", F.col("a").alias("u"), F.col("b").alias("v")
     )
-    au = mid.join(adj.withColumnRenamed("x", "u"), "u").withColumn(
-        "cand_u", F.array_remove(F.col("nbrs"), F.col("v"))
-    ).drop("nbrs")
-    both = au.join(adj.withColumnRenamed("x", "v"), "v").withColumn(
-        "cand_v", F.array_remove(F.col("nbrs"), F.col("u"))
-    ).drop("nbrs")
-    picked = both.select(
-        "est_id",
-        F.size("cand_u").alias("cu"),
-        F.size("cand_v").alias("cv"),
-        # try_element_at: NULL (not an error) when an endpoint has no other
-        # neighbor (cand empty) — the weight guard zeroes those trials
-        F.try_element_at(
-            "cand_u", (F.floor(F.col("r1") * F.size("cand_u")) + 1).cast("int")
-        ).alias("a3"),
-        F.try_element_at(
-            "cand_v", (F.floor(F.col("r2") * F.size("cand_v")) + 1).cast("int")
-        ).alias("d"),
-    )
+    p1 = _blocked_uniform_pick(
+        mid, adj, "est_id", "u", F.array("v"), F.col("r1"), "cu", "a3"
+    ).select("est_id", "cu", "a3")
+    p2 = _blocked_uniform_pick(
+        mid, adj, "est_id", "v", F.array("u"), F.col("r2"), "cv", "d"
+    ).select("est_id", "cv", "d")
+    # inner join: trials where either endpoint had no other neighbor are
+    # zero-weight and contribute nothing to the sum (the divisor stays N)
+    both = p1.join(p2, "est_id")
     w = F.when(
-        (F.col("cu") > 0) & (F.col("cv") > 0) & (F.col("a3") != F.col("d")),
-        F.col("cu").cast("double") * F.col("cv"),
+        F.col("a3") != F.col("d"), F.col("cu").cast("double") * F.col("cv")
     ).otherwise(F.lit(0.0))
-    total = picked.agg(F.coalesce(F.sum(w), F.lit(0.0)).alias("s")).collect()[0]["s"]
+    total = both.agg(F.coalesce(F.sum(w), F.lit(0.0)).alias("s")).collect()[0]["s"]
     ok.unpersist()
     adj.unpersist()
     return float(m) * float(total) / float(num_estimators)
@@ -264,7 +489,9 @@ def four_chain_count_sampled_multiplan(
 
     Physical shape: three broadcast-free equi-joins per estimator batch
     (edge pick, endpoint adjacency, anchor adjacency) over one persisted
-    sorted id-adjacency table; N estimators independent of |E|.
+    HUB-SPLIT blocked adjacency table (per-row arrays bounded by
+    block_size; picks are two-level block-then-element draws over
+    (tag, bi)-ordered windows); N estimators independent of |E|.
     """
     spark = edges.sparkSession
     P = int(partitions or spark.conf.get("spark.sql.shuffle.partitions"))
@@ -284,11 +511,35 @@ def four_chain_count_sampled_multiplan(
             F.col("b").alias("x"), F.col("a").alias("w"), F.col("id").alias("eid")
         )
     )
-    # sorted by eid (struct's first field): the id-suffix filters below are
-    # deterministic and the uniform index-pick is partition-invariant
-    adj = sym.groupBy("x").agg(
-        F.sort_array(F.collect_list(F.struct("eid", "w"))).alias("nbrs")
-    ).persist()
+    # hub-split blocked struct adjacency: (x, bi, nbrs array<struct<eid,w>>)
+    # with per-row arrays bounded by ~block_size (same layout discipline as
+    # _blocked_adjacency; structs sorted by eid within each block so the
+    # two-level pick is deterministic at any parallelism)
+    bs = DEFAULT_ADJ_BLOCK
+    degs = sym.groupBy("x").agg(F.count(F.lit(1)).alias("_d"))
+    hubs = degs.filter(F.col("_d") > bs)
+    if hubs.limit(1).count() == 0:
+        adj = sym.groupBy("x").agg(
+            F.sort_array(F.collect_list(F.struct("eid", "w"))).alias("nbrs")
+        ).select("x", F.lit(0).cast("int").alias("bi"), "nbrs")
+    else:
+        hub_b = F.broadcast(hubs)
+        nonhub = (
+            sym.join(hub_b.select("x"), "x", "left_anti")
+            .groupBy("x")
+            .agg(F.sort_array(F.collect_list(F.struct("eid", "w"))).alias("nbrs"))
+            .select("x", F.lit(0).cast("int").alias("bi"), "nbrs")
+        )
+        nbk = F.ceil(F.col("_d") / bs).cast("int")
+        hub = (
+            sym.join(hub_b, "x")
+            .withColumn("bi", F.pmod(F.xxhash64("w"), nbk).cast("int"))
+            .groupBy("x", "bi")
+            .agg(F.sort_array(F.collect_list(F.struct("eid", "w"))).alias("nbrs"))
+            .select("x", "bi", "nbrs")
+        )
+        adj = nonhub.union(hub)
+    adj = adj.persist()
 
     if plan_only is not None:
         assert plan_only in (1, 2, 3)
@@ -309,37 +560,71 @@ def four_chain_count_sampled_multiplan(
         "est_id", "plan", "r1", "r2",
         F.col("a").alias("u"), F.col("b").alias("v"), F.col("id").alias("id0"),
     )
-    withu = e0.join(adj.withColumnRenamed("x", "u"), "u").withColumnRenamed(
-        "nbrs", "nu"
-    )
-    both = withu.join(adj.withColumnRenamed("x", "v"), "v").withColumnRenamed(
-        "nbrs", "nv"
-    )
+
+    from pyspark.sql import Window
 
     def _suffix(arr):
         return F.filter(arr, lambda s: s["eid"] > F.col("id0"))
 
+    def _two_level(rows, cand_col, r_col, cname, ename, order_cols):
+        """Two-level uniform pick over per-block candidate arrays: total
+        the per-block candidate counts, map one uniform draw to a global
+        index, walk the (order_cols)-ordered cumulative offsets to the
+        owning block + element.  One window pass whose group size is the
+        BLOCK COUNT of the anchor vertex (<= degree/block_size), never
+        its degree."""
+        wall = Window.partitionBy("est_id")
+        wrun = (
+            Window.partitionBy("est_id")
+            .orderBy(*order_cols)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        j = (
+            rows.withColumn("_cand", cand_col)
+            .withColumn("_cb", F.size("_cand"))
+            .withColumn(cname, F.sum("_cb").over(wall))
+            .withColumn("_off", F.coalesce(F.sum("_cb").over(wrun), F.lit(0)))
+            .withColumn("_j", F.floor(r_col * F.col(cname)).cast("long"))
+        )
+        hit = j.filter(
+            (F.col(cname) > 0)
+            & (F.col("_j") >= F.col("_off"))
+            & (F.col("_j") < F.col("_off") + F.col("_cb"))
+        )
+        return hit.withColumn(
+            ename,
+            F.element_at("_cand", (F.col("_j") - F.col("_off") + 1).cast("int")),
+        ).drop("nbrs", "bi", "_cand", "_cb", "_off", "_j")
+
     # e1 candidates: plans 1/2 merge both endpoints' id-suffixes (the
     # reference sums both vertices' CSR suffixes); plan 3 anchors at the
     # src side only.  No candidate duplicates: the only edge incident to
-    # both u and v is e0 itself, excluded by eid > id0.
-    cand1 = F.when(
-        F.col("plan") == 3, _suffix(F.col("nu"))
-    ).otherwise(F.concat(_suffix(F.col("nu")), _suffix(F.col("nv"))))
-    picked1 = (
-        both.withColumn("cand1", cand1)
-        .withColumn("c1", F.size("cand1"))
-        .withColumn(
-            "e1",
-            F.try_element_at(
-                "cand1", (F.floor(F.col("r1") * F.col("c1")) + 1).cast("int")
-            ),
-        )
-        .drop("cand1", "nu", "nv")
+    # both u and v is e0 itself, excluded by eid > id0.  Block rows from
+    # the u side (tag 0) precede the v side (tag 1), matching the previous
+    # concat(suffix(nu), suffix(nv)) candidate order.
+    side_u = e0.join(adj.withColumnRenamed("x", "u"), "u").select(
+        "est_id", "plan", "r1", "r2", "u", "v", "id0",
+        F.lit(0).alias("_tag"), "bi", "nbrs",
     )
+    side_v = (
+        e0.filter(F.col("plan") != 3)
+        .join(adj.withColumnRenamed("x", "v"), "v")
+        .select(
+            "est_id", "plan", "r1", "r2", "u", "v", "id0",
+            F.lit(1).alias("_tag"), "bi", "nbrs",
+        )
+    )
+    picked1 = _two_level(
+        side_u.union(side_v),
+        _suffix(F.col("nbrs")),
+        F.col("r1"),
+        "c1",
+        "e1",
+        ("_tag", "bi"),
+    ).drop("_tag")
     # plans 1/2: e2 anchored at w = e1's far endpoint (w not in {u,v}: the
-    # only u-v edge is e0); plan 3: e2 anchored at v.  Null anchor (c1=0)
-    # rows drop out of the join = zero-weight trials.
+    # only u-v edge is e0); plan 3: e2 anchored at v.  Zero-candidate
+    # trials (c1=0) never produce a hit row = zero-weight trials.
     anchored = picked1.withColumn(
         "anchor",
         F.when(F.col("plan") == 3, F.col("v")).otherwise(F.col("e1.w")),
@@ -360,16 +645,9 @@ def four_chain_count_sampled_multiplan(
         )
         .otherwise(_suffix(F.col("nbrs")))
     )
-    picked2 = (
-        anchored.withColumn("cand2", cand2)
-        .withColumn("c2", F.size("cand2"))
-        .withColumn(
-            "t",
-            F.try_element_at(
-                "cand2", (F.floor(F.col("r2") * F.col("c2")) + 1).cast("int")
-            )["w"],
-        )
-    )
+    picked2 = _two_level(
+        anchored, cand2, F.col("r2"), "c2", "_e2", ("bi",)
+    ).withColumn("t", F.col("_e2.w"))
     # acceptance (the reference's endpoint-distinctness checks): the new
     # vertex t must avoid all three previous vertices {u, v, e1.w}; for
     # plans 1/2 t != e1.w is automatic (t is a neighbor of w), for plan 3
@@ -423,13 +701,9 @@ def k_chain_count_sampled(
     ok = ok.join(idx, "_key").drop("_key").persist()
     m = ok.count()
 
-    sym = o.select(F.col("a").alias("x"), F.col("b").alias("w")).union(
-        o.select(F.col("b").alias("x"), F.col("a").alias("w"))
-    )
-    # sort_array: collect_list order is partition-dependent; a sorted
-    # adjacency array makes the index-pick deterministic at any parallelism
-    adj = sym.groupBy("x").agg(
-        F.sort_array(F.collect_list("w")).alias("nbrs")).persist()
+    # hub-split blocked adjacency + two-level picks (see _blocked_adjacency):
+    # a mega-hub on the path never materializes its full neighbor list
+    adj = _blocked_adjacency(o).persist()
 
     est = spark.range(num_estimators).select(
         F.col("id").alias("est_id"),
@@ -444,22 +718,20 @@ def k_chain_count_sampled(
         F.lit(1.0).alias("wprod"),
     )
     for step in range(k - 2):
-        r = _u("est_id", "end", seed=seed + 10 + step)
-        cur = (
-            cur.withColumn("end", F.element_at("path", -1))
-            .join(adj.withColumnRenamed("x", "end"), "end")
-            .withColumn("cand", F.array_except(F.col("nbrs"), F.col("path")))
-            .withColumn("c", F.size("cand"))
-            .withColumn(
-                "nxt",
-                F.try_element_at("cand", (F.floor(r * F.col("c")) + 1).cast("int")),
-            )
-            .filter(F.col("c") > 0)
-            .select(
-                "est_id",
-                F.concat(F.col("path"), F.array(F.col("nxt"))).alias("path"),
-                (F.col("wprod") * F.col("c")).alias("wprod"),
-            )
+        cur = cur.withColumn("end", F.element_at("path", -1))
+        cur = _blocked_uniform_pick(
+            cur,
+            adj,
+            "est_id",
+            "end",
+            F.col("path"),
+            _u("est_id", "end", seed=seed + 10 + step),
+            "c",
+            "nxt",
+        ).select(
+            "est_id",
+            F.concat(F.col("path"), F.array(F.col("nxt"))).alias("path"),
+            (F.col("wprod") * F.col("c")).alias("wprod"),
         )
     total = cur.agg(
         F.coalesce(F.sum("wprod"), F.lit(0.0)).alias("s")

@@ -1334,8 +1334,14 @@ def train_quality_classifier_sql(
         parts.append(
             f"g{k} AS (SELECT {gs} FROM t CROSS JOIN w{k - 1} w)"
         )
+        # exact integer floor division (Python `g // n` twin): subtract the
+        # sign-corrected remainder, then integer-divide the now exactly
+        # divisible numerator.  The earlier CAST(g AS DOUBLE)/n + floor
+        # form was only bit-exact while |g| < 2^53 (~9e9 docs at err=1e6);
+        # this form is exact at any BIGINT magnitude — the 100TB design
+        # point's 'bit-identical across engines' claim holds unconditionally
         ws = ", ".join(
-            f"w.w{i} - CAST(floor(CAST(g.g{i} AS DOUBLE) / nn.c) AS BIGINT)"
+            f"w.w{i} - ((g.g{i} - ((g.g{i} % nn.c) + nn.c) % nn.c) // nn.c)"
             f" AS w{i}"
             for i in range(dim)
         )

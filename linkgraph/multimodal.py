@@ -49,15 +49,57 @@ def _decode_stub(blob: bytes) -> tuple[int, int, int, int, int]:
     return n, head, tail, byte_sum, width * 1000000 + height
 
 
+def real_decoder_available() -> bool:
+    """True when an actual image codec (PIL) is importable — checked
+    lazily so the module imports cleanly in codec-less containers."""
+    import importlib.util
+
+    return importlib.util.find_spec("PIL") is not None
+
+
+def _decode_real(blob: bytes) -> tuple[int, int, int, int, int]:
+    """Real decode via PIL (only reachable when real_decoder_available()):
+    actual pixel dimensions from the image header, same output signature
+    as _decode_stub so the Arrow plumbing is byte-for-byte shared."""
+    import io
+
+    from PIL import Image
+
+    n = len(blob)
+    head = blob[0] if n else 0
+    tail = blob[-1] if n else 0
+    byte_sum = sum(blob[:1024])
+    try:
+        with Image.open(io.BytesIO(blob)) as im:
+            width, height = im.size
+    except Exception:
+        width, height = 0, 0  # undecodable payload -> sentinel dims
+    return n, head, tail, byte_sum, width * 1000000 + height
+
+
 def decode_features(binary_docs: DataFrame, blob_col: str = "blob",
-                    id_col: str = "doc_id") -> DataFrame:
+                    id_col: str = "doc_id",
+                    use_real_decoder: bool = False) -> DataFrame:
     """Arrow-batched feature extraction over a binary column.
 
-    Input: (doc_id, blob: binary [, ...]); output per DECODE_SCHEMA."""
+    Input: (doc_id, blob: binary [, ...]); output per DECODE_SCHEMA.
+
+    ``use_real_decoder=True`` decodes with PIL when it is importable
+    (raises ImportError otherwise — never a silent fallback, so a caller
+    asking for real decode can't unknowingly get stub features); the
+    default keeps the deterministic stub, which is what the driver gate
+    hashes.  Either way the executor-side batching, schema, and shuffle
+    profile are identical — the flag swaps only the per-blob function.
+    """
+    if use_real_decoder and not real_decoder_available():
+        raise ImportError(
+            "use_real_decoder=True requires PIL (pillow); not installed"
+        )
+    decode = _decode_real if use_real_decoder else _decode_stub
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [_decode_stub(b if b is not None else b"") for b in pdf[blob_col]]
+            feats = [decode(b if b is not None else b"") for b in pdf[blob_col]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col].astype("int64"),

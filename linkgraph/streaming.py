@@ -534,9 +534,16 @@ def stream_sliding_counts(
     ``floor(epoch/900)·900 − k·900, k ∈ 0..3`` — so the oracle is plain
     SQL with a 4-row range join, no streaming machinery.
 
-    Scale: watermark-bounded state = windows-in-flight × event types (the
-    4× write amplification of slide<window is the documented cost of
-    sliding windows; state is still O(active windows), never O(events)).
+    Scale note (honest): this sink runs ``outputMode("complete")`` so the
+    one-shot availableNow drain emits EVERY window — in complete mode
+    Structured Streaming never evicts state via the watermark, so state is
+    O(all windows ever seen) × event types, not O(active windows).  State
+    per window is a fixed-size aggregate (never O(events)), and for the
+    bounded-horizon drains used here that is the right trade: append mode
+    with the watermark WOULD bound state to windows-in-flight, but it
+    withholds every window still inside the watermark at end-of-drain, so
+    a continuous deployment wanting bounded state should switch to append
+    mode and accept watermark-delayed emission.
     """
     stream = _events_stream(spark, events_dir)
     agg = (

@@ -275,6 +275,23 @@ def q_pagerank5(spark, sf_dir):
     )
 
 
+def q_pagerank_grid5(spark, sf_dir):
+    """PageRank on the 2-D grid (dst-bucketed) adjacency layout
+    (pagerank.bucketed_adjacency_blocks): per-task aggregation state
+    bounded by V/K and a <=V-row contribution shuffle — the declared
+    V~1e10 layout.  Shares the unrolled-SQL oracle with pagerank_5iter:
+    a green hash gate here proves the grid layout is answer-invariant."""
+    from .algos import pagerank
+
+    ranks, _ = pagerank(
+        edges_a(spark, sf_dir), vertices=verts(spark, V_A), num_iters=5,
+        partitions=16, dst_buckets=16,
+    )
+    return ranks.select(
+        "id", F.round(F.col("rank") * 1e8).cast("long").alias("rank_e8")
+    )
+
+
 def _pagerank_sql(num_iters: int, v: int, edges_sql: str, verts_sql: str,
                   verts_name: str, edges_name: str) -> str:
     d = 0.85
@@ -1623,6 +1640,7 @@ REGISTRY: dict = _Registry({
     "degrees": (q_degrees, DEGREES_SQL),
     "triangle_count": (q_triangle_count, TRIANGLE_SQL),
     "pagerank_5iter": (q_pagerank5, PAGERANK5_SQL),
+    "pagerank_grid_5iter": (q_pagerank_grid5, PAGERANK5_SQL),
     "clustering_coefficient": (q_clustering_coeff, CLUSTERING_COEFF_SQL),
     "hits_3iter": (q_hits3, HITS3_SQL),
     "personalized_pagerank_5iter": (q_ppr5, PPR5_SQL),
@@ -1928,25 +1946,16 @@ FROM sc ORDER BY score_e6 DESC, a, b LIMIT 20
 
 
 def q_four_cycle_count(spark, sf_dir):
-    """Exact 4-cycle (rectangle) count: Σ_{{u<v}} C(common(u,v), 2) / 2 —
-    each rectangle counted once per diagonal."""
-    eb = edges_b(spark, sf_dir)
-    und = (
-        eb.union(eb.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .distinct()
+    """Exact 4-cycle (rectangle) count — the engine runs the hub-safe
+    vertex-priority wedge plan (motifs.four_cycle_count: wedges only where
+    the start out-ranks center AND end under (degree, id) order, so no
+    C(d, 2) blow-up at a hub center); the oracle keeps the textbook
+    Σ_{{u<v}} C(common(u,v), 2) / 2 form — same number, different plan."""
+    from .algos.motifs import four_cycle_count
+
+    return _scalar_df(
+        spark, "four_cycles", four_cycle_count(edges_b(spark, sf_dir))
     )
-    e1 = und.select(F.col("src").alias("u"), F.col("dst").alias("c"))
-    e2 = und.select(F.col("src").alias("c"), F.col("dst").alias("v"))
-    cn = (
-        e1.join(e2, "c")
-        .filter(F.col("u") < F.col("v"))
-        .groupBy("u", "v")
-        .agg(F.count(F.lit(1)).alias("w"))
-    )
-    total = cn.agg(
-        (F.sum(F.col("w") * (F.col("w") - 1) / 2) / 2).cast("long").alias("c")
-    ).collect()[0]["c"]
-    return _scalar_df(spark, "four_cycles", int(total or 0))
 
 
 FOUR_CYCLE_SQL = f"""
@@ -2575,18 +2584,16 @@ def q_butterfly_count(spark, sf_dir):
         .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
         .distinct()
     )
-    e1 = bip.select(F.col("c").alias("c1"), "p")
-    e2 = bip.select(F.col("c").alias("c2"), "p")
-    wedge = (
-        e1.join(e2, "p")
-        .filter(F.col("c1") < F.col("c2"))
-        .groupBy("c1", "c2")
-        .agg(F.count(F.lit(1)).alias("w"))
+    # side-disambiguated vertex ids (2c / 2p+1): butterflies are exactly
+    # the rectangles of the encoded graph, counted by the hub-safe
+    # vertex-priority plan (motifs.four_cycle_count) — the hot customer /
+    # hot part wedge blow-up of the naive per-side self-join disappears
+    from .algos.motifs import four_cycle_count
+
+    enc = bip.select(
+        (F.col("c") * 2).alias("src"), (F.col("p") * 2 + 1).alias("dst")
     )
-    total = wedge.agg(
-        F.sum(F.col("w") * (F.col("w") - 1) / 2).cast("long").alias("b")
-    ).collect()[0]["b"]
-    return _scalar_df(spark, "butterflies", int(total or 0))
+    return _scalar_df(spark, "butterflies", four_cycle_count(enc))
 
 
 BUTTERFLY_SQL = """

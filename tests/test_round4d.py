@@ -416,6 +416,25 @@ def test_duckdb_recursive_union_dedup_pitfall():
         " SELECT count(*) FROM und_b").fetchone()[0]
     # the DISTINCT-based fragment must agree with itself in both contexts
     assert plain == rec
+    # pin the PITFALL itself on a bare-UNION fragment with guaranteed
+    # duplicates (edges_b at sf0.001 happens to have no reciprocal pairs,
+    # so the und_b fragment can't expose it): in a WITH RECURSIVE context
+    # DuckDB 1.0 stops deduplicating a bare UNION inside a
+    # non-self-referencing CTE.  When a future DuckDB release fixes this,
+    # the last assertion fails and the DISTINCT workaround can be
+    # revisited.
+    bare = (
+        "e(src, dst) AS (VALUES (1, 2), (2, 1), (2, 3)), "
+        "und_bare AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e)"
+    )
+    bare_plain = con.execute(
+        f"WITH {bare} SELECT count(*) FROM und_bare").fetchone()[0]
+    bare_rec = con.execute(
+        f"WITH RECURSIVE {bare},"
+        " d(x) AS (SELECT 1 UNION SELECT x + 1 FROM d WHERE x < 2)"
+        " SELECT count(*) FROM und_bare").fetchone()[0]
+    assert bare_plain == 4               # UNION dedups in the plain context
+    assert bare_rec == 6                 # ... and silently stops here
     # and match the true distinct count
     truth = con.execute(f"""
         WITH {suite.EDGES_B_SQL}
