@@ -25,7 +25,14 @@ def test_rich_club_emits_all_thresholds_on_low_degree_graph(
     # SQL twin's FROM ks LEFT JOIN shape.
     tiny = spark.createDataFrame(
         [(0, 1), (1, 2), (2, 0)], "src long, dst long")
-    monkeypatch.setattr(suite, "edges_a", lambda _s, _d: tiny)
+    # patch the module that DEFINES q_rich_club (suite is a package since
+    # round 5; the query resolves fixtures in its own module's namespace)
+    import sys
+
+    monkeypatch.setattr(
+        sys.modules[suite.q_rich_club.__module__], "edges_a",
+        lambda _s, _d: tiny,
+    )
     rows = {r["k"]: r for r in suite.q_rich_club(spark, SF).collect()}
     assert sorted(rows) == [1, 2, 4, 8, 16, 32]
     r1 = rows[1]

@@ -210,7 +210,12 @@ def test_temporal_triangle_brute_force(spark, monkeypatch, tmp_path):
     rows = [(a, b, d, d * V * V + a * V + b) for a, b, d in tedges]
     df = spark.createDataFrame(rows, "a long, b long, day long, ek long")
 
-    monkeypatch.setattr(suite, "edges_t", lambda _s, _d: df)
+    import sys
+
+    monkeypatch.setattr(
+        sys.modules[suite.q_temporal_triangle_count.__module__], "edges_t",
+        lambda _s, _d: df,
+    )
     got = suite.q_temporal_triangle_count(spark, "unused").collect()[0][0]
 
     W = suite.TEMPORAL_WINDOW_DAYS
@@ -355,8 +360,11 @@ def test_robustness_curve_small_graph(spark, monkeypatch):
     # hub 0 connected to 1..9; separate path 10-11-12
     edges = [(0, i) for i in range(1, 10)] + [(10, 11), (11, 12)]
     df = spark.createDataFrame(edges, "src long, dst long")
-    monkeypatch.setattr(suite, "edges_b", lambda _s, _d: df)
-    monkeypatch.setattr(suite, "ROBUSTNESS_KS", (0, 1))
+    import sys
+
+    qmod = sys.modules[suite.q_robustness_curve.__module__]
+    monkeypatch.setattr(qmod, "edges_b", lambda _s, _d: df)
+    monkeypatch.setattr(qmod, "ROBUSTNESS_KS", (0, 1))
     got = {r["k"]: r for r in suite.q_robustness_curve(spark, "x").collect()}
     # k=0: components = star(10) + path(3) + 287 isolated verts (V_B=300)
     assert got[0]["largest_cc"] == 10
