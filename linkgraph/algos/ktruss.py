@@ -50,9 +50,16 @@ def _tri_id_sorted(e: DataFrame) -> DataFrame:
     id-canonical (a, b) edge keys."""
     from .triangles import degree_ranked_oriented, _rank_lt
 
-    o = degree_ranked_oriented(
-        e.select(F.col("a").alias("src"), F.col("b").alias("dst"))
-    ).select("lo", "hi", "dhi")
+    # lazy localCheckpoint: three join branches consume the ranked
+    # orientation; materialize the ranking subtree once (see
+    # triangles.triangles for the rationale)
+    o = (
+        degree_ranked_oriented(
+            e.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        )
+        .select("lo", "hi", "dhi")
+        .localCheckpoint(eager=False)
+    )
     w1 = o.select("lo", F.col("hi").alias("p"), F.col("dhi").alias("dp"))
     w2 = o.select("lo", F.col("hi").alias("q"), F.col("dhi").alias("dq"))
     wedges = (

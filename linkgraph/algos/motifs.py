@@ -137,7 +137,9 @@ def four_cycle_count(edges: DataFrame) -> int:
     a 10^7-degree hub as center emits ~0 wedges instead of C(d, 2).
     Works on bipartite encodings too (rectangles = butterflies).
     """
-    o = degree_ranked_oriented(edges)
+    # lazy localCheckpoint: both wedge sides read the ranked orientation;
+    # materialize the ranking subtree once (see triangles.triangles)
+    o = degree_ranked_oriented(edges).localCheckpoint(eager=False)
     # center→start pairs: start out-ranks center by construction (lo→hi)
     cs = o.select(
         F.col("lo").alias("x"), F.col("hi").alias("u"), F.col("dhi").alias("du")
