@@ -41,25 +41,60 @@ def _ckpt(df: DataFrame, P: int, *keys: str) -> DataFrame:
     return df.repartition(P, *keys).localCheckpoint(eager=True)
 
 
-def _tri_id_sorted(e: DataFrame) -> DataFrame:
-    """Triangles (x < y < z BY ID) of the id-canonical edge set ``e``
-    (columns a < b), via degree-ordered wedges (triangles.degree_ranked_
-    oriented): each triangle generated once at its lowest-(degree, id)-rank
-    vertex, hub-safe (O(m^1.5) wedge rows — never C(d,2) at a hub), then
-    re-sorted by vertex id so the projection onto member edges matches the
-    id-canonical (a, b) edge keys."""
-    from .triangles import degree_ranked_oriented, _rank_lt
+def _rank_table(e: DataFrame, P: int) -> DataFrame:
+    """(id, d) degree table of the id-canonical edge set ``e`` — the
+    STATIC (degree, id) total order used to orient wedges.  Computed once
+    on the initial graph and reused across every peel round: any FIXED
+    total order generates each triangle exactly once, and initial-degree
+    rank keeps out-degrees O(√m₀) as the edge set shrinks, so the peel
+    loop pays the ranking's two E-row joins but never re-aggregates
+    degrees per round."""
+    return _ckpt(
+        e.select(F.col("a").alias("id"))
+        .union(e.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("d")),
+        P,
+        "id",
+    )
 
+
+def _tri_id_sorted(e: DataFrame, rank: DataFrame | None = None) -> DataFrame:
+    """Triangles (x < y < z BY ID) of the id-canonical edge set ``e``
+    (columns a < b), via degree-ordered wedges: each triangle generated
+    once at its lowest-(degree, id)-rank vertex, hub-safe (O(m^1.5) wedge
+    rows — never C(d,2) at a hub), then re-sorted by vertex id so the
+    projection onto member edges matches the id-canonical (a, b) edge
+    keys.  ``rank`` (from _rank_table) supplies a precomputed static
+    order; None computes degrees of ``e`` itself."""
+    from .triangles import _rank_lt
+
+    spark = e.sparkSession
+    P = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if rank is None:
+        rank = _rank_table(e, P)
+    j = e.join(
+        rank.select(F.col("id").alias("a"), F.col("d").alias("da")).hint(
+            "shuffle_hash"
+        ),
+        "a",
+    ).join(
+        rank.select(F.col("id").alias("b"), F.col("d").alias("db")).hint(
+            "shuffle_hash"
+        ),
+        "b",
+    )
+    a_low = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
     # lazy localCheckpoint: three join branches consume the ranked
     # orientation; materialize the ranking subtree once (see
     # triangles.triangles for the rationale)
-    o = (
-        degree_ranked_oriented(
-            e.select(F.col("a").alias("src"), F.col("b").alias("dst"))
-        )
-        .select("lo", "hi", "dhi")
-        .localCheckpoint(eager=False)
-    )
+    o = j.select(
+        F.when(a_low, F.col("a")).otherwise(F.col("b")).alias("lo"),
+        F.when(a_low, F.col("b")).otherwise(F.col("a")).alias("hi"),
+        F.when(a_low, F.col("db")).otherwise(F.col("da")).alias("dhi"),
+    ).localCheckpoint(eager=False)
     w1 = o.select("lo", F.col("hi").alias("p"), F.col("dhi").alias("dp"))
     w2 = o.select("lo", F.col("hi").alias("q"), F.col("dhi").alias("dq"))
     wedges = (
@@ -77,15 +112,15 @@ def _tri_id_sorted(e: DataFrame) -> DataFrame:
     )
 
 
-def _support(e: DataFrame) -> DataFrame:
+def _support(e: DataFrame, rank: DataFrame | None = None) -> DataFrame:
     """Per-edge triangle support over id-canonical edges (a < b).
 
     Triangles found by the degree-ordered wedge + closure join
-    (_tri_id_sorted — ranks recomputed on the CURRENT peeled subset, so
-    the O(m^1.5) bound tightens as edges drop); each triangle is projected
-    onto its three member edges, one grouped count gives support.
+    (_tri_id_sorted over the static initial-degree rank); each triangle
+    is projected onto its three member edges, one grouped count gives
+    support.
     """
-    tri = _tri_id_sorted(e)
+    tri = _tri_id_sorted(e, rank)
     per_edge = (
         tri.select(F.col("x").alias("a"), F.col("y").alias("b"))
         .union(tri.select(F.col("x").alias("a"), F.col("z").alias("b")))
@@ -114,10 +149,11 @@ def ktruss_edges(
         "a",
     )
     n = e.count()
+    rank = _rank_table(e, P)  # static (degree, id) order, built once
     metrics: list[dict] = []
     for rnd in range(max_rounds):
         t0 = time.time()
-        keep = _support(e).filter(F.col("supp") >= k - 2).select("a", "b")
+        keep = _support(e, rank).filter(F.col("supp") >= k - 2).select("a", "b")
         e2 = _ckpt(e.join(keep.hint("shuffle_hash"), ["a", "b"], "left_semi"), P, "a")
         n2 = e2.count()
         metrics.append(
