@@ -850,6 +850,82 @@ PPR_PUSH_SQL = _ppr_push_sql(PPR_PUSH_ROUNDS, PPR_PUSH_EPS)
 REGISTRY["ppr_push"] = (q_ppr_push, PPR_PUSH_SQL)
 
 
+# ---------------------------------------------------------------------------
+# degree-capped Adamic–Adar (round 5) — the scale form of adamic_adar_topk
+# ---------------------------------------------------------------------------
+
+AA_CAP = 64  # max common-neighbor degree that may generate candidate pairs
+
+
+def q_adamic_adar_capped(spark, sf_dir):
+    """Degree-CAPPED Adamic–Adar top-20 — the web-scale form of
+    ``adamic_adar_topk``: only centers with 2 <= deg <= AA_CAP generate
+    candidate pairs.
+
+    Why: the uncapped score enumerates C(d, 2) pairs per common neighbor
+    c — a 10^7-degree hub alone contributes ~5·10^13 candidate rows while
+    its per-pair weight 1e6/ln(d) is the SMALLEST possible, so the hub
+    dominates the cost and almost never the ranking.  Capping the center
+    degree is the standard web-scale link-prediction trade (drop the
+    near-zero-information quadratic mass); total wedge work becomes
+    Σ_{d(c)<=CAP} C(d, 2) <= CAP·m/2 — linear in edges for fixed CAP.
+    Same integer-quantized weights and deterministic total order as the
+    exact query; the DuckDB twin applies the identical cap, so the gate
+    hash-checks the capped semantics end-to-end.
+    """
+    eb = edges_b(spark, sf_dir)
+    und = (
+        eb.union(eb.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+    )
+    deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    w = deg.filter((F.col("d") >= 2) & (F.col("d") <= AA_CAP)).select(
+        F.col("src").alias("c"),
+        F.round(F.lit(1e6) / F.log(F.col("d").cast("double")))
+        .cast("long")
+        .alias("w"),
+    )
+    e1 = und.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    e2 = und.select(F.col("src").alias("c"), F.col("dst").alias("b"))
+    scores = (
+        # join the (already degree-filtered) weight table FIRST so capped-out
+        # hub centers never generate their C(d,2) pair explosion at all
+        e1.join(w, "c")
+        .join(e2, "c")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.sum("w").alias("score_e6"))
+        .join(
+            und.select(F.col("src").alias("a"), F.col("dst").alias("b")),
+            ["a", "b"], "left_anti",
+        )
+    )
+    return (
+        scores.orderBy(F.col("score_e6").desc(), "a", "b")
+        .limit(20)
+        .select("a", "b", "score_e6")
+    )
+
+
+ADAMIC_ADAR_CAPPED_SQL = f"""
+WITH {EDGES_B_SQL}, {UND_B_SQL},
+deg AS (SELECT src, count(*) AS d FROM und_b GROUP BY src),
+w AS (SELECT src AS c, CAST(round(1e6 / ln(CAST(d AS DOUBLE))) AS BIGINT) AS w
+      FROM deg WHERE d >= 2 AND d <= {AA_CAP}),
+sc AS (
+  SELECT e1.src AS a, e2.dst AS b, sum(w.w) AS score_e6
+  FROM und_b e1 JOIN w ON w.c = e1.dst JOIN und_b e2 ON e1.dst = e2.src
+  WHERE e1.src < e2.dst
+    AND NOT EXISTS (SELECT 1 FROM und_b u WHERE u.src = e1.src AND u.dst = e2.dst)
+  GROUP BY e1.src, e2.dst
+)
+SELECT a, b, CAST(score_e6 AS BIGINT) AS score_e6
+FROM sc ORDER BY score_e6 DESC, a, b LIMIT 20
+"""
+
+REGISTRY["adamic_adar_capped"] = (q_adamic_adar_capped, ADAMIC_ADAR_CAPPED_SQL)
+
+
 # re-export everything (incl. underscore helpers) to the next
 # module in the suite package chain and to suite/__init__.py
 __all__ = [_n for _n in dir() if not _n.startswith('__')]

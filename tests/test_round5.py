@@ -316,6 +316,37 @@ def test_multimodal_real_decoder_hook(spark):
     assert row.n_bytes == len(png)
 
 
+def test_adamic_adar_capped_excludes_hub_centers(spark):
+    """The capped Adamic–Adar variant: a high-degree center generates NO
+    candidate pairs (the C(d,2) blow-up is structurally absent), while
+    low-degree centers score identically to the uncapped form."""
+    import sys
+
+    from linkgraph import suite
+
+    # hub 100 connected to 0..79 (degree 80 > AA_CAP=64); plus center 200
+    # with neighbors {0, 1} (degree 2 — informative)
+    edges = [(100, i) for i in range(80)] + [(200, 0), (200, 1)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    qmod = sys.modules[suite.q_adamic_adar_capped.__module__]
+    orig = qmod.edges_b
+    try:
+        qmod.edges_b = lambda _s, _d: df
+        rows = suite.q_adamic_adar_capped(spark, "x").collect()
+    finally:
+        qmod.edges_b = orig
+    got = {(r.a, r.b): r.score_e6 for r in rows}
+    # pair (0, 1) shares centers {hub(80), 200(2)}: only 200 may count
+    import math
+
+    assert got[(0, 1)] == round(1e6 / math.log(2))
+    # (100, 200) shares the degree-2 centers {0, 1} — counted normally
+    assert got[(100, 200)] == 2 * round(1e6 / math.log(2))
+    # no other leaf pair may appear: their only common neighbor is the
+    # capped-out hub — the C(80,2) pair explosion is structurally absent
+    assert set(got) == {(0, 1), (100, 200)}
+
+
 def test_sampled_estimators_on_hub_fixture(spark, hub_edges):
     """The hub-split estimators stay unbiased on the planted-hub graph:
     4-chain sampled estimate within 10% of exact (the hub makes 4-chains
