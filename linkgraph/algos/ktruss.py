@@ -61,54 +61,18 @@ def _rank_table(e: DataFrame, P: int) -> DataFrame:
 
 def _tri_id_sorted(e: DataFrame, rank: DataFrame | None = None) -> DataFrame:
     """Triangles (x < y < z BY ID) of the id-canonical edge set ``e``
-    (columns a < b), via degree-ordered wedges: each triangle generated
-    once at its lowest-(degree, id)-rank vertex, hub-safe (O(m^1.5) wedge
-    rows — never C(d,2) at a hub), then re-sorted by vertex id so the
-    projection onto member edges matches the id-canonical (a, b) edge
-    keys.  ``rank`` (from _rank_table) supplies a precomputed static
-    order; None computes degrees of ``e`` itself."""
-    from .triangles import _rank_lt
+    (columns a < b) — delegates to triangles.triangles() (the shared
+    degree-ordered wedge + closure plan: hub-safe O(m^1.5) wedge rows,
+    id-sorted output matching the id-canonical edge keys), renaming the
+    output columns.  ``rank`` (from _rank_table) supplies a precomputed
+    static order; None computes degrees of ``e`` itself."""
+    from .triangles import triangles
 
-    spark = e.sparkSession
-    P = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    if rank is None:
-        rank = _rank_table(e, P)
-    j = e.join(
-        rank.select(F.col("id").alias("a"), F.col("d").alias("da")).hint(
-            "shuffle_hash"
-        ),
-        "a",
-    ).join(
-        rank.select(F.col("id").alias("b"), F.col("d").alias("db")).hint(
-            "shuffle_hash"
-        ),
-        "b",
+    tri = triangles(
+        e.select(F.col("a").alias("src"), F.col("b").alias("dst")), rank=rank
     )
-    a_low = (F.col("da") < F.col("db")) | (
-        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
-    )
-    # lazy localCheckpoint: three join branches consume the ranked
-    # orientation; materialize the ranking subtree once (see
-    # triangles.triangles for the rationale)
-    o = j.select(
-        F.when(a_low, F.col("a")).otherwise(F.col("b")).alias("lo"),
-        F.when(a_low, F.col("b")).otherwise(F.col("a")).alias("hi"),
-        F.when(a_low, F.col("db")).otherwise(F.col("da")).alias("dhi"),
-    ).localCheckpoint(eager=False)
-    w1 = o.select("lo", F.col("hi").alias("p"), F.col("dhi").alias("dp"))
-    w2 = o.select("lo", F.col("hi").alias("q"), F.col("dhi").alias("dq"))
-    wedges = (
-        w1.join(w2, "lo")
-        .filter(_rank_lt(F.col("dp"), F.col("p"), F.col("dq"), F.col("q")))
-        .select("lo", "p", "q")
-    )
-    closing = o.select(F.col("lo").alias("p"), F.col("hi").alias("q"))
-    tri = wedges.join(closing.hint("shuffle_hash"), ["p", "q"], "left_semi")
-    arr = F.array_sort(F.array("lo", "p", "q"))
     return tri.select(
-        F.element_at(arr, 1).alias("x"),
-        F.element_at(arr, 2).alias("y"),
-        F.element_at(arr, 3).alias("z"),
+        F.col("a").alias("x"), F.col("b").alias("y"), F.col("c").alias("z")
     )
 
 

@@ -241,18 +241,27 @@ def pagerank(
             .union(edges.select(F.col("dst").alias("id")))
             .distinct()
         )
-    # static dangling flag rides along on the vertex table: the tol-driven
-    # loop observes the raw dangling mass in the SAME job as the update
-    # (see below), which is what lets the next superstep predict its own
-    # total mass without a separate aggregation job
-    srcs = edges.select(F.col("src").alias("id")).distinct()
-    v = (
-        vertices.select("id")
-        .join(srcs.withColumn("_s", F.lit(1)).hint("shuffle_hash"), "id", "left")
-        .select("id", F.col("_s").isNull().alias("dang"))
-        .repartition(P, "id")
-        .persist()
-    )
+    # convergence mode only: a static dangling flag rides along on the
+    # vertex table — the tol-driven loop observes the raw dangling mass in
+    # the SAME job as the update (see below), which is what lets the next
+    # superstep predict its own total mass without a separate aggregation
+    # job.  Fixed-iteration runs never read the flag, so they skip the
+    # E-row src-distinct + V-row join and keep the plain vertex build.
+    if num_iters is None:
+        srcs = edges.select(F.col("src").alias("id")).distinct()
+        v = (
+            vertices.select("id")
+            .join(
+                srcs.withColumn("_s", F.lit(1)).hint("shuffle_hash"),
+                "id",
+                "left",
+            )
+            .select("id", F.col("_s").isNull().alias("dang"))
+            .repartition(P, "id")
+            .persist()
+        )
+    else:
+        v = vertices.select("id").repartition(P, "id").persist()
     V = v.count()
     E = edges.count()
 

@@ -87,6 +87,11 @@ def conditional_sample_vertex(
     (No shipped estimator needs this — the reference's own applications
     are all edge-anchored via SamplerGenerator — but the primitive is the
     §2.3 inventory's last row; property-tested in tests/test_round5.py.)
+
+    This is the DISTRIBUTED per-estimator-row form (one column draw per
+    row, dense ids assumed).  The driver-side one-shot form over an
+    arbitrary id pool is ``graph.conditional_sample_vertex`` — same
+    reference primitive, different execution shape.
     """
     n = F.lit(int(num_vertices)).cast("long")
     rng = (n - F.col(min_col).cast("long"))
@@ -117,7 +122,9 @@ def _oriented(edges: DataFrame) -> DataFrame:
     )
 
 
-def degree_ranked_oriented(edges: DataFrame) -> DataFrame:
+def degree_ranked_oriented(
+    edges: DataFrame, rank: DataFrame | None = None
+) -> DataFrame:
     """Each undirected edge once as (lo, hi, dlo, dhi), oriented low→high
     by the (degree, id) total order — the standard degree-ordered
     orientation for hub-safe wedge generation.
@@ -135,6 +142,11 @@ def degree_ranked_oriented(edges: DataFrame) -> DataFrame:
     Cost of the ranking itself: one V-row degree aggregation (map-side
     combinable) plus two E-row hash joins against it — a one-time linear
     pass, paid before the superlinear wedge stage it bounds.
+
+    ``rank`` (id, d) supplies a precomputed STATIC order (e.g. the k-truss
+    peel computes initial degrees once and reuses them every round — any
+    fixed total order generates each wedge exactly once); None computes
+    the degrees of ``edges`` itself.
     """
     und = (
         edges.select(
@@ -143,12 +155,14 @@ def degree_ranked_oriented(edges: DataFrame) -> DataFrame:
         .filter(F.col("a") != F.col("b"))
         .dropDuplicates(["a", "b"])
     )
-    deg = (
-        und.select(F.col("a").alias("id"))
-        .union(und.select(F.col("b").alias("id")))
-        .groupBy("id")
-        .agg(F.count(F.lit(1)).alias("d"))
-    )
+    deg = rank
+    if deg is None:
+        deg = (
+            und.select(F.col("a").alias("id"))
+            .union(und.select(F.col("b").alias("id")))
+            .groupBy("id")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
     # shuffle-hash hints: measured faster than letting the planner choose
     # (interleaved A/B at sf0.1: ~5.1s vs ~6.9s per triangle count), and
     # at web scale they keep the two one-time E-row joins off the
@@ -183,13 +197,19 @@ def _rank_lt(d1: Column, v1: Column, d2: Column, v2: Column) -> Column:
 DEFAULT_ADJ_BLOCK = 4096
 
 
-def _blocked_adjacency(
-    o: DataFrame, block_size: int = DEFAULT_ADJ_BLOCK
+def _blocked_sym_adjacency(
+    sym: DataFrame, elem: Column, block_size: int = DEFAULT_ADJ_BLOCK
 ) -> DataFrame:
-    """Symmetric adjacency of the canonical edge list ``o`` (a, b) as
-    ``(x, bi, nbrs sorted array<long>)`` rows with per-row arrays bounded
-    by ~``block_size`` — the estimator-side twin of
-    ``pagerank.adjacency_blocks`` hub splitting.
+    """Hub-split blocked adjacency over a prepared symmetric view ``sym``
+    (columns ``x`` = anchor vertex, ``w`` = neighbor id, plus any payload
+    columns ``elem`` reads): returns ``(x, bi, nbrs sorted array)`` rows
+    with per-row arrays bounded by ~``block_size`` — the estimator-side
+    twin of ``pagerank.adjacency_blocks`` hub splitting.
+
+    ``elem`` is the per-neighbor element expression collected into the
+    arrays — ``F.col("w")`` for plain neighbor lists,
+    ``F.struct("eid", "w")`` for the multiplan sampler's edge-id-carrying
+    variant; ONE implementation serves both.
 
     A vertex with degree <= block_size gets ONE block (bi = 0); a hub is
     split into ceil(d / block_size) blocks by ``pmod(xxhash64(w), nb)``,
@@ -201,23 +221,20 @@ def _blocked_adjacency(
 
     Determinism: arrays are sorted within a block and blocks are keyed by
     the deterministic ``bi``, so a two-level pick (global index ->
-    bi-ordered block offsets, see _blocked_uniform_pick) is a pure
-    function of the data at any partition layout.
+    bi-ordered block offsets, see _two_level_pick) is a pure function of
+    the data at any partition layout.
     """
-    sym = o.select(F.col("a").alias("x"), F.col("b").alias("w")).union(
-        o.select(F.col("b").alias("x"), F.col("a").alias("w"))
-    )
     deg = sym.groupBy("x").agg(F.count(F.lit(1)).alias("_d"))
     hubs = deg.filter(F.col("_d") > block_size)
     if hubs.limit(1).count() == 0:
         return sym.groupBy("x").agg(
-            F.sort_array(F.collect_list("w")).alias("nbrs")
+            F.sort_array(F.collect_list(elem)).alias("nbrs")
         ).select("x", F.lit(0).cast("int").alias("bi"), "nbrs")
     hub_b = F.broadcast(hubs)
     nonhub = (
         sym.join(hub_b.select("x"), "x", "left_anti")
         .groupBy("x")
-        .agg(F.sort_array(F.collect_list("w")).alias("nbrs"))
+        .agg(F.sort_array(F.collect_list(elem)).alias("nbrs"))
         .select("x", F.lit(0).cast("int").alias("bi"), "nbrs")
     )
     nb = F.ceil(F.col("_d") / block_size).cast("int")
@@ -225,10 +242,74 @@ def _blocked_adjacency(
         sym.join(hub_b, "x")
         .withColumn("bi", F.pmod(F.xxhash64("w"), nb).cast("int"))
         .groupBy("x", "bi")
-        .agg(F.sort_array(F.collect_list("w")).alias("nbrs"))
+        .agg(F.sort_array(F.collect_list(elem)).alias("nbrs"))
         .select("x", "bi", "nbrs")
     )
     return nonhub.union(hub)
+
+
+def _blocked_adjacency(
+    o: DataFrame, block_size: int = DEFAULT_ADJ_BLOCK
+) -> DataFrame:
+    """Plain-neighbor blocked adjacency of the canonical edge list ``o``
+    (a, b): symmetric view + _blocked_sym_adjacency with ``elem = w``."""
+    sym = o.select(F.col("a").alias("x"), F.col("b").alias("w")).union(
+        o.select(F.col("b").alias("x"), F.col("a").alias("w"))
+    )
+    return _blocked_sym_adjacency(sym, F.col("w"), block_size)
+
+
+def _two_level_pick(
+    rows: DataFrame,
+    key: str,
+    cand_col: Column,
+    r: Column,
+    cname: str,
+    ename: str,
+    order_cols: tuple = ("bi",),
+) -> DataFrame:
+    """Shared two-level uniform-pick window core over per-block candidate
+    arrays: total the per-block candidate counts, map one uniform draw to
+    a global index j = floor(r*c), walk the (order_cols)-ordered
+    cumulative block offsets to the owning block + element — pick block
+    ∝ size, then element, in one window pass whose group size is the
+    anchor vertex's BLOCK COUNT (<= degree/block_size), never its degree.
+
+    ``rows`` is a (key × block) join against a blocked adjacency (one st
+    row per key); ``cand_col`` computes that block's candidate array from
+    ``nbrs``.  Returns one row per key with >= 1 candidate: input columns
+    (minus block bookkeeping) plus ``cname`` (total candidates — the
+    importance weight factor) and ``ename`` (the picked element).
+    Zero-candidate trials drop out, matching the estimators'
+    zero-weight-trial semantics.  Deterministic at any partition layout:
+    block arrays are sorted, block order is the deterministic
+    ``order_cols``, r is hash-derived.
+    """
+    from pyspark.sql import Window
+
+    wall = Window.partitionBy(key)
+    wrun = (
+        Window.partitionBy(key)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    j = (
+        rows.withColumn("_cand", cand_col)
+        .withColumn("_cb", F.size("_cand"))
+        .withColumn("_r", r)
+        .withColumn(cname, F.sum("_cb").over(wall))
+        .withColumn("_off", F.coalesce(F.sum("_cb").over(wrun), F.lit(0)))
+        .withColumn("_j", F.floor(F.col("_r") * F.col(cname)).cast("long"))
+    )
+    hit = j.filter(
+        (F.col(cname) > 0)
+        & (F.col("_j") >= F.col("_off"))
+        & (F.col("_j") < F.col("_off") + F.col("_cb"))
+    )
+    return hit.withColumn(
+        ename,
+        F.element_at("_cand", (F.col("_j") - F.col("_off") + 1).cast("int")),
+    ).drop("nbrs", "_cand", "_cb", "_off", "_j", "_r", *order_cols)
 
 
 def _blocked_uniform_pick(
@@ -242,50 +323,13 @@ def _blocked_uniform_pick(
     pickname: str,
 ) -> DataFrame:
     """Two-level uniform pick over (neighbors of ``st[x]``) minus ``excl``
-    against a blocked adjacency (_blocked_adjacency).
-
-    Per ``key`` row (must be unique in ``st``): join all blocks of x,
-    drop excluded vertices per block, total the candidate count c, map the
-    single uniform draw ``r`` to a global index j = floor(r*c), and walk
-    the bi-ordered cumulative block offsets to the owning block + element
-    — pick block ∝ size, then element, in one window pass whose group is
-    the vertex's BLOCK COUNT (<= degree/block_size), never its degree.
-
-    Returns one row per key with >= 1 candidate: all st columns plus
-    ``cname`` (total candidates — the importance weight factor) and
-    ``pickname`` (the picked vertex).  Zero-candidate trials drop out,
-    matching the estimators' zero-weight-trial semantics.  The pick is a
-    pure function of (data, r): block arrays are sorted, block order is
-    by deterministic bi — partition-layout independent.
-    """
-    from pyspark.sql import Window
-
-    j = (
-        st.join(badj.withColumnRenamed("x", x), x)
-        .withColumn("_cand", F.array_except(F.col("nbrs"), excl))
-        .withColumn("_cb", F.size("_cand"))
-        .withColumn("_r", r)
+    against a plain blocked adjacency (_blocked_adjacency): join all
+    blocks of x, drop excluded vertices per block, then the shared
+    _two_level_pick window core."""
+    rows = st.join(badj.withColumnRenamed("x", x), x)
+    return _two_level_pick(
+        rows, key, F.array_except(F.col("nbrs"), excl), r, cname, pickname
     )
-    wall = Window.partitionBy(key)
-    wrun = (
-        Window.partitionBy(key)
-        .orderBy("bi")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    j = (
-        j.withColumn(cname, F.sum("_cb").over(wall))
-        .withColumn("_off", F.coalesce(F.sum("_cb").over(wrun), F.lit(0)))
-        .withColumn("_j", F.floor(F.col("_r") * F.col(cname)).cast("long"))
-    )
-    hit = j.filter(
-        (F.col(cname) > 0)
-        & (F.col("_j") >= F.col("_off"))
-        & (F.col("_j") < F.col("_off") + F.col("_cb"))
-    )
-    return hit.withColumn(
-        pickname,
-        F.element_at("_cand", (F.col("_j") - F.col("_off") + 1).cast("int")),
-    ).drop("nbrs", "bi", "_cand", "_cb", "_off", "_j", "_r")
 
 
 def triangle_count(edges: DataFrame) -> int:
@@ -293,7 +337,7 @@ def triangle_count(edges: DataFrame) -> int:
     return int(triangles(edges).count())
 
 
-def triangles(edges: DataFrame) -> DataFrame:
+def triangles(edges: DataFrame, rank: DataFrame | None = None) -> DataFrame:
     """DataFrame of (a, b, c) triangle vertex triples with a < b < c.
 
     Degree-ordered wedge plan (hub-safe, O(m^1.5) wedge rows total): each
@@ -302,7 +346,9 @@ def triangles(edges: DataFrame) -> DataFrame:
     closed by a semi-join against the rank-oriented edge list.  Output
     triples are sorted by vertex ID, identical to the previous
     id-oriented plan (/root/reference/naive_implementation/
-    TriangleCounting.cpp:44-70 is the semantics oracle)."""
+    TriangleCounting.cpp:44-70 is the semantics oracle).  ``rank``
+    forwards a precomputed static order to degree_ranked_oriented (used
+    by the k-truss peel)."""
     # lazy localCheckpoint: the ranking subtree (dedup + degree agg + two
     # E-row joins) feeds THREE join branches below; without it Spark
     # re-evaluates the whole subtree per branch (no common-subplan reuse
@@ -310,7 +356,7 @@ def triangles(edges: DataFrame) -> DataFrame:
     # the first action, reused by all branches, freed by the
     # ContextCleaner when the result goes out of scope.
     o = (
-        degree_ranked_oriented(edges)
+        degree_ranked_oriented(edges, rank)
         .select("lo", "hi", "dhi")
         .localCheckpoint(eager=False)
     )
@@ -526,34 +572,10 @@ def four_chain_count_sampled_multiplan(
         )
     )
     # hub-split blocked struct adjacency: (x, bi, nbrs array<struct<eid,w>>)
-    # with per-row arrays bounded by ~block_size (same layout discipline as
-    # _blocked_adjacency; structs sorted by eid within each block so the
-    # two-level pick is deterministic at any parallelism)
-    bs = DEFAULT_ADJ_BLOCK
-    degs = sym.groupBy("x").agg(F.count(F.lit(1)).alias("_d"))
-    hubs = degs.filter(F.col("_d") > bs)
-    if hubs.limit(1).count() == 0:
-        adj = sym.groupBy("x").agg(
-            F.sort_array(F.collect_list(F.struct("eid", "w"))).alias("nbrs")
-        ).select("x", F.lit(0).cast("int").alias("bi"), "nbrs")
-    else:
-        hub_b = F.broadcast(hubs)
-        nonhub = (
-            sym.join(hub_b.select("x"), "x", "left_anti")
-            .groupBy("x")
-            .agg(F.sort_array(F.collect_list(F.struct("eid", "w"))).alias("nbrs"))
-            .select("x", F.lit(0).cast("int").alias("bi"), "nbrs")
-        )
-        nbk = F.ceil(F.col("_d") / bs).cast("int")
-        hub = (
-            sym.join(hub_b, "x")
-            .withColumn("bi", F.pmod(F.xxhash64("w"), nbk).cast("int"))
-            .groupBy("x", "bi")
-            .agg(F.sort_array(F.collect_list(F.struct("eid", "w"))).alias("nbrs"))
-            .select("x", "bi", "nbrs")
-        )
-        adj = nonhub.union(hub)
-    adj = adj.persist()
+    # — the shared _blocked_sym_adjacency build with a struct element, so
+    # per-row arrays are bounded by ~block_size and structs sort by eid
+    # within each block (deterministic two-level picks at any parallelism)
+    adj = _blocked_sym_adjacency(sym, F.struct("eid", "w")).persist()
 
     if plan_only is not None:
         assert plan_only in (1, 2, 3)
@@ -575,40 +597,8 @@ def four_chain_count_sampled_multiplan(
         F.col("a").alias("u"), F.col("b").alias("v"), F.col("id").alias("id0"),
     )
 
-    from pyspark.sql import Window
-
     def _suffix(arr):
         return F.filter(arr, lambda s: s["eid"] > F.col("id0"))
-
-    def _two_level(rows, cand_col, r_col, cname, ename, order_cols):
-        """Two-level uniform pick over per-block candidate arrays: total
-        the per-block candidate counts, map one uniform draw to a global
-        index, walk the (order_cols)-ordered cumulative offsets to the
-        owning block + element.  One window pass whose group size is the
-        BLOCK COUNT of the anchor vertex (<= degree/block_size), never
-        its degree."""
-        wall = Window.partitionBy("est_id")
-        wrun = (
-            Window.partitionBy("est_id")
-            .orderBy(*order_cols)
-            .rowsBetween(Window.unboundedPreceding, -1)
-        )
-        j = (
-            rows.withColumn("_cand", cand_col)
-            .withColumn("_cb", F.size("_cand"))
-            .withColumn(cname, F.sum("_cb").over(wall))
-            .withColumn("_off", F.coalesce(F.sum("_cb").over(wrun), F.lit(0)))
-            .withColumn("_j", F.floor(r_col * F.col(cname)).cast("long"))
-        )
-        hit = j.filter(
-            (F.col(cname) > 0)
-            & (F.col("_j") >= F.col("_off"))
-            & (F.col("_j") < F.col("_off") + F.col("_cb"))
-        )
-        return hit.withColumn(
-            ename,
-            F.element_at("_cand", (F.col("_j") - F.col("_off") + 1).cast("int")),
-        ).drop("nbrs", "bi", "_cand", "_cb", "_off", "_j")
 
     # e1 candidates: plans 1/2 merge both endpoints' id-suffixes (the
     # reference sums both vertices' CSR suffixes); plan 3 anchors at the
@@ -628,14 +618,15 @@ def four_chain_count_sampled_multiplan(
             F.lit(1).alias("_tag"), "bi", "nbrs",
         )
     )
-    picked1 = _two_level(
+    picked1 = _two_level_pick(
         side_u.union(side_v),
+        "est_id",
         _suffix(F.col("nbrs")),
         F.col("r1"),
         "c1",
         "e1",
         ("_tag", "bi"),
-    ).drop("_tag")
+    )
     # plans 1/2: e2 anchored at w = e1's far endpoint (w not in {u,v}: the
     # only u-v edge is e0); plan 3: e2 anchored at v.  Zero-candidate
     # trials (c1=0) never produce a hit row = zero-weight trials.
@@ -659,8 +650,8 @@ def four_chain_count_sampled_multiplan(
         )
         .otherwise(_suffix(F.col("nbrs")))
     )
-    picked2 = _two_level(
-        anchored, cand2, F.col("r2"), "c2", "_e2", ("bi",)
+    picked2 = _two_level_pick(
+        anchored, "est_id", cand2, F.col("r2"), "c2", "_e2"
     ).withColumn("t", F.col("_e2.w"))
     # acceptance (the reference's endpoint-distinctness checks): the new
     # vertex t must avoid all three previous vertices {u, v, e1.w}; for

@@ -276,7 +276,14 @@ def conditional_sample_vertex(
     Returns ``(vertex, 1/|pool|)`` or ``(None, 0.0)`` on an empty pool.
     Deterministic for a given seed: the pick is the min seeded hash over
     the pool (same convention as LinkGraph.vertex_induced_sample), not
-    an RNG."""
+    an RNG.
+
+    This is the DRIVER-SIDE one-shot form over an arbitrary vertex-id
+    pool (one pick per call, exact 1/|pool| probability).  Its
+    distributed twin — one pick PER ESTIMATOR ROW as a pure column draw
+    over the dense id suffix [min_vid, V), for estimator pipelines —
+    is ``algos.triangles.conditional_sample_vertex``; same reference
+    primitive, different execution shape."""
     pool = vertices.select("id").filter(F.col("id") > min_exclusive)
     n = pool.count()
     if n == 0:

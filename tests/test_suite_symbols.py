@@ -64,6 +64,36 @@ def test_no_duplicate_module_level_bindings(path):
     )
 
 
+def test_no_cross_module_suite_bindings():
+    """The round-5 suite split weakened the per-file guard above: with six
+    star-importing modules, a name defined in _base.py AND redefined in a
+    later module is duplicate-free per file, yet queries in the earlier
+    modules resolve the OLD binding while ``suite.<name>`` and later
+    modules get the new one — the same call-time/import-time split-brain
+    (5d2465e, 6864538) in cross-module form.  Guard: the union of
+    top-level bindings across linkgraph/suite/_*.py must be disjoint."""
+    suite_dir = LINKGRAPH / "suite"
+    owner: dict = {}
+    dupes = []
+    for path in sorted(suite_dir.glob("_*.py")):
+        tree = ast.parse(path.read_text(), filename=str(path))
+        for name, lineno in _top_level_bindings(tree):
+            if name in ("_", "__all__", "_n"):
+                continue
+            key = name
+            if key in owner and owner[key][0] != path.name:
+                dupes.append(
+                    f"{key}: {owner[key][0]}:{owner[key][1]} and "
+                    f"{path.name}:{lineno}"
+                )
+            else:
+                owner.setdefault(key, (path.name, lineno))
+    assert not dupes, (
+        "cross-module rebinding in the suite package — earlier modules' "
+        "queries would silently keep the old binding: " + "; ".join(dupes)
+    )
+
+
 def test_registry_sql_mentions_matching_fixture():
     """Every registry oracle SQL that references an ``edges_*`` CTE must be
     paired with a Spark callable whose source calls the same fixture name.
